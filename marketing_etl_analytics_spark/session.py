@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+The reference delegates all execution to PostgreSQL (SURVEY.md §3); our
+equivalent of its "server config" is a SparkSession tuned for the
+analytics workload:
+
+- UTC session timezone: the epoch-seconds surrogate key ``date_id``
+  (reference ``etl_script/03_transform.sql:7``) must be deterministic.
+- AQE on: runtime coalescing + skew-join handling stands in for the
+  reference's B-tree indexes (``schema.sql:68-70``) at scale.
+- Arrow enabled: any Pandas-UDF extension path gets vectorized transfer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "marketing-etl-analytics-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    Defaults target local[$SPARK_GRAFT_CPUS]; on a real cluster the
+    master comes from spark-submit and these configs still apply.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # Determinism: epoch date keys and date extraction are TZ-sensitive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: coalesce post-shuffle partitions, split skewed
+        # partitions at runtime — essential at 100 TB, harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # Dims here are tiny (19..2450 rows); let Spark broadcast eagerly.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Arrow for any pandas_udf / toPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Quieter local runs.
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
