@@ -1,0 +1,153 @@
+"""KPI view layer — lazy-DataFrame re-expression of ``etl_script/04_views.sql``.
+
+The reference's ``mv_*`` are plain views (recomputed per query); our
+functions return lazy DataFrames with exactly that semantics — callers
+may ``.cache()`` for true materialization.
+
+The correctness-critical core (SURVEY.md §2.D D6, §7.3.5): both facts
+are *partially aggregated to (date_id, campaign_id) grain first*, then
+FULL OUTER joined and COALESCEd. The pre-aggregation is semantically
+required (grain alignment before the join — Catalyst would never
+introduce it) and is also the 100 TB play: the join inputs shrink from
+fact-size to |days × campaigns| before any wide exchange.
+
+Documented deviation: the reference's ``ctr`` in mv_channel_daily
+(``04_views.sql:56-58``) hits PG bigint integer division and always
+yields 0; we use true division (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.functions.kpis import safe_div
+
+
+def _merged(fact_sales: DataFrame, fact_spend: DataFrame) -> DataFrame:
+    """fs_agg FULL OUTER sp_agg on (date_id, campaign_id), COALESCEd.
+
+    (``04_views.sql:17-47`` — identical in all three views.)
+    """
+    fs_agg = fact_sales.groupBy("date_id", "campaign_id").agg(
+        F.sum("revenue").alias("revenue"),
+        F.sum("cost").alias("cost"),
+        # sale_id is unique by construction, so COUNT(DISTINCT sale_id)
+        # == COUNT(*); plain count avoids a distinct-agg expand at scale.
+        F.count(F.lit(1)).alias("orders"),
+    )
+    sp_agg = fact_spend.groupBy("date_id", "campaign_id").agg(
+        F.sum("spend").alias("spend"),
+        F.sum("clicks").alias("clicks"),
+        F.sum("impressions").alias("impressions"),
+    )
+    joined = fs_agg.alias("fs").join(
+        sp_agg.alias("sp"),
+        # Explicit null-rejecting predicate, matching the SQL ON clause:
+        # NULL date_ids (spend on no-sale dates) never match.
+        (F.col("fs.date_id") == F.col("sp.date_id"))
+        & (F.col("fs.campaign_id") == F.col("sp.campaign_id")),
+        "full_outer",
+    )
+    zero = F.lit(0)
+    return joined.select(
+        F.coalesce("fs.date_id", "sp.date_id").alias("date_id"),
+        F.coalesce("fs.campaign_id", "sp.campaign_id").alias("campaign_id"),
+        F.coalesce("fs.revenue", zero).alias("revenue"),
+        F.coalesce("fs.cost", zero).alias("cost"),
+        F.coalesce("fs.orders", zero).alias("orders"),
+        F.coalesce("sp.spend", zero).alias("spend"),
+        F.coalesce("sp.clicks", zero).alias("clicks"),
+        F.coalesce("sp.impressions", zero).alias("impressions"),
+    )
+
+
+def channel_daily(
+    fact_sales: DataFrame,
+    fact_spend: DataFrame,
+    dim_campaigns: DataFrame,
+    dim_date: DataFrame,
+) -> DataFrame:
+    """``mv_channel_daily`` (``04_views.sql:16-64``): daily grain per channel.
+
+    dim_campaigns joins LEFT but dim_date joins INNER — spend rows on
+    dates absent from dim_date (no sales that day) are silently dropped.
+    Load-bearing reference quirk; replicated exactly.
+    """
+    m = _merged(fact_sales, fact_spend)
+    return (
+        m.join(F.broadcast(dim_campaigns.select("campaign_id", "channel")),
+               "campaign_id", "left")
+        .join(F.broadcast(dim_date.select("date_id", "date")), "date_id", "inner")
+        .groupBy("date", "channel")
+        .agg(
+            F.sum("revenue").alias("revenue"),
+            F.sum("cost").alias("cost"),
+            F.round(F.sum("spend"), 2).alias("spend"),
+            F.sum("clicks").alias("clicks"),
+            F.sum("impressions").alias("impressions"),
+            # true division (PG integer-division bug not replicated)
+            F.round(safe_div(F.sum("clicks"), F.sum("impressions")), 6).alias("ctr"),
+            F.sum("orders").alias("orders"),
+        )
+    )
+
+
+def _kpi_block(grouped) -> DataFrame:
+    """The shared KPI select list (``04_views.sql:102-142`` / ``:185-227``)."""
+    rev, cost, spend = F.sum("revenue"), F.sum("cost"), F.sum("spend")
+    orders = F.sum("orders")
+    clicks, impr = F.sum("clicks"), F.sum("impressions")
+    return grouped.agg(
+        rev.alias("revenue"),
+        cost.alias("cost"),
+        F.round(spend, 2).alias("spend"),
+        F.sum(F.col("revenue") - F.col("cost")).alias("gross_profit"),
+        clicks.alias("clicks"),
+        impr.alias("impressions"),
+        orders.alias("orders"),
+        F.round(safe_div(rev, orders), 4).alias("aov"),
+        F.round(safe_div(clicks, impr), 6).alias("ctr"),
+        F.round(safe_div(rev, spend), 4).alias("roas"),
+        F.round(safe_div(rev - cost, spend), 4).alias("profit_roas"),
+        F.round(safe_div(rev - spend, spend), 4).alias("roi"),
+        F.round(safe_div(rev - cost - spend, spend), 4).alias("profit_roi"),
+    )
+
+
+def kpi_channel(
+    fact_sales: DataFrame, fact_spend: DataFrame, dim_campaigns: DataFrame
+) -> DataFrame:
+    """``mv_kpi_channel`` (``04_views.sql:70-147``). No dim_date join here —
+    unlike channel_daily, spend on no-sale dates IS included."""
+    m = _merged(fact_sales, fact_spend).join(
+        F.broadcast(dim_campaigns.select("campaign_id", "channel")),
+        "campaign_id", "left",
+    )
+    return _kpi_block(m.groupBy("channel"))
+
+
+def kpi_campaign(
+    fact_sales: DataFrame, fact_spend: DataFrame, dim_campaigns: DataFrame
+) -> DataFrame:
+    """``mv_kpi_campaign`` (``04_views.sql:153-232``)."""
+    m = _merged(fact_sales, fact_spend).join(
+        F.broadcast(dim_campaigns.select("campaign_id", "campaign_name", "channel")),
+        "campaign_id", "left",
+    )
+    return _kpi_block(m.groupBy("campaign_id", "campaign_name", "channel"))
+
+
+def build_views(wh: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Attach the three views to a warehouse dict (lazy, view semantics)."""
+    return {
+        "mv_channel_daily": channel_daily(
+            wh["fact_sales"], wh["fact_spend"], wh["dim_campaigns"], wh["dim_date"]
+        ),
+        "mv_kpi_channel": kpi_channel(
+            wh["fact_sales"], wh["fact_spend"], wh["dim_campaigns"]
+        ),
+        "mv_kpi_campaign": kpi_campaign(
+            wh["fact_sales"], wh["fact_spend"], wh["dim_campaigns"]
+        ),
+    }
