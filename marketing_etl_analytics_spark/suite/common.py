@@ -32,7 +32,21 @@ from pyspark.sql import functions as F
 # --- table access -----------------------------------------------------------
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects. Read nanos as long (legacy conf, runtime-settable)
+    and rebuild a micro-precision timestamp — same truncation DuckDB
+    applies when it reads nanos into its micro-precision TIMESTAMP."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
 
 
 # --- numeric discipline (Spark side) ---------------------------------------
@@ -64,8 +78,20 @@ def cost_expr() -> Column:
 
 
 def dsum(col: Column, ndigits: int = 2) -> Column:
-    """SUM of exact decimals, emitted as a rounded DOUBLE."""
-    return F.round(F.sum(col).cast("double"), ndigits)
+    """SUM of exact decimals, emitted as DOUBLE.
+
+    Round in the DECIMAL domain (HALF_UP in both Spark and DuckDB —
+    probed), THEN cast to double. Rounding after the double cast is
+    engine-dependent at exact-tie values (Spark rounds the shortest
+    decimal repr, DuckDB rounds via scaled multiply)."""
+    return F.round(F.sum(col), ndigits).cast("double")
+
+
+def dcol(col: Column) -> Column:
+    """Row-level exact decimal emitted as DOUBLE — no rounding, so no
+    tie-breaking divergence; decimal->double conversion is exact-value
+    identical in both engines."""
+    return col.cast("double")
 
 
 def lsum(col: Column | str) -> Column:
@@ -84,8 +110,39 @@ SQL_COST = f"({SQL_REVENUE}) * CAST(0.6 AS DECIMAL(8,4))"
 
 
 def sql_dsum(expr: str, alias: str, ndigits: int = 2) -> str:
-    return f"ROUND(CAST(SUM({expr}) AS DOUBLE), {ndigits}) AS {alias}"
+    # decimal-domain ROUND, then double cast (see dsum)
+    return f"CAST(ROUND(SUM({expr}), {ndigits}) AS DOUBLE) AS {alias}"
 
 
 def sql_lsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS BIGINT)) AS BIGINT) AS {alias}"
+
+
+# --- portable double rounding ----------------------------------------------
+#
+# ROUND(double, n) disagrees between engines at exact-tie values (Spark
+# rounds the shortest decimal repr HALF_UP; DuckDB scales and rounds the
+# binary value). For ratio outputs we need *identical* results, not any
+# particular tie rule, so round as floor(q * 10^n + 0.5) / 10^n — every
+# step is deterministic IEEE arithmetic on identical operands.
+
+def pround(col: Column, ndigits: int) -> Column:
+    scale = float(10 ** ndigits)
+    return F.floor(col.cast("double") * scale + F.lit(0.5)) / F.lit(scale)
+
+
+def sql_pround(expr: str, ndigits: int) -> str:
+    scale = float(10 ** ndigits)
+    return f"FLOOR(CAST(({expr}) AS DOUBLE) * {scale} + 0.5) / {scale}"
+
+
+def ratio(num: Column, den: Column, ndigits: int) -> Column:
+    """Portable rounded NULLIF-guarded double ratio."""
+    return pround(num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), ndigits)
+
+
+def sql_ratio(num: str, den: str, ndigits: int, alias: str) -> str:
+    return (
+        sql_pround(f"CAST({num} AS DOUBLE) / NULLIF(CAST({den} AS DOUBLE), 0)", ndigits)
+        + f" AS {alias}"
+    )

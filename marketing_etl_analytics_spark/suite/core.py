@@ -13,9 +13,11 @@ from marketing_etl_analytics_spark.suite.common import (
     dsum,
     lsum,
     money,
+    ratio,
     revenue_expr,
     sql_dsum,
     sql_lsum,
+    sql_ratio,
     t,
 )
 from marketing_etl_analytics_spark.suite.registry import register
@@ -33,8 +35,7 @@ from marketing_etl_analytics_spark.suite.registry import register
       {sql_dsum(f"({SQL_REVENUE}) - ({SQL_COST})", "gross_profit")},
       {sql_lsum("l_quantity", "total_units")},
       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS total_orders,
-      ROUND(CAST(SUM(({SQL_REVENUE}) - ({SQL_COST})) AS DOUBLE)
-            / CAST(SUM({SQL_REVENUE}) AS DOUBLE) * 100, 4) AS gross_margin_pct
+      {sql_ratio(f"(SUM(({SQL_REVENUE}) - ({SQL_COST}))) * 100", f"SUM({SQL_REVENUE})", 4, "gross_margin_pct")}
     FROM lineitem
     """,
     doc="Whole-table P&L: ratio-of-sums margin (analytics_queries.sql:12-18).",
@@ -48,9 +49,7 @@ def q0_pnl_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(rev - cst).alias("gross_profit"),
         lsum("l_quantity").alias("total_units"),
         F.countDistinct("l_orderkey").alias("total_orders"),
-        F.round(
-            F.sum(rev - cst).cast("double") / F.sum(rev).cast("double") * 100, 4
-        ).alias("gross_margin_pct"),
+        ratio(F.sum(rev - cst) * 100, F.sum(rev), 4).alias("gross_margin_pct"),
     )
 
 
