@@ -73,8 +73,11 @@ def revenue_expr() -> Column:
 
 
 def cost_expr() -> Column:
-    """Line cost analog: revenue * 0.6 fixed COGS ratio, exact decimal."""
-    return revenue_expr() * F.lit(0.6).cast(RATE)
+    """Line cost analog: revenue * (0.5 + tax) — a per-row-varying COGS
+    ratio (0.50..0.58), exact decimal. Varying margins matter: a
+    constant ratio makes every product's margin identical and
+    margin-vs-average comparisons degenerate to FP-noise coin flips."""
+    return revenue_expr() * (F.lit(0.5).cast(RATE) + rate("l_tax"))
 
 
 def dsum(col: Column, ndigits: int = 2) -> Column:
@@ -106,7 +109,9 @@ SQL_REVENUE = (
     "CAST(l_extendedprice AS DECIMAL(18,2))"
     " * (1 - CAST(l_discount AS DECIMAL(8,4)))"
 )
-SQL_COST = f"({SQL_REVENUE}) * CAST(0.6 AS DECIMAL(8,4))"
+SQL_COST = (
+    f"({SQL_REVENUE}) * (CAST(0.5 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4)))"
+)
 
 
 def sql_dsum(expr: str, alias: str, ndigits: int = 2) -> str:
@@ -139,6 +144,32 @@ def sql_pround(expr: str, ndigits: int) -> str:
 def ratio(num: Column, den: Column, ndigits: int) -> Column:
     """Portable rounded NULLIF-guarded double ratio."""
     return pround(num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), ndigits)
+
+
+# AVG(double) is order-dependent (engines sum in different orders), so
+# any comparison or rounding of it is a coin flip near boundaries.
+# Deterministic mean: snap each double to a 6-dp decimal (exact),
+# sum exactly, then do ONE double division — bit-identical everywhere.
+
+def avg_det(col: Column, ndigits: int) -> Column:
+    s = F.sum(col.cast("decimal(28,6)")).cast("double")
+    return pround(s / F.count(col.cast("decimal(28,6)")), ndigits)
+
+
+def avg_det_raw(col: Column) -> Column:
+    """Unrounded deterministic mean (for threshold comparisons)."""
+    s = F.sum(col.cast("decimal(28,6)")).cast("double")
+    return s / F.count(col.cast("decimal(28,6)"))
+
+
+def sql_avg_det(expr: str, ndigits: int) -> str:
+    e = f"CAST({expr} AS DECIMAL(28,6))"
+    return sql_pround(f"CAST(SUM({e}) AS DOUBLE) / COUNT({e})", ndigits)
+
+
+def sql_avg_det_raw(expr: str) -> str:
+    e = f"CAST({expr} AS DECIMAL(28,6))"
+    return f"(CAST(SUM({e}) AS DOUBLE) / COUNT({e}))"
 
 
 def sql_ratio(num: str, den: str, ndigits: int, alias: str) -> str:
