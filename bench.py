@@ -1,0 +1,51 @@
+"""Benchmark driver: runs the suite's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query executes end-to-end through the noop sink (full plan runs
+on the cluster, no driver-side collect overhead in the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from marketing_etl_analytics_spark.session import get_spark  # noqa: E402
+from marketing_etl_analytics_spark.suite import SUITE  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    # one tiny warm-up action so JVM/codegen startup isn't billed to q0
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name, entry in SUITE.items():
+        t0 = time.perf_counter()
+        entry.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "suite_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
