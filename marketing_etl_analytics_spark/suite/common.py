@@ -44,9 +44,9 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies when it reads nanos into its micro-precision TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer DIV, not `/`: float division of an int64 nanos value loses
+    # low-order microseconds (2^53 < ns range)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # --- numeric discipline (Spark side) ---------------------------------------

@@ -1,1 +1,587 @@
-"""Populated in later milestones."""
+"""LLM-data-pipeline extension operators (north star, SURVEY.md §7.4).
+
+Beyond the reference's surface: deduplication (exact, MinHash-LSH,
+n-gram Jaccard), embedding similarity search (brute-force cosine and
+an LSH-bucketed scale path), text analysis (quality scoring, language
+ID, token counting, fingerprinting), multimodal binary plumbing, and
+the streaming-equivalent tumbling-window aggregation.
+
+Everything here is pure DataFrame/SQL-expressible (no Python UDFs in
+the hot path) so the DuckDB oracle can verify it, and the same plan
+scales: shingling/minhashing are per-row generate+explode (map-side,
+no shuffle), candidate generation shuffles on (band, signature) or
+(bucket) keys only — never all-pairs.
+
+Portability notes (Spark <-> DuckDB):
+- md5(string) is the shared deterministic hash.
+- dot products snap each elementwise product to DECIMAL(38,12) and sum
+  exactly — order-free, so engine-internal aggregation order can't
+  change the result (float32 inputs widen to double exactly; a single
+  product of two float32 fits double's 53-bit mantissa exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.suite.common import (
+    money,
+    ratio,
+    sql_pround,
+    sql_ratio,
+    pround,
+    t,
+)
+from marketing_etl_analytics_spark.suite.registry import register
+
+# --- shared shingling fragments --------------------------------------------
+
+# 3-word shingles over space-tokenized lowercased text, distinct.
+SPARK_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(split(lower(text), ' ')) - 2),"
+    " i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3))))"
+)
+SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 2),"
+    " i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' ')))"
+)
+
+
+# --- exact dedup (hash-groupBy) --------------------------------------------
+
+@register(
+    "ext_dedup_exact",
+    """
+    WITH hashed AS (
+      SELECT doc_id, md5(lower(text)) AS text_hash FROM documents
+    ),
+    groups AS (
+      SELECT text_hash,
+        CAST(COUNT(*) AS BIGINT) AS group_size,
+        CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+      FROM hashed GROUP BY text_hash
+    )
+    SELECT h.doc_id, h.text_hash, g.canonical_id, g.group_size,
+      CASE WHEN h.doc_id <> g.canonical_id THEN 1 ELSE 0 END AS is_dup
+    FROM hashed h JOIN groups g USING (text_hash)
+    ORDER BY h.doc_id
+    """,
+    doc="Exact dedup: md5(normalized text) hash-groupBy; every doc "
+    "mapped to its canonical (min doc_id) representative + dup flag. "
+    "Scales as one map + one shuffle on the hash.",
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5(F.lower("text")).alias("text_hash"))
+    groups = hashed.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return (
+        hashed.join(groups, "text_hash")
+        .select(
+            "doc_id", "text_hash", "canonical_id", "group_size",
+            F.when(F.col("doc_id") != F.col("canonical_id"), 1).otherwise(0).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- MinHash + LSH near-dedup ----------------------------------------------
+
+N_PERM = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+@register(
+    "ext_dedup_minhash_lsh",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id, {SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    exploded AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    hashed AS (
+      SELECT e.doc_id, p.perm,
+             MIN(md5(CAST(p.perm AS VARCHAR) || ':' || e.shingle)) AS mh
+      FROM exploded e, (SELECT unnest(generate_series(0, {N_PERM - 1})) AS perm) p
+      GROUP BY e.doc_id, p.perm
+    ),
+    bands AS (
+      SELECT doc_id, perm // {ROWS_PER_BAND} AS band,
+             string_agg(mh, '|' ORDER BY perm) AS band_sig
+      FROM hashed
+      GROUP BY doc_id, perm // {ROWS_PER_BAND}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY shared_bands DESC, doc_a, doc_b
+    """,
+    doc="MinHash(16 perms, perm-keyed md5) + LSH(4 bands x 4 rows): "
+    "candidate pairs share at least one full band signature. The join "
+    "key is (band, signature) — candidates only, never all pairs.",
+)
+def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    shingled = docs.filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    ).select("doc_id", F.expr(SPARK_SHINGLES).alias("shingles"))
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+    perms = spark.range(N_PERM).select(F.col("id").cast("int").alias("perm"))
+    hashed = (
+        exploded.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+    bands = (
+        hashed.withColumn("band", F.expr(f"perm div {ROWS_PER_BAND}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                    lambda s: s["mh"],
+                ),
+            ).alias("band_sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .orderBy(F.desc("shared_bands"), "doc_a", "doc_b")
+    )
+
+
+# --- n-gram Jaccard near-dedup ----------------------------------------------
+
+@register(
+    "ext_dedup_ngram_jaccard",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id, {SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    doc_shingles AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM doc_shingles GROUP BY doc_id
+    ),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM doc_shingles a JOIN doc_shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+      {sql_ratio("c.n_common", "sa.n_shingles + sb.n_shingles - c.n_common", 4, "jaccard")}
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE CAST(c.n_common AS DOUBLE)
+          / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.5
+    ORDER BY jaccard DESC, doc_a, doc_b
+    """,
+    doc="3-gram shingle Jaccard >= 0.5 near-dup pairs; the self-join "
+    "shuffles on the shingle key (inverted index), never all pairs.",
+)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    shingled = docs.filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    ).select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle"))
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    union_size = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("n_common").cast("double") / union_size >= 0.5)
+        .select(
+            "doc_a", "doc_b",
+            ratio(F.col("n_common"), union_size, 4).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+    )
+
+
+# --- embedding similarity: brute-force cosine top-k --------------------------
+
+SPARK_DOT = (
+    # the re-CAST inside the lambda pins the accumulator type (Spark's
+    # decimal-add widening would otherwise drift the scale to (38,11))
+    "CAST(aggregate(sequence(1, size({a})), CAST(0 AS DECIMAL(38,12)),"
+    " (acc, i) -> CAST(acc + CAST(CAST(element_at({a}, i) AS DOUBLE)"
+    " * CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS DOUBLE)"
+)
+SQL_DOT = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+    " AS DECIMAL(38,12)))) AS DOUBLE)"
+)
+
+@register(
+    "ext_ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    pairs AS (
+      SELECT qid, cid,
+        {SQL_DOT.format(a="qe", b="ce")} AS dot,
+        {SQL_DOT.format(a="qe", b="qe")} AS nq,
+        {SQL_DOT.format(a="ce", b="ce")} AS nc
+      FROM q, c WHERE qid != cid
+    ),
+    scored AS (
+      SELECT qid, cid,
+        dot / sqrt(nq * nc) AS cos_raw,
+        row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nq * nc) DESC, cid) AS rn
+      FROM pairs
+    )
+    SELECT qid, cid, {sql_pround("cos_raw", 6)} AS cosine, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= 5
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors: exact-decimal "
+    "dot products (order-free), window top-k. The baseline ANN path; "
+    "at scale the candidate set comes from ext_ann_lsh_bucketed.",
+)
+def ext_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid",
+            F.expr(SPARK_DOT.format(a="qe", b="ce")).alias("dot"),
+            F.expr(SPARK_DOT.format(a="qe", b="qe")).alias("nq"),
+            F.expr(SPARK_DOT.format(a="ce", b="ce")).alias("nc"),
+        )
+    )
+    cos_raw = F.col("dot") / F.sqrt(F.col("nq") * F.col("nc"))
+    w = Window.partitionBy("qid").orderBy(F.desc(cos_raw), F.asc("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", pround(cos_raw, 6).alias("cosine"), "rn")
+    )
+
+
+# --- embedding similarity: LSH-bucketed scale path ---------------------------
+
+@register(
+    "ext_ann_lsh_bucketed",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+        CAST(list_sum(list_transform(generate_series(1, 8),
+          i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0
+                    THEN CAST(2 ** (i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 20),
+    pairs AS (
+      SELECT q.qid, c.vec_id AS cid, q.bucket,
+        {SQL_DOT.format(a="q.qe", b="c.embedding")} AS dot,
+        {SQL_DOT.format(a="q.qe", b="q.qe")} AS nq,
+        {SQL_DOT.format(a="c.embedding", b="c.embedding")} AS nc
+      FROM q JOIN b c ON q.bucket = c.bucket AND q.qid != c.vec_id
+    ),
+    scored AS (
+      SELECT qid, cid, bucket,
+        dot / sqrt(nq * nc) AS cos_raw,
+        row_number() OVER (PARTITION BY qid ORDER BY dot / sqrt(nq * nc) DESC, cid) AS rn
+      FROM pairs
+    )
+    SELECT qid, cid, CAST(bucket AS BIGINT) AS bucket,
+           {sql_pround("cos_raw", 6)} AS cosine, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= 3
+    """,
+    doc="Sign-LSH bucketing (first 8 dims -> 256 buckets): neighbor "
+    "search joins on the bucket key instead of all pairs — the IVF/LSH "
+    "scale path for ANN.",
+)
+def ext_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        "CAST(aggregate(sequence(1, 8), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) > 0"
+        " THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = b.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "bucket")
+    pairs = (
+        c.join(F.broadcast(q), ["bucket"])
+        .filter(F.col("qid") != F.col("cid"))
+        .select(
+            "qid", "cid", "bucket",
+            F.expr(SPARK_DOT.format(a="qe", b="ce")).alias("dot"),
+            F.expr(SPARK_DOT.format(a="qe", b="qe")).alias("nq"),
+            F.expr(SPARK_DOT.format(a="ce", b="ce")).alias("nc"),
+        )
+    )
+    cos_raw = F.col("dot") / F.sqrt(F.col("nq") * F.col("nc"))
+    w = Window.partitionBy("qid").orderBy(F.desc(cos_raw), F.asc("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid", "bucket", pround(cos_raw, 6).alias("cosine"), "rn")
+    )
+
+
+# --- text quality scoring ----------------------------------------------------
+
+STOPWORDS = "'the', 'a', 'of', 'and', 'to', 'in'"
+
+@register(
+    "ext_text_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, n_chars,
+        string_split(lower(text), ' ') AS tokens,
+        len(string_split(lower(text), ' ')) AS n_tokens,
+        len(list_filter(string_split(lower(text), ' '),
+            w -> w IN ({STOPWORDS}))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+      CAST(n_tokens AS BIGINT) AS n_tokens,
+      {sql_ratio("n_chars - n_tokens + 1", "n_tokens", 4, "avg_token_len")},
+      {sql_ratio("n_stop", "n_tokens", 4, "stopword_ratio")},
+      CASE WHEN n_tokens < 5 THEN 'too_short'
+           WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.5 THEN 'low_content'
+           ELSE 'ok' END AS quality
+    FROM toks
+    """,
+    doc="Per-document quality features: token count, avg token length, "
+    "stopword ratio, CASE quality label — all JVM-side expressions.",
+)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tokens = F.split(F.lower("text"), " ")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(
+        F.filter(tokens, lambda w: w.isin("the", "a", "of", "and", "to", "in"))
+    )
+    return docs.select(
+        "doc_id", "lang", "source",
+        n_tokens.cast("long").alias("n_tokens"),
+        ratio(F.col("n_chars") - n_tokens + 1, n_tokens, 4).alias("avg_token_len"),
+        ratio(n_stop, n_tokens, 4).alias("stopword_ratio"),
+        F.when(n_tokens < 5, "too_short")
+        .when(n_stop.cast("double") / n_tokens > 0.5, "low_content")
+        .otherwise("ok")
+        .alias("quality"),
+    )
+
+
+# --- language ID (stopword-hit heuristic) ------------------------------------
+
+LANG_SETS = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+}
+
+@register(
+    "ext_lang_id",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+        string_split(lower(text), ' ') AS tokens
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(tokens, w -> w IN ('the', 'a', 'of'))) AS s_en,
+        len(list_filter(tokens, w -> w IN ('el', 'la', 'de'))) AS s_es,
+        len(list_filter(tokens, w -> w IN ('der', 'die', 'und'))) AS s_de
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+      CAST(s_en AS BIGINT) AS s_en, CAST(s_es AS BIGINT) AS s_es,
+      CAST(s_de AS BIGINT) AS s_de,
+      CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+           WHEN s_es >= s_de THEN 'es'
+           ELSE 'de' END AS detected_lang
+    FROM scores
+    """,
+    doc="n-gram/stopword language-ID heuristic with deterministic "
+    "argmax tie-break; compares against the labeled lang column.",
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tokens = F.split(F.lower("text"), " ")
+
+    def score(words: tuple[str, ...]):
+        return F.size(F.filter(tokens, lambda w: w.isin(*words))).cast("long")
+
+    s_en, s_es, s_de = (score(LANG_SETS[k]) for k in ("en", "es", "de"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        s_en.alias("s_en"), s_es.alias("s_es"), s_de.alias("s_de"),
+        F.when((s_en >= s_es) & (s_en >= s_de), "en")
+        .when(s_es >= s_de, "es")
+        .otherwise("de")
+        .alias("detected_lang"),
+    )
+
+
+# --- token counting (whitespace + BPE-ish regex) ------------------------------
+
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+@register(
+    "ext_token_count",
+    f"""
+    SELECT doc_id,
+      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS re_tokens,
+      CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Whitespace and BPE-ish regex token counts per document.",
+)
+def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).cast("long").alias("re_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+# --- document fingerprinting (full hash + winnowing-lite) ---------------------
+
+@register(
+    "ext_fingerprint",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id, md5(lower(text)) AS full_hash, {SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    )
+    SELECT doc_id, full_hash,
+      (SELECT MIN(md5(s.sh)) FROM unnest(shingles) AS s(sh)) AS min_shingle_hash
+    FROM shingled
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprint: whole-text md5 + min shingle hash "
+    "(winnowing-lite rolling fingerprint).",
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
+        .select(
+            "doc_id",
+            F.md5(F.lower("text")).alias("full_hash"),
+            F.array_min(
+                F.transform(F.expr(SPARK_SHINGLES), lambda s: F.md5(s))
+            ).alias("min_shingle_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- multimodal binary plumbing ----------------------------------------------
+
+@register(
+    "ext_multimodal_meta",
+    """
+    SELECT doc_id, source,
+      CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      CAST(n_chars AS BIGINT) AS n_chars,
+      CAST(octet_length(encode(text)) - n_chars AS BIGINT) AS multibyte_overhead
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Multimodal plumbing: text -> binary payload column with typed "
+    "size metadata (the decode path itself is the mapInPandas stub in "
+    "ext.multimodal, exercised by unit tests).",
+)
+def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id", "source",
+        F.length(blob).cast("long").alias("byte_len"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.length(blob) - F.col("n_chars")).cast("long").alias("multibyte_overhead"),
+    ).orderBy("doc_id")
+
+
+# --- streaming-equivalent tumbling window ------------------------------------
+
+@register(
+    "ext_stream_daily_window",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling daily window aggregation — the batch-equivalent of "
+    "the Structured Streaming pipeline in streaming/ (same F.window "
+    "grouping, verified there against this batch result).",
+)
+def ext_stream_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type", "n_events", "n_users", "total_value",
+        )
+    )

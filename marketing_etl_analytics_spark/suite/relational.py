@@ -1,1 +1,296 @@
-"""Populated in later milestones."""
+"""Relational capability operators beyond the reference's surface.
+
+The reference uses none of these (SURVEY.md §2.C/§2.E/§2.G note their
+absence), but an engine replacing it must expose them: set operations,
+semi/anti joins, window functions, non-equi range joins, as-of joins,
+JSON extraction, and rollup aggregation. Each is expressed Spark-first
+with a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.suite.common import (
+    dsum,
+    money,
+    ratio,
+    sql_ratio,
+    t,
+)
+from marketing_etl_analytics_spark.suite.registry import register
+
+
+# --- set operations (SURVEY §2.G) ------------------------------------------
+
+@register(
+    "rel_setops",
+    """
+    WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+         c96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+    SELECT 'both' AS op, o_custkey FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+    UNION ALL
+    SELECT 'only_1995' AS op, o_custkey FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+    UNION ALL
+    SELECT 'only_1996' AS op, o_custkey FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c95)
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL over customer-year sets.",
+)
+def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    c96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return (
+        c95.intersect(c96).select(F.lit("both").alias("op"), "o_custkey")
+        .unionAll(c95.exceptAll(c96).select(F.lit("only_1995").alias("op"), "o_custkey"))
+        .unionAll(c96.exceptAll(c95).select(F.lit("only_1996").alias("op"), "o_custkey"))
+    )
+
+
+# --- semi / anti joins (ON CONFLICT & existence checks) ---------------------
+
+@register(
+    "rel_semi_anti",
+    """
+    SELECT 'has_orders' AS op, c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'no_orders' AS op, c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left_semi / left_anti joins (EXISTS / NOT EXISTS equivalents).",
+)
+def rel_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("has_orders").alias("op"), "c_custkey"
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("op"), "c_custkey"
+    )
+    return semi.unionAll(anti)
+
+
+# --- window: per-group top-N (SURVEY §2.E extension) ------------------------
+
+@register(
+    "rel_window_topn",
+    """
+    WITH ranked AS (
+      SELECT p.p_brand, p.p_partkey, p.p_name,
+        CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue,
+        row_number() OVER (
+          PARTITION BY p.p_brand
+          ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) DESC, p.p_partkey
+        ) AS rn
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey, p.p_name
+    )
+    SELECT p_brand, p_partkey, p_name, revenue, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    doc="row_number() per-group top-N — the window-function form of the "
+    "reference's ORDER BY+LIMIT pattern.",
+)
+def rel_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    rev_exact = F.sum(
+        money("l_extendedprice") * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+    )
+    grouped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(rev_exact.alias("__rev_exact"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("__rev_exact"), F.asc("p_partkey"))
+    return (
+        grouped.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "p_brand", "p_partkey", "p_name",
+            F.round(F.col("__rev_exact"), 2).cast("double").alias("revenue"),
+            "rn",
+        )
+    )
+
+
+# --- window: running total --------------------------------------------------
+
+@register(
+    "rel_window_running",
+    """
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ), 2) AS DOUBLE) AS running_revenue
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    doc="Cumulative window sum per customer, deterministic total order.",
+)
+def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.to_date("o_orderdate"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.round(F.sum(money("o_totalprice")).over(w), 2)
+        .cast("double")
+        .alias("running_revenue"),
+    )
+
+
+# --- non-equi range join (latent campaigns_details date-range join,
+#     SURVEY §2.C "absent join kinds") ---------------------------------------
+
+@register(
+    "rel_range_join",
+    """
+    WITH windows AS (
+      SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS win_start,
+             date_trunc('month', CAST(o_orderdate AS DATE)) + INTERVAL 44 DAY AS win_end
+      FROM orders
+    )
+    SELECT CAST(w.win_start AS DATE) AS win_start,
+      CAST(COUNT(*) AS BIGINT) AS orders_in_window,
+      CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN windows w
+      ON CAST(o.o_orderdate AS DATE) >= CAST(w.win_start AS DATE)
+     AND CAST(o.o_orderdate AS DATE) < CAST(w.win_end AS DATE)
+    GROUP BY w.win_start
+    """,
+    doc="Date-in-range non-equi join (overlapping 45-day windows -> "
+    "orders can match two windows); Spark plans a broadcast "
+    "nested-loop join on the tiny windows side.",
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    windows = (
+        o.select(F.date_trunc("month", d).cast("date").alias("win_start"))
+        .distinct()
+        .withColumn("win_end", F.date_add("win_start", 44))
+    )
+    return (
+        o.join(
+            F.broadcast(windows),
+            (d >= F.col("win_start")) & (d < F.col("win_end")),
+        )
+        .groupBy("win_start")
+        .agg(
+            F.count(F.lit(1)).alias("orders_in_window"),
+            F.round(F.sum(money("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --- as-of join (latest prior event; SURVEY §2.C absent-joins note) ---------
+
+@register(
+    "rel_asof_join",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    matched AS (
+      SELECT event_id, user_id, ts, is_purchase,
+        MAX(CASE WHEN is_purchase = 0 THEN ts END) OVER (
+          PARTITION BY user_id
+          ORDER BY ts, is_purchase, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS last_click_ts
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts, last_click_ts
+    FROM matched WHERE is_purchase = 1
+    """,
+    doc="As-of join via union-tag + running MAX window: for each "
+    "purchase, the latest click at-or-before it — one shuffle, no "
+    "per-key subquery.",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_click_ts",
+            F.max(F.when(F.col("is_purchase") == 0, F.col("ts"))).over(w),
+        )
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+# --- JSON extraction (events.props; SURVEY §2.H absent-functions note) ------
+
+@register(
+    "rel_json_extract",
+    f"""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+      {sql_ratio("SUM(CAST(json_extract_string(props, '$.k') AS INT))", "COUNT(*)", 4, "k_avg")}
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="JSON field extraction from the props column + aggregation.",
+)
+def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("long").alias("k_sum"),
+        ratio(F.sum(k), F.count(F.lit(1)), 4).alias("k_avg"),
+    )
+
+
+# --- rollup aggregation (SURVEY §2.D absent-aggregates note) ----------------
+
+@register(
+    "rel_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets: (flag,status), (flag), () grains in one pass.",
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(money("l_extendedprice")), 2).cast("double").alias("revenue"),
+    )
