@@ -1,0 +1,111 @@
+"""Unit tests for the ext library (engine-facing API)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.ext import (
+    attach_payload,
+    cosine_topk,
+    exact_dedup,
+    extract_features,
+    lsh_candidate_pairs,
+    minhash_bands,
+    quality_features,
+    shingles,
+    token_counts,
+    with_sign_bucket,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], ["text"])
+    rows = df.select(shingles(F.col("text")).alias("s")).collect()
+    assert rows[0].s == ["a b c", "b c d"]
+    assert rows[1].s == []  # shorter than the shingle width
+
+
+def test_exact_dedup_idempotent(docs):
+    out = exact_dedup(docs, "doc_id", "text")
+    assert out.count() == docs.count()
+    # canonical ids are self-consistent: canonical rows are not dups
+    assert out.filter((F.col("doc_id") == F.col("canonical_id")) & (F.col("is_dup") == 1)).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    bands = minhash_bands(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(bands, "doc_id")
+    got = pairs.collect()
+    assert len(got) > 0  # the synthetic corpus contains near-dups
+    for r in got:
+        assert 1 <= r.shared_bands <= 4
+
+
+def test_cosine_topk_self_similarity(spark, emb):
+    # a vector's nearest neighbor list must not contain itself, and
+    # cosine is within [-1, 1]
+    q = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, q, k=4).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.qid != r.cid
+        assert -1.0001 <= r.cosine <= 1.0001
+    # rank 1 has the max cosine per query
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append((r.rn, r.cosine))
+    for rows in by_q.values():
+        rows.sort()
+        assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
+
+
+def test_cosine_topk_bucketed_is_subset_quality(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.qid, r.cid) for r in cosine_topk(emb, q, k=3).collect()}
+    # coarse buckets (4) on 500 vectors — fine 256-bucket LSH would
+    # leave ~2 vectors per bucket and near-zero recall at this scale
+    approx = cosine_topk(emb, q, k=3, bucketed=True, bucket_bits=2).collect()
+    # approximate results come from the same bucket; they need not equal
+    # the exact set, but every returned pair must share the query bucket
+    buckets = {
+        r.vec_id: r.bucket
+        for r in with_sign_bucket(emb, bits=2).select("vec_id", "bucket").collect()
+    }
+    for r in approx:
+        assert buckets[r.qid] == buckets[r.cid]
+    assert len({(r.qid, r.cid) for r in approx} & exact) > 0  # nonzero recall
+
+
+def test_quality_and_tokens(docs):
+    q = quality_features(docs)
+    assert q.filter(F.col("quality").isin("ok", "too_short", "low_content")).count() == docs.count()
+    tc = token_counts(docs).select("ws_tokens", "re_tokens").collect()
+    for r in tc:
+        assert r.re_tokens >= r.ws_tokens  # regex splits at least as fine
+
+
+def test_multimodal_stub(docs):
+    payloads = attach_payload(docs.limit(20))
+    assert payloads.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(payloads).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == 8
+        assert r.byte_len > 0
+        assert r.decoder == "fake-v1"
+    with pytest.raises(NotImplementedError):
+        extract_features(payloads, mode="real")

@@ -1,0 +1,114 @@
+"""Streaming tests: batch/stream equivalence + stateful operators.
+
+All runs use bounded input with trigger(availableNow=True) so they
+terminate; the daily-aggregate stream must reproduce the batch suite
+entry's rows exactly (modulo the approx-distinct column).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.streaming import (
+    daily_event_aggregates,
+    dedup_events,
+    read_events_stream,
+    sessionize,
+)
+from marketing_etl_analytics_spark.suite.common import events as batch_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_stream(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name == "sessions" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_daily_aggregates_match_batch(spark):
+    stream = read_events_stream(spark, SF)
+    q = (
+        daily_event_aggregates(stream)
+        .writeStream.format("memory")
+        .queryName("daily_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM daily_agg").collect()
+    }
+    expected = {
+        (r.day, r.event_type): (r.n_events, r.total_value)
+        for r in batch_events(spark, SF)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "event_type",
+                "n_events", "total_value")
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_stateful_dedup(spark):
+    stream = read_events_stream(spark, SF)
+    q = (
+        dedup_events(stream)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("dedup_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    row = spark.sql("SELECT * FROM dedup_counts").collect()[0]
+    n_batch = batch_events(spark, SF).count()
+    assert row.n == n_batch  # input ids are unique; dedup drops nothing
+
+
+def test_sessionize(spark):
+    stream = read_events_stream(spark, SF)
+    q = (
+        sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # closed sessions only (open ones wait for the processing-time
+    # timeout, which an availableNow run doesn't reach) — still, a
+    # month of events per user must yield many >30min gaps
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
+    # session invariant: per user, sessions don't overlap
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.session_start, r.session_end))
+    for spans in by_user.values():
+        spans.sort()
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert e1 < s2
