@@ -1,0 +1,533 @@
+"""Scale-path LLM-pipeline operators (SURVEY.md §7.4, second wave).
+
+Completes the dedup family (SimHash), the embedding near-dup path
+(cosine over LSH buckets), and the ANN scale path (IVF with
+deterministic centroid seeding), plus batch sessionization
+(gaps-and-islands — the batch twin of streaming.sessionize) and
+corpus n-gram statistics.
+
+Scale shapes:
+- SimHash: per-token hashing then the 48×tokens bit-vote are per-row
+  maps (no shuffle); the only shuffles are the band explode (4×docs
+  rows) and the (band, band_val) candidate join — never all pairs.
+  48 bits / 4×12-bit bands (not 64/16) keeps every 2**i exact in
+  both engines' BIGINT-via-double arithmetic.
+- Embedding near-dup + IVF: every vector's squared norm is computed
+  once; candidate generation joins on the bucket / probed-centroid
+  key. Dot products snap elementwise products to DECIMAL(38,12) and
+  sum exactly (order-free — see suite.ext header), so ranking order
+  is engine-independent.
+- Sessionization: one shuffle on user_id; lag + running-sum windows
+  within the partition (the classic gaps-and-islands plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.suite.common import (
+    money,
+    pround,
+    sql_pround,
+    t,
+)
+from marketing_etl_analytics_spark.suite.ext import SPARK_DOT, SQL_DOT
+from marketing_etl_analytics_spark.suite.registry import register
+
+# --- SimHash near-dedup ------------------------------------------------------
+#
+# 48-bit SimHash: token hash = first 12 hex chars of md5 (nibble-decoded
+# portably via instr('0123456789abcdef', ch)); each token votes +1/-1
+# per bit position weighted by multiplicity; sign of the vote sum is
+# the fingerprint bit. 48 bits (not 64) keeps 2**i inside the exact
+# double/BIGINT range in both engines; bands are 4 x 12 bits.
+
+# per-token hash computed ONCE (first 12 hex chars of md5), then the
+# 48-position vote loop reads nibbles out of the precomputed hex string
+# — hoisting md5 out of the bit loop is a 48x hashing saving
+SPARK_TOKEN_HASHES = (
+    "transform(split(lower(text), ' '), tk -> substring(md5(tk), 1, 12))"
+)
+SQL_TOKEN_HASHES = (
+    "list_transform(string_split(lower(text), ' '), tk -> substr(md5(tk), 1, 12))"
+)
+
+_SPARK_BIT = (
+    "((instr('0123456789abcdef', substring(w, CAST(i div 4 AS INT) + 1, 1)) - 1)"
+    " div (CASE CAST(i % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2"
+)
+_SQL_BIT = (
+    "((instr('0123456789abcdef', substr(w, (i // 4) + 1, 1)) - 1)"
+    " // (CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2"
+)
+
+# oracle-side fingerprint: list_transform over the `hashes` column.
+# (The Spark side deliberately does NOT mirror this shape: nested
+# higher-order-function lambdas are interpreted per-element, ~30x
+# slower than whole-stage codegen. It instead explodes tokens and
+# computes 48 plain vote-sum aggregate columns — same values.)
+SQL_SIMHASH = (
+    "CAST(list_sum(list_transform(generate_series(0, 47), i ->"
+    " CASE WHEN list_sum(list_transform(hashes,"
+    f" w -> CASE WHEN {_SQL_BIT} = 1 THEN 1 ELSE -1 END)) > 0"
+    " THEN CAST(2 ** i AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+)
+
+HAMMING_MAX = 2  # <= 2/48 differing bits ≈ 96% bit agreement
+
+
+def simhash_fingerprints(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """(key, simhash) 48-bit fingerprints.
+
+    Explodes tokens, decodes the 12 hex nibbles with codegen'd
+    builtins (conv), votes each of the 48 bits as a plain
+    conditional-sum aggregate — everything stays inside whole-stage
+    codegen with map-side partial aggregation (one shuffle on key).
+    """
+    token_hashes = SPARK_TOKEN_HASHES.replace("text", text)
+    exploded = df.select(
+        key, F.explode(F.expr(token_hashes)).alias("h")
+    ).select(
+        key,
+        *[
+            F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int").alias(f"nib{j}")
+            for j in range(12)
+        ],
+    )
+    votes = exploded.groupBy(key).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"nib{i // 4}"), i % 4).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(48)
+        ]
+    )
+    simhash = None
+    for i in range(48):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return votes.select(key, simhash.alias("simhash"))
+
+
+def ext_dedup_simhash_frame(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+    """Near-dup pairs (key_a, key_b, shared_bands, hamming) by banded
+    SimHash with a Hamming-distance verify."""
+    sh = simhash_fingerprints(df, key, text)
+    banded = sh.select(
+        key,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr("(simhash div CAST(pow(4096, band) AS BIGINT)) % 4096"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .groupBy(F.col(f"a.{key}").alias("doc_a"), F.col(f"b.{key}").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_bands"),
+            F.min(F.expr("bit_count(a.simhash ^ b.simhash)"))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    return pairs.filter(F.col("hamming") <= HAMMING_MAX)
+
+
+@register(
+    "ext_dedup_simhash",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, {SQL_TOKEN_HASHES} AS hashes FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, {SQL_SIMHASH} AS simhash FROM hashed
+    ),
+    banded AS (
+      SELECT doc_id, simhash, band,
+        (simhash // CAST(4096 ** band AS BIGINT)) % 4096 AS band_val
+      FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(COUNT(*) AS BIGINT) AS shared_bands,
+        CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INT) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, shared_bands, hamming
+    FROM pairs WHERE hamming <= {HAMMING_MAX}
+    ORDER BY hamming, doc_a, doc_b
+    """,
+    doc="SimHash near-dedup: 48-bit token-vote fingerprint, 4x12-bit "
+    "band LSH for candidates, Hamming-distance verify. Fingerprinting "
+    "is a per-row map; candidates join on (band, band_val) only.",
+)
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return ext_dedup_simhash_frame(docs).orderBy("hamming", "doc_a", "doc_b")
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+# sign-LSH bucket over the first 8 dims (shared with ext_ann_lsh_bucketed)
+SPARK_BUCKET = (
+    "CAST(aggregate(sequence(1, 8), CAST(0 AS BIGINT),"
+    " (acc, i) -> acc + CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) > 0"
+    " THEN CAST(pow(2, i - 1) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+)
+SQL_BUCKET = (
+    "CAST(list_sum(list_transform(generate_series(1, 8),"
+    " i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0"
+    " THEN CAST(2 ** (i - 1) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+)
+
+COSINE_DUP_THRESHOLD = 0.3  # candidate threshold; production near-dup ~0.95
+# (the synthetic embeddings have no true duplicates — max in-bucket
+# cosine ≈ 0.43 — so the entry exercises the full candidate+verify
+# plan shape with a threshold that yields a non-trivial result)
+
+
+@register(
+    "ext_dedup_embedding_cosine",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {SQL_BUCKET} AS bucket,
+        {SQL_DOT.format(a="embedding", b="embedding")} AS n2
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      {sql_pround(
+        SQL_DOT.format(a="a.embedding", b="b.embedding") + " / sqrt(a.n2 * b.n2)", 6
+      )} AS cosine
+    FROM b a JOIN b b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {SQL_DOT.format(a="a.embedding", b="b.embedding")} / sqrt(a.n2 * b.n2)
+          >= {COSINE_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup: sign-LSH bucket candidates, exact "
+    "cosine verify >= threshold. Norms computed once per vector; the "
+    "join key is the bucket — never all pairs.",
+)
+def ext_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(SPARK_BUCKET).alias("bucket"),
+        F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
+    )
+    a_, b_ = b.alias("a"), b.alias("b")
+    cos = (
+        F.expr(SPARK_DOT.format(a="a.embedding", b="b.embedding"))
+        / F.sqrt(F.col("a.n2") * F.col("b.n2"))
+    )
+    return (
+        a_.join(
+            b_,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            pround(cos, 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --- IVF approximate nearest neighbors ---------------------------------------
+
+N_CENTROIDS = 8
+N_PROBE = 2
+IVF_TOPK = 5
+
+
+@register(
+    "ext_ann_ivf",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+        {SQL_DOT.format(a="embedding", b="embedding")} AS n2
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cent_id, embedding AS ce, n2 AS cn2
+      FROM b WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign_scored AS (
+      SELECT v.vec_id, c.cent_id,
+        row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {SQL_DOT.format(a="v.embedding", b="c.ce")}
+                   / sqrt(v.n2 * c.cn2) DESC, c.cent_id
+        ) AS crn
+      FROM b v, cent c
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id AS cluster FROM assign_scored WHERE crn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS qid, cent_id AS cluster FROM assign_scored
+      WHERE crn <= {N_PROBE} AND vec_id >= 100 AND vec_id < 110
+    ),
+    pairs AS (
+      SELECT p.qid, v.vec_id AS cid, a.cluster,
+        {SQL_DOT.format(a="q.embedding", b="v.embedding")}
+          / sqrt(q.n2 * v.n2) AS cos_raw
+      FROM probes p
+      JOIN assigned a ON a.cluster = p.cluster
+      JOIN b v ON v.vec_id = a.vec_id AND v.vec_id != p.qid
+      JOIN b q ON q.vec_id = p.qid
+    ),
+    scored AS (
+      SELECT qid, cid, cluster, cos_raw,
+        row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn
+      FROM pairs
+    )
+    SELECT qid, cid, CAST(cluster AS BIGINT) AS cluster,
+      {sql_pround("cos_raw", 6)} AS cosine, CAST(rn AS INT) AS rn
+    FROM scored WHERE rn <= {IVF_TOPK}
+    """,
+    doc="IVF ANN: deterministic centroid seed (first 8 vectors), every "
+    "vector assigned to its argmax-cosine centroid, queries probe their "
+    "2 nearest centroids and rank candidates inside probed clusters "
+    "only. Assignment is a broadcast join vs 8 centroids (map-side); "
+    "search joins on the cluster key — the inverted-file scale path.",
+)
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
+    )
+    cent = (
+        b.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("n2").alias("cn2"),
+        )
+    )
+    assign_cos = (
+        F.expr(SPARK_DOT.format(a="embedding", b="ce"))
+        / F.sqrt(F.col("n2") * F.col("cn2"))
+    )
+    crn_w = Window.partitionBy("vec_id").orderBy(F.desc(assign_cos), F.asc("cent_id"))
+    assign_scored = (
+        b.crossJoin(F.broadcast(cent)).withColumn("crn", F.row_number().over(crn_w))
+    )
+    assigned = assign_scored.filter(F.col("crn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cluster")
+    )
+    probes = (
+        assign_scored.filter(
+            (F.col("crn") <= N_PROBE)
+            & (F.col("vec_id") >= 100)
+            & (F.col("vec_id") < 110)
+        )
+        .select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cluster"))
+    )
+    q = b.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = (
+        probes.join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(b, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            "cluster",
+            (
+                F.expr(SPARK_DOT.format(a="qe", b="embedding"))
+                / F.sqrt(F.col("qn2") * F.col("n2"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select(
+            "qid",
+            "cid",
+            F.col("cluster").cast("long").alias("cluster"),
+            pround(F.col("cos_raw"), 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
+def ext_ann_cosine_for_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force (qid, cid, cosine) for the IVF query set — the
+    recall baseline the unit tests compare ext_ann_ivf against."""
+    emb = t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
+    )
+    q = (
+        b.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    cos = (
+        F.expr(SPARK_DOT.format(a="qe", b="embedding"))
+        / F.sqrt(F.col("qn2") * F.col("n2"))
+    )
+    return (
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), pround(cos, 6).alias("cosine"))
+    )
+
+
+# --- batch sessionization (gaps-and-islands) ---------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, matches streaming.sessionize
+
+
+@register(
+    "ext_sessionize",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_US}
+             THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      MIN(ts) AS session_start, MAX(ts) AS session_end,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    doc="Batch sessionization by 30-min inactivity gap (gaps-and-"
+    "islands: lag + running flag-sum). The batch twin of "
+    "streaming.sessionize (applyInPandasWithState); one shuffle on "
+    "user_id, windows stay inside the partition.",
+)
+def ext_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return sessionize_batch(ev).orderBy("user_id", "session_no")
+
+
+def sessionize_batch(ev: DataFrame) -> DataFrame:
+    """Sessions by 30-min inactivity gap over (event_id, user_id, ts,
+    value) rows — the gaps-and-islands batch twin of
+    streaming.sessionize."""
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(order_w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(gap_us.isNull() | (gap_us > SESSION_GAP_US), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    numbered = flagged.withColumn("session_no", F.sum("new_session").over(run_w))
+    return (
+        numbered.groupBy("user_id", F.col("session_no").cast("long").alias("session_no"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+# --- corpus n-gram statistics -------------------------------------------------
+
+NGRAM_TOPK = 20
+
+# non-distinct 2-gram shingles (term frequency semantics)
+SPARK_BIGRAMS = (
+    "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
+    " i -> concat_ws(' ', slice(split(lower(text), ' '), i, 2)))"
+)
+SQL_BIGRAMS = (
+    "list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 1),"
+    " i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 1), ' '))"
+)
+
+
+@register(
+    "ext_ngram_topk",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({SQL_BIGRAMS}) AS bigram
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    counted AS (
+      SELECT bigram,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM grams GROUP BY bigram
+    )
+    SELECT bigram, n_occurrences, n_docs
+    FROM counted
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT {NGRAM_TOPK}
+    """,
+    doc="Corpus bigram statistics: explode + count + document "
+    "frequency, global top-k (TakeOrderedAndProject — no full sort).",
+)
+def ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grams = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 2).select(
+        "doc_id", F.explode(F.expr(SPARK_BIGRAMS)).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(NGRAM_TOPK)
+    )

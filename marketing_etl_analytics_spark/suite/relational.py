@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 from marketing_etl_analytics_spark.suite.common import (
     dsum,
     money,
+    pround,
     ratio,
+    sql_pround,
     sql_ratio,
     t,
 )
@@ -276,6 +278,103 @@ def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- rollup aggregation (SURVEY §2.D absent-aggregates note) ----------------
+
+# --- pivot (wide-format conditional aggregation) -----------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "rel_pivot",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+      CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Pivot event_type into per-day count columns. Explicit value "
+    "list keeps the schema deterministic and skips the extra "
+    "distinct-values pass; missing combos coalesce to 0 to match the "
+    "FILTER-count semantics.",
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in EVENT_TYPES]
+    )
+
+
+# --- cube grouping sets with grouping id -------------------------------------
+
+@register(
+    "rel_cube",
+    """
+    SELECT EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS yr, o_orderpriority,
+      CAST(GROUPING(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)), o_orderpriority) AS BIGINT) AS gid,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)), o_orderpriority)
+    """,
+    doc="CUBE over (year, priority) — all four grains in one pass, "
+    "grouping_id distinguishes genuine NULL keys from superaggregate "
+    "rows.",
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    yr = F.year(F.to_date("o_orderdate"))
+    return (
+        o.cube(yr.alias("yr"), "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(money("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+# --- exact percentiles per group ---------------------------------------------
+
+@register(
+    "rel_percentiles",
+    f"""
+    SELECT l_returnflag,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      {sql_pround("quantile_cont(CAST(l_quantity AS DOUBLE), 0.25)", 4)} AS p25,
+      {sql_pround("quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)", 4)} AS p50,
+      {sql_pround("quantile_cont(CAST(l_quantity AS DOUBLE), 0.75)", 4)} AS p75,
+      {sql_pround("quantile_cont(CAST(l_quantity AS DOUBLE), 0.9)", 4)} AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (sort-based "
+    "percentile agg; both engines use the (n-1)*q linear-interpolation "
+    "definition on identical doubles).",
+)
+def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+
+    def pct(p: float):
+        return pround(F.percentile(q, F.lit(p)), 4)
+
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"),
+        pct(0.9).alias("p90"),
+    )
+
 
 @register(
     "rel_rollup",
