@@ -47,6 +47,32 @@ SQL_SHINGLES = (
     " i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' ')))"
 )
 
+# codegen-friendly exploded form: arrays_zip of three shifted slices
+# instead of a transform() lambda (higher-order functions run
+# interpreted per element — ~5x slower than this builtin-only plan).
+# NOT deduped per doc; callers take MIN or collect_set, so multiset
+# vs set is value-neutral. The distinct SQL_SHINGLES stays the
+# oracle-side spec.
+_TOKS = "split(lower(text), ' ')"
+_SHINGLE_ZIP = (
+    f"arrays_zip(slice({_TOKS}, 1, size({_TOKS}) - 2),"
+    f" slice({_TOKS}, 2, size({_TOKS}) - 2),"
+    f" slice({_TOKS}, 3, size({_TOKS}) - 2))"
+)
+
+
+def shingle_rows(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra_cols, sh_str): one row per 3-word shingle."""
+    return (
+        docs.filter(F.expr(f"size({_TOKS}) >= 3"))
+        .select("doc_id", *extra_cols, F.explode(F.expr(_SHINGLE_ZIP)).alias("z"))
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.concat_ws(" ", "z.0", "z.1", "z.2").alias("sh_str"),
+        )
+    )
+
 
 # --- exact dedup (hash-groupBy) --------------------------------------------
 
@@ -94,6 +120,27 @@ N_PERM = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_PERM // N_BANDS
 
+# MinHash permutations as universal hashes over ONE md5 per shingle:
+# h = first 48 bits of md5(shingle) reduced mod M; perm p's hash is
+# (h * A_p + B_p) mod M (Carter–Wegman). One md5 per shingle instead
+# of N_PERM — the md5 calls were ~80% of the operator's runtime.
+# (h % M) < 2^31 and A_p < M keep every product under 2^62: exact in
+# BIGINT in both engines.
+MH_PRIME = 2147483647
+PERM_A = [(2654435761 * p + 1) % MH_PRIME for p in range(N_PERM)]
+PERM_B = [(40503 * p + 17) % MH_PRIME for p in range(N_PERM)]
+
+_SQL_MH_MINS = ",\n             ".join(
+    f"MIN((h * {PERM_A[p]} + {PERM_B[p]}) % {MH_PRIME}) AS mh{p}"
+    for p in range(N_PERM)
+)
+_SQL_BAND_SIG = " ".join(
+    f"WHEN {b} THEN concat_ws('|', "
+    + ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ")"
+    for b in range(N_BANDS)
+)
+
 @register(
     "ext_dedup_minhash_lsh",
     f"""
@@ -103,19 +150,20 @@ ROWS_PER_BAND = N_PERM // N_BANDS
       WHERE len(string_split(lower(text), ' ')) >= 3
     ),
     exploded AS (
-      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+      SELECT doc_id,
+        ('0x' || substr(md5(unnest(shingles)), 1, 12))::BIGINT % {MH_PRIME} AS h
+      FROM shingled
     ),
     hashed AS (
-      SELECT e.doc_id, p.perm,
-             MIN(md5(CAST(p.perm AS VARCHAR) || ':' || e.shingle)) AS mh
-      FROM exploded e, (SELECT unnest(generate_series(0, {N_PERM - 1})) AS perm) p
-      GROUP BY e.doc_id, p.perm
+      SELECT doc_id,
+             {_SQL_MH_MINS}
+      FROM exploded
+      GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, perm // {ROWS_PER_BAND} AS band,
-             string_agg(mh, '|' ORDER BY perm) AS band_sig
-      FROM hashed
-      GROUP BY doc_id, perm // {ROWS_PER_BAND}
+      SELECT doc_id, band,
+             CASE band {_SQL_BAND_SIG} END AS band_sig
+      FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS shared_bands
@@ -124,39 +172,44 @@ ROWS_PER_BAND = N_PERM // N_BANDS
     GROUP BY a.doc_id, b.doc_id
     ORDER BY shared_bands DESC, doc_a, doc_b
     """,
-    doc="MinHash(16 perms, perm-keyed md5) + LSH(4 bands x 4 rows): "
-    "candidate pairs share at least one full band signature. The join "
-    "key is (band, signature) — candidates only, never all pairs.",
+    doc="MinHash(16 Carter–Wegman perms over one 48-bit md5-derived "
+    "hash per shingle) + LSH(4 bands x 4 rows): candidate pairs share "
+    "at least one full band signature. The join key is (band, "
+    "signature) — candidates only, never all pairs.",
 )
 def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    shingled = docs.filter(
-        F.size(F.split(F.lower("text"), " ")) >= 3
-    ).select("doc_id", F.expr(SPARK_SHINGLES).alias("shingles"))
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("shingle"))
-    perms = spark.range(N_PERM).select(F.col("id").cast("int").alias("perm"))
-    hashed = (
-        exploded.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("mh")
-        )
+    # one md5 per shingle; all 16 Carter–Wegman permutation min-hashes
+    # as plain aggregate columns in ONE codegen'd aggregation: no perm
+    # cross-join (16x shuffle volume), no second (doc, perm) shuffle,
+    # map-side partial MIN combine.
+    exploded = shingle_rows(docs).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("sh_str"), 1, 12), 16, 10).cast("long")
+            % MH_PRIME
+        ).alias("h"),
     )
-    bands = (
-        hashed.withColumn("band", F.expr(f"perm div {ROWS_PER_BAND}"))
-        .groupBy("doc_id", "band")
-        .agg(
+    hashed = exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * PERM_A[p] + PERM_B[p]) % MH_PRIME).alias(f"mh{p}")
+            for p in range(N_PERM)
+        ]
+    )
+    # band signature = perm-ordered mh concat (what the collect_list +
+    # array_sort formulation produced, as a flat concat_ws)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.concat_ws(
-                "|",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                    lambda s: s["mh"],
-                ),
-            ).alias("band_sig")
+                "|", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("band_sig"),
         )
-    )
+        for b in range(N_BANDS)
+    ]
+    bands = hashed.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -175,6 +228,15 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- n-gram Jaccard near-dedup ----------------------------------------------
 
+# Prefix filtering (PPJoin): under any fixed global order on shingles
+# (here: ascending 48-bit hash), two sets with Jaccard >= t MUST share
+# an element among each one's first n - ceil(t*n) + 1 shingles
+# (= floor(n/2)+1 at t=0.5). Only those prefixes enter the
+# inverted-index join; full sets are only touched for the candidate
+# pairs that survive, via a single array_intersect per pair.
+JACCARD_T = 0.5
+
+
 @register(
     "ext_dedup_ngram_jaccard",
     f"""
@@ -183,55 +245,86 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
       WHERE len(string_split(lower(text), ' ')) >= 3
     ),
-    doc_shingles AS (
-      SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    sets AS (
+      SELECT doc_id,
+        list_sort(list_distinct(list_transform(shingles,
+          s -> ('0x' || substr(md5(s), 1, 12))::BIGINT))) AS sa
+      FROM shingled
     ),
-    sizes AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
-      FROM doc_shingles GROUP BY doc_id
+    prefix AS (
+      SELECT doc_id, len(sa) AS n,
+             unnest(list_slice(sa, 1, len(sa) // 2 + 1)) AS h
+      FROM sets
     ),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM doc_shingles a JOIN doc_shingles b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+    cand AS (
+      -- length-compatibility: J >= 0.5 forces min(n) >= max(n)/2
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON a.h = b.h AND a.doc_id < b.doc_id
+       AND a.n <= 2 * b.n AND b.n <= 2 * a.n
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+        CAST(len(list_intersect(x.sa, y.sa)) AS BIGINT) AS n_common,
+        CAST(len(x.sa) AS BIGINT) AS na, CAST(len(y.sa) AS BIGINT) AS nb
+      FROM cand c
+      JOIN sets x ON c.doc_a = x.doc_id
+      JOIN sets y ON c.doc_b = y.doc_id
     )
-    SELECT c.doc_a, c.doc_b,
-      {sql_ratio("c.n_common", "sa.n_shingles + sb.n_shingles - c.n_common", 4, "jaccard")}
-    FROM common c
-    JOIN sizes sa ON c.doc_a = sa.doc_id
-    JOIN sizes sb ON c.doc_b = sb.doc_id
-    WHERE CAST(c.n_common AS DOUBLE)
-          / (sa.n_shingles + sb.n_shingles - c.n_common) >= 0.5
+    SELECT doc_a, doc_b,
+      {sql_ratio("n_common", "na + nb - n_common", 4, "jaccard")}
+    FROM verified
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= {JACCARD_T}
     ORDER BY jaccard DESC, doc_a, doc_b
     """,
-    doc="3-gram shingle Jaccard >= 0.5 near-dup pairs; the self-join "
-    "shuffles on the shingle key (inverted index), never all pairs.",
+    doc="3-gram shingle Jaccard >= 0.5 near-dup pairs with PPJoin "
+    "prefix filtering: only each doc's floor(n/2)+1 smallest 48-bit "
+    "shingle hashes enter the inverted-index join; survivors are "
+    "verified with one array_intersect per candidate pair.",
 )
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    shingled = docs.filter(
-        F.size(F.split(F.lower("text"), " ")) >= 3
-    ).select("doc_id", F.explode(F.expr(SPARK_SHINGLES)).alias("shingle"))
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = shingled.alias("a"), shingled.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    hashed = shingle_rows(docs).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("sh_str"), 1, 12), 16, 10).cast("long").alias("h"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    sets = hashed.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("h")).alias("sa")
+    )
+    prefix = sets.select(
+        "doc_id",
+        F.size("sa").alias("n"),
+        F.explode(F.expr("slice(sa, 1, size(sa) div 2 + 1)")).alias("h"),
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length-compatibility: J >= 0.5 forces min(n) >= max(n)/2
+            & (F.col("a.n") <= 2 * F.col("b.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sa").alias("xa"))
+    y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sa").alias("ya"))
+    verified = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("xa", "ya")).cast("long").alias("n_common"),
+            F.size("xa").cast("long").alias("na"),
+            F.size("ya").cast("long").alias("nb"),
+        )
+    )
     union_size = F.col("na") + F.col("nb") - F.col("n_common")
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(F.col("n_common").cast("double") / union_size >= 0.5)
+        verified.filter(F.col("n_common").cast("double") / union_size >= JACCARD_T)
         .select(
             "doc_a", "doc_b",
             ratio(F.col("n_common"), union_size, 4).alias("jaccard"),
@@ -258,13 +351,15 @@ SQL_DOT = (
 @register(
     "ext_ann_cosine_topk",
     f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    WITH b AS (
+      SELECT vec_id, embedding,
+        {SQL_DOT.format(a="embedding", b="embedding")} AS n2
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, n2 AS nq FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding AS ce, n2 AS nc FROM b),
     pairs AS (
-      SELECT qid, cid,
-        {SQL_DOT.format(a="qe", b="ce")} AS dot,
-        {SQL_DOT.format(a="qe", b="qe")} AS nq,
-        {SQL_DOT.format(a="ce", b="ce")} AS nc
+      SELECT qid, cid, {SQL_DOT.format(a="qe", b="ce")} AS dot, nq, nc
       FROM q, c WHERE qid != cid
     ),
     scored AS (
@@ -282,18 +377,30 @@ SQL_DOT = (
 )
 def ext_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    # squared norms once per vector (N + K evaluations), not once per
+    # pair (3·N·K) — the dot-product lambda is the expensive part
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("nq"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("n2").alias("nc"),
+    )
     pairs = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("cid"))
         .select(
             "qid", "cid",
             F.expr(SPARK_DOT.format(a="qe", b="ce")).alias("dot"),
-            F.expr(SPARK_DOT.format(a="qe", b="qe")).alias("nq"),
-            F.expr(SPARK_DOT.format(a="ce", b="ce")).alias("nc"),
+            "nq", "nc",
         )
     )
     cos_raw = F.col("dot") / F.sqrt(F.col("nq") * F.col("nc"))
@@ -515,15 +622,16 @@ def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # explode + MIN aggregate instead of a transform() lambda:
+    # higher-order functions run interpreted per element; the explode
+    # formulation stays in whole-stage codegen with map-side combine
+    with_fh = docs.select(
+        "doc_id", F.md5(F.lower("text")).alias("full_hash"), "text"
+    )
+    ex = shingle_rows(with_fh, "full_hash")
     return (
-        docs.filter(F.size(F.split(F.lower("text"), " ")) >= 3)
-        .select(
-            "doc_id",
-            F.md5(F.lower("text")).alias("full_hash"),
-            F.array_min(
-                F.transform(F.expr(SPARK_SHINGLES), lambda s: F.md5(s))
-            ).alias("min_shingle_hash"),
-        )
+        ex.groupBy("doc_id", "full_hash")
+        .agg(F.min(F.md5("sh_str")).alias("min_shingle_hash"))
         .orderBy("doc_id")
     )
 
