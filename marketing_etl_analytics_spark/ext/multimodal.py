@@ -96,3 +96,81 @@ def extract_features(df: DataFrame, mode: str = "fake") -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", StringType()),  # BinaryType in real decode
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("decoder", StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int, mode: str = "fake") -> DataFrame:
+    """Arrow-batched image resize (1 row in → 1 row out).
+
+    STUB decode: deterministically truncates/pads the payload to
+    width*height bytes so batch shapes and schema are real; a deploy
+    swaps ``_fake_resize`` for PIL. df needs (doc_id, payload).
+    """
+    if mode == "real":
+        raise NotImplementedError("real resize needs PIL — use mode='fake'")
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [
+                (bytes(p)[:target].ljust(target, b"\0")).hex()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                    "decoder": "fake-resize-v1",
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", StringType()),  # BinaryType in real decode
+    ]
+)
+
+FRAME_BYTES = 16
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, mode: str = "fake") -> DataFrame:
+    """Video frame sampling: 1 row in → many rows out (the fan-out
+    shape a real frame extractor has; mapInPandas output cardinality
+    is free to differ from the input's).
+
+    STUB decode: treats the payload as a sequence of FRAME_BYTES-byte
+    "frames" and keeps every ``every_n``-th.
+    """
+    if mode == "real":
+        raise NotImplementedError("real frame decode needs ffmpeg — use mode='fake'")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                n_frames = max(1, len(raw) // FRAME_BYTES)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[i * FRAME_BYTES : (i + 1) * FRAME_BYTES].hex())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)

@@ -279,6 +279,45 @@ def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- rollup aggregation (SURVEY §2.D absent-aggregates note) ----------------
 
+# --- salted two-stage aggregation (skew discipline) --------------------------
+
+N_SALT = 16
+
+
+@register(
+    "rel_salted_agg",
+    """
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Two-stage salted aggregation: partial agg on (key, salt) "
+    "spreads a hot key over 16 reducers before the final agg on the "
+    "key alone — the authored form of what AQE's skew handling does "
+    "for joins. Results are identical to a plain GROUP BY (the oracle "
+    "is one) because COUNT/SUM/MAX all decompose associatively.",
+)
+def rel_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.col("event_id") % N_SALT)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(money("value")).alias("psum"),
+            F.max(money("value")).alias("pmax"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.sum("psum").cast("double").alias("total_value"),
+        F.max("pmax").cast("double").alias("max_value"),
+    )
+
+
 # --- pivot (wide-format conditional aggregation) -----------------------------
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]

@@ -109,3 +109,22 @@ def test_multimodal_stub(docs):
         assert r.decoder == "fake-v1"
     with pytest.raises(NotImplementedError):
         extract_features(payloads, mode="real")
+
+
+def test_multimodal_resize_and_frames(docs):
+    from marketing_etl_analytics_spark.ext.multimodal import (
+        FRAME_BYTES,
+        resize_images,
+        sample_frames,
+    )
+
+    payloads = attach_payload(docs.limit(10))
+    resized = resize_images(payloads, 8, 4).collect()
+    assert len(resized) == 10
+    assert all(len(bytes.fromhex(r.payload)) == 8 * 4 for r in resized)
+
+    frames = sample_frames(payloads, every_n=2).collect()
+    # fan-out: more frame rows than docs, indices stride by 2
+    assert len(frames) > 10
+    assert all(r.frame_idx % 2 == 0 for r in frames)
+    assert all(0 < len(bytes.fromhex(r.frame)) <= FRAME_BYTES for r in frames)
