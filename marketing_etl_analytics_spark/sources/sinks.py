@@ -29,3 +29,44 @@ def write_partitioned_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed (and bucket-sorted) managed table.
+
+    Both sides of a hot fact-fact join bucketed on the join key with
+    the same bucket count join WITHOUT an Exchange — the co-located
+    join layout for joins where neither side broadcasts
+    (tests/test_bucketing.py asserts the shuffle-free plan).
+    """
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(table)
+    )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """JDBC table sink — the engine-native form of the reference's
+    pandas ``to_sql(..., if_exists='replace')`` staging load
+    (`etl_script/02_load_csv.py:36-38`, SURVEY.md §2.A A2).
+
+    Spark writes partitions in parallel over N connections; pair with
+    ``df.repartition(n)`` to bound connection count against the target
+    database. (No JDBC driver ships in this environment — untested
+    here, standard `DataFrameWriter.jdbc` contract.)
+    """
+    df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
