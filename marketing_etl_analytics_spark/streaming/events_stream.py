@@ -162,7 +162,13 @@ def _sessionize_user(
             n += 1
             value += v
     state.update((start_us, last_us, n, value))
-    state.setTimeoutDuration(60 * 60 * 1000)  # flush open sessions after 1h
+    # event-time timeout: the open session closes when the watermark
+    # passes last_event + gap (no more in-gap events can arrive). A
+    # processing-time timeout would keep an availableNow run spinning
+    # empty "state cleanup" batches until wall-clock expiry.
+    timeout_ms = last_us // 1000 + SESSION_GAP_US // 1000
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
     if out:
         yield pd.DataFrame(
             {
@@ -186,6 +192,6 @@ def sessionize(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

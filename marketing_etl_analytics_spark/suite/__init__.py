@@ -20,5 +20,6 @@ from marketing_etl_analytics_spark.suite import views  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import relational  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import ext  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import ext_scale  # noqa: E402,F401
+from marketing_etl_analytics_spark.suite import udf  # noqa: E402,F401
 
 __all__ = ["SUITE", "SuiteEntry", "register"]

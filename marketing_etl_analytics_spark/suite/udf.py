@@ -1,0 +1,146 @@
+"""UDF / UDAF / streaming surface entries (SURVEY.md §2.J, §2.I).
+
+The reference needs no UDFs (everything is builtin SQL — §2.J), but
+the engine must expose the Python extension points for operators Spark
+can't express natively. Graded here:
+
+- ``rel_pandas_udf``: Arrow-batched vectorized scalar UDF. Integer
+  arithmetic only, so the DuckDB oracle matches exactly — proving the
+  batch plumbing, not float luck.
+- ``rel_apply_in_pandas``: grouped-map UDAF (per-group pandas frame in,
+  frame out) computing group medians of integers — exact against
+  DuckDB's ``median``.
+- ``stream_sessionize``: the applyInPandasWithState sessionizer run as
+  a real Structured Streaming query (availableNow) — genuinely
+  non-SQL-expressible, registered without an oracle (driver records
+  the weaker rows-only check, as the contract allows for custom
+  stateful streaming).
+
+Scale notes: pandas UDFs move data Python-side in Arrow batches —
+10-100x over row-at-a-time UDFs but still the slow path vs codegen;
+they are for semantics builtins can't express. applyInPandas shuffles
+on the group key once; each group must fit in one executor's memory
+(fine for per-customer groups; use salting for pathological keys).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from marketing_etl_analytics_spark.suite.common import t
+from marketing_etl_analytics_spark.suite.registry import register
+
+
+# --- vectorized scalar pandas UDF -------------------------------------------
+
+def _make_risk_score():
+    # built lazily: pandas_udf parses its return type through the
+    # active SparkSession, which doesn't exist at module import
+    @pandas_udf("long")
+    def _risk_score(quantity: pd.Series, partkey: pd.Series) -> pd.Series:
+        # deterministic integer scoring — stands in for a model-scoring UDF
+        return quantity.astype("int64") * 13 + partkey.astype("int64") % 7
+
+    return _risk_score
+
+
+@register(
+    "rel_pandas_udf",
+    """
+    SELECT l_orderkey, l_linenumber,
+      CAST(CAST(l_quantity AS BIGINT) * 13 + CAST(l_partkey AS BIGINT) % 7 AS BIGINT)
+        AS risk_score
+    FROM lineitem
+    WHERE l_orderkey <= 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Arrow-batched vectorized pandas UDF (integer scoring) — the "
+    "Python extension point for logic builtins can't express; exact "
+    "vs the oracle because the arithmetic is integral.",
+)
+def rel_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    risk_score = _make_risk_score()
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        risk_score(F.col("l_quantity"), F.col("l_partkey")).alias("risk_score"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --- grouped-map applyInPandas ----------------------------------------------
+
+def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    q = pdf["l_quantity"].astype("int64")
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n": [len(q)],
+            "median_qty": [float(q.median())],
+            "iqr_qty": [float(q.quantile(0.75) - q.quantile(0.25))],
+        }
+    )
+
+
+@register(
+    "rel_apply_in_pandas",
+    """
+    SELECT l_returnflag,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(median(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS median_qty,
+      CAST(quantile_cont(CAST(l_quantity AS BIGINT), 0.75)
+           - quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS DOUBLE) AS iqr_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Grouped-map applyInPandas (per-group pandas frame -> frame): "
+    "the custom-UDAF extension point; integer medians/IQR so the "
+    "oracle matches exactly. One shuffle on the group key.",
+)
+def rel_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            _group_stats,
+            schema="l_returnflag string, n long, median_qty double, iqr_qty double",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- Structured Streaming sessionization (weak: rows-only) -------------------
+
+@register(
+    "stream_sessionize",
+    None,  # custom stateful streaming: not SQL-expressible -> rows-only gate
+    doc="applyInPandasWithState sessionization run as a real "
+    "Structured Streaming query (availableNow over the events parquet) "
+    "— emits closed 30-min-gap sessions; the batch twin with a full "
+    "oracle is ext_sessionize.",
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        read_events_stream,
+        sessionize,
+    )
+
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
