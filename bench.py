@@ -29,9 +29,16 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     # warm-up actions so one-time session costs (JVM, codegen compiler,
-    # parquet reader init + footer reads) aren't billed to the first query
+    # parquet reader init + footer reads, Python UDF worker pool) aren't
+    # billed to the first query that happens to need them
     spark.range(1).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(64).repartition(32).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     timings: dict[str, float] = {}
     for name, entry in SUITE.items():

@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE sizes post-shuffle partitions by BYTES (64 MB default);
+        # operators whose shuffle data is small but per-row work is
+        # heavy (candidate-pair joins over hashes, array intersects)
+        # coalesce to 1 task and serialize. 2 MB keeps those parallel
+        # locally; at cluster scale shuffle bytes dominate and this
+        # mostly matches the default behavior anyway.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -31,10 +31,33 @@ from pyspark.sql import functions as F
 
 # --- table access -----------------------------------------------------------
 
+# The driver's testdata files are single-row-group parquet (verified
+# with pyarrow), so Spark's scan parallelism is 1 regardless of
+# maxPartitionBytes — every per-row expression (decimal casts, md5,
+# shingling) would run on one core of 32. A spread repartition after
+# read is the standard remedy for pathological single-block inputs;
+# on real multi-file/multi-row-group data the scan parallelizes by
+# itself and this shim is a no-op candidate for removal. Value-neutral
+# for every suite entry (round-robin repartition reorders rows only;
+# the numeric discipline makes all aggregates order-free).
+# 200 KB: facts AND the compact-but-compute-heavy tables (documents
+# explodes ~50x into shingles, embeddings carries 64-float vectors);
+# true dims (part/supplier/nation/region) stay single-partition.
+_SPREAD_MIN_BYTES = 200_000
+_SPREAD_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    try:
+        if os.path.getsize(path) >= _SPREAD_MIN_BYTES:
+            df = df.repartition(_SPREAD_PARTITIONS)
+    except OSError:
+        pass
+    return df
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,10 +66,17 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rebuild a micro-precision timestamp — same truncation DuckDB
     applies when it reads nanos into its micro-precision TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    raw = spark.read.parquet(path)
     # integer DIV, not `/`: float division of an int64 nanos value loses
     # low-order microseconds (2^53 < ns range)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    try:
+        if os.path.getsize(path) >= _SPREAD_MIN_BYTES:
+            out = out.repartition(_SPREAD_PARTITIONS)
+    except OSError:
+        pass
+    return out
 
 
 # --- numeric discipline (Spark side) ---------------------------------------

@@ -63,7 +63,13 @@ def _make_risk_score():
     "vs the oracle because the arithmetic is integral.",
 )
 def rel_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    # coalesce: the filter keeps ~1% of lineitem; fanning 8k rows out
+    # to 32 Python workers pays per-worker cost for no gain
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 2000)
+        .coalesce(8)
+    )
     risk_score = _make_risk_score()
     return li.select(
         "l_orderkey",
