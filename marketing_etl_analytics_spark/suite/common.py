@@ -47,16 +47,29 @@ _SPREAD_MIN_BYTES = 200_000
 _SPREAD_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _needs_spread(path: str) -> bool:
+    """True only for the single-row-group pathology: a lone parquet
+    block can't parallelize at scan time no matter the config. Healthy
+    multi-row-group/multi-file data returns False and no extra
+    exchange is added (a blanket repartition would be a full shuffle
+    of the fact table at cluster scale — exactly what we avoid)."""
+    try:
+        if os.path.getsize(path) < _SPREAD_MIN_BYTES:
+            return False
+        import pyarrow.parquet as pq  # footer-only read, ~1 ms
+
+        return pq.ParquetFile(path).metadata.num_row_groups == 1
+    except Exception:  # noqa: BLE001 — never fail a read over a heuristic
+        return False
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return events(spark, sf_dir)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    try:
-        if os.path.getsize(path) >= _SPREAD_MIN_BYTES:
-            df = df.repartition(_SPREAD_PARTITIONS)
-    except OSError:
-        pass
+    if _needs_spread(path):
+        df = df.repartition(_SPREAD_PARTITIONS)
     return df
 
 
@@ -71,11 +84,8 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer DIV, not `/`: float division of an int64 nanos value loses
     # low-order microseconds (2^53 < ns range)
     out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    try:
-        if os.path.getsize(path) >= _SPREAD_MIN_BYTES:
-            out = out.repartition(_SPREAD_PARTITIONS)
-    except OSError:
-        pass
+    if _needs_spread(path):
+        out = out.repartition(_SPREAD_PARTITIONS)
     return out
 
 
