@@ -480,6 +480,81 @@ def sessionize_batch(ev: DataFrame) -> DataFrame:
     )
 
 
+# --- end-to-end curation pipeline --------------------------------------------
+
+@register(
+    "ext_curation_pipeline",
+    """
+    WITH hashed AS (
+      SELECT doc_id, lang, source, n_chars,
+        string_split(lower(text), ' ') AS toks,
+        md5(lower(text)) AS text_hash
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, n_chars, text_hash,
+        len(toks) AS n_tokens,
+        len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in')))
+          AS n_stop
+      FROM hashed
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 5
+        AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.5
+        AND lang = 'en'
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    )
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS docs_kept,
+      CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS tokens_kept,
+      CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM deduped
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="End-to-end curation job: quality gate (length + stopword "
+    "ratio) -> language filter -> exact dedup (min-doc_id canonical "
+    "via window) -> per-source corpus stats. The composition every "
+    "training-data pipeline runs; filters are map-side, dedup is one "
+    "shuffle on the text hash, stats one shuffle on source.",
+)
+def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin("the", "a", "of", "and", "to", "in")))
+    scored = docs.select(
+        "doc_id", "lang", "source",
+        F.md5(F.lower("text")).alias("text_hash"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") <= 0.5)
+        & (F.col("lang") == "en")
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum(F.col("n_tokens").cast("long")).cast("long").alias("tokens_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- corpus n-gram statistics -------------------------------------------------
 
 NGRAM_TOPK = 20
