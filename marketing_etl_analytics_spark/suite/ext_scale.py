@@ -180,6 +180,100 @@ def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ext_dedup_simhash_frame(docs).orderBy("hamming", "doc_a", "doc_b")
 
 
+# --- dup-cluster connected components (iterative) ----------------------------
+
+_SQL_SIMHASH_EDGES = f"""
+hashed AS (
+  SELECT doc_id, {SQL_TOKEN_HASHES} AS hashes FROM documents
+),
+sh AS (
+  SELECT doc_id, {SQL_SIMHASH} AS simhash FROM hashed
+),
+banded AS (
+  SELECT doc_id, simhash, band,
+    (simhash // CAST(4096 ** band AS BIGINT)) % 4096 AS band_val
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+)"""
+
+
+@register(
+    "ext_dedup_cluster",
+    f"""
+    WITH RECURSIVE
+    {_SQL_SIMHASH_EDGES},
+    reach(node, label) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+    FROM reach
+    GROUP BY node
+    ORDER BY cluster_id, doc_id
+    """,
+    doc="Duplicate-cluster assignment: connected components over the "
+    "SimHash near-dup graph. Spark side is iterative min-label "
+    "propagation (the Pregel pattern: distributed join+min per "
+    "round, driver only checks convergence, localCheckpoint truncates "
+    "lineage); oracle is a recursive-CTE transitive closure. Rounds "
+    "needed = cluster diameter — tiny for dup clusters.",
+)
+def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = ext_dedup_simhash_frame(docs).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.localCheckpoint(eager=True)  # reused every round
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # cap >> any real dup-cluster diameter
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
+    ).orderBy("cluster_id", "doc_id")
+
+
 # --- embedding-cosine near-dup ----------------------------------------------
 
 # sign-LSH bucket over the first 8 dims (shared with ext_ann_lsh_bucketed)
@@ -477,6 +571,72 @@ def sessionize_batch(ev: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
         )
+    )
+
+
+# --- TF-IDF term scoring ------------------------------------------------------
+
+TFIDF_DOCS = 30  # per-doc output bounded to the first 30 docs
+TFIDF_TOPK = 3
+
+
+@register(
+    "ext_tfidf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE doc_id < {TFIDF_DOCS}
+      GROUP BY doc_id, term
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.term, t.tf, s.df,
+        {sql_pround("t.tf * ln(CAST(n.n_docs AS DOUBLE) / s.df)", 4)} AS tfidf,
+        row_number() OVER (
+          PARTITION BY t.doc_id ORDER BY t.tf DESC, s.df ASC, t.term
+        ) AS rn
+      FROM tf t JOIN stats s USING (term), n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= {TFIDF_TOPK}
+    ORDER BY doc_id, rn
+    """,
+    doc="TF-IDF: corpus document frequencies (one shuffle on term), "
+    "term frequencies for the probe docs, idf = ln(N/df). Ranking is "
+    "integer-deterministic (tf desc, rarity asc, term) so the top-k "
+    "set is engine-independent; the float score is display-only.",
+)
+def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    stats = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar, driver-side by design (one number)
+    tf = (
+        toks.filter(F.col("doc_id") < TFIDF_DOCS)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(stats, "term")
+        .withColumn(
+            "tfidf",
+            pround(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
     )
 
 
