@@ -248,3 +248,22 @@ def run_etl(
         "fact_sales": fact_sales,
         "fact_spend": fact_spend,
     }
+
+
+def incremental_upsert(
+    existing: DataFrame, incoming: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Idempotent incremental append — the reference's
+    ``ON CONFLICT (...) DO NOTHING`` (`etl_script/03_transform.sql:14,22`)
+    without a full rebuild: keep every existing row, add only incoming
+    rows whose key is unseen (first occurrence per key within the
+    incoming batch too).
+
+    Plan shape: one left-anti join on the key (broadcast when the
+    incoming batch is small — the nightly-delta case) + a per-batch
+    dropDuplicates. No shuffle of ``existing``.
+    """
+    fresh = incoming.dropDuplicates(key_cols).join(
+        existing.select(*key_cols), key_cols, "left_anti"
+    )
+    return existing.unionByName(fresh)

@@ -140,13 +140,21 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize(read_events_stream(spark, sf_dir))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # one state store per shuffle partition: right-size for the host
+    # session (a driver-default 200 would mean 200 stores for ~10^5
+    # rows), then restore the caller's setting
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            sessionize(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -19,6 +19,7 @@ from decimal import Decimal
 
 import pytest
 
+from pyspark.sql import functions as F
 from marketing_etl_analytics_spark import queries as Q
 
 
@@ -121,3 +122,18 @@ def test_all_queries_run(warehouse):
     }
     for name, fn in Q.ALL_QUERIES.items():
         assert fn(warehouse).count() == expected_rows[name], name
+
+
+def test_incremental_upsert_idempotent(warehouse, spark):
+    from marketing_etl_analytics_spark.etl import incremental_upsert
+
+    fs = warehouse["fact_sales"]
+    n = fs.count()
+    # re-applying the same batch adds nothing (ON CONFLICT DO NOTHING)
+    again = incremental_upsert(fs, fs, ["sale_id"])
+    assert again.count() == n
+    # a genuinely new key appends exactly once, even if repeated in-batch
+    new_rows = fs.limit(1).withColumn("sale_id", F.lit(10_000_001))
+    twice = new_rows.unionByName(new_rows)
+    merged = incremental_upsert(fs, twice, ["sale_id"])
+    assert merged.count() == n + 1
