@@ -79,6 +79,11 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and rebuild a micro-precision timestamp — same truncation DuckDB
     applies when it reads nanos into its micro-precision TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp day-boundaries (F.window, date_trunc) follow the
+    # session TZ, but the DuckDB oracle's timestamps are naive —
+    # pin UTC so the comparison holds under ANY host session
+    # (get_spark already sets this; the driver's own session may not)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     raw = spark.read.parquet(path)
     # integer DIV, not `/`: float division of an int64 nanos value loses

@@ -454,6 +454,36 @@ def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- explicit grouping sets --------------------------------------------------
+
+@register(
+    "rel_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (a hand-picked subset of grains, vs "
+    "rollup/cube's fixed lattices) via the SQL surface; grouping_id "
+    "disambiguates superaggregate rows.",
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
 # --- exact percentiles per group ---------------------------------------------
 
 @register(
