@@ -23,4 +23,14 @@ from marketing_etl_analytics_spark.ext.text import (  # noqa: F401
 from marketing_etl_analytics_spark.ext.multimodal import (  # noqa: F401
     attach_payload,
     extract_features,
+    resize_images,
+    sample_frames,
+)
+
+# frame-level scale-path operators (implemented beside their graded
+# suite entries; re-exported here as the one-stop API)
+from marketing_etl_analytics_spark.suite.ext_scale import (  # noqa: F401
+    ext_dedup_simhash_frame as simhash_candidate_pairs,
+    sessionize_batch,
+    simhash_fingerprints,
 )

@@ -53,6 +53,36 @@ def write_bucketed_table(
     )
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files (per partition when partitioned).
+
+    At 100 TB the small-files problem is operational reality —
+    streaming sinks and fine-grained partitioning produce thousands of
+    KB-sized files whose per-file open cost dominates scans. Rewrite
+    with a narrow repartition; readers see multi-row-group files the
+    scanner can parallelize. (The inverse of the single-row-group
+    pathology handled in suite.common.)
+    """
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    writer = df.repartition(target_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    # atomic-ish swap: parquet dirs aren't transactional; production
+    # would layer a table format (Delta/Iceberg) for true atomicity
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -41,3 +41,19 @@ def test_year_filter_prunes_partitions(spark, tmp_path):
     # and the pruned read returns exactly the 1995 rows
     expect = orders.filter(F.col("o_year") == 1995).count()
     assert filtered.count() == expect and expect > 0
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from marketing_etl_analytics_spark.sources.sinks import compact_parquet
+
+    src = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "fragmented")
+    src.repartition(64).write.parquet(out)  # 64 tiny files
+    import glob
+
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 64
+    compact_parquet(spark, out, target_files=4)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(10_000))
