@@ -454,6 +454,41 @@ def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- correlated scalar subquery (decorrelation) ------------------------------
+
+@register(
+    "rel_scalar_subquery",
+    """
+    SELECT o_orderkey, o_custkey,
+      CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      CAST((SELECT ROUND(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))), 2)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+        AS cust_total
+    FROM orders o
+    WHERE o_custkey <= 50
+    ORDER BY o_orderkey
+    """,
+    doc="Correlated scalar subquery (per-row lookup of the customer's "
+    "total) — Catalyst decorrelates it into an aggregate + join, the "
+    "rewrite that makes per-row subqueries feasible at scale; the "
+    "oracle runs the same correlated SQL natively.",
+)
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          CAST((SELECT ROUND(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))), 2)
+                FROM _orders_ssq o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+            AS cust_total
+        FROM _orders_ssq o
+        WHERE o_custkey <= 50
+        ORDER BY o_orderkey
+        """
+    )
+
+
 # --- explicit grouping sets --------------------------------------------------
 
 @register(

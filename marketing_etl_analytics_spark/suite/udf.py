@@ -121,6 +121,49 @@ def rel_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Structured Streaming stateful dedup -------------------------------------
+
+@register(
+    "stream_dedup",
+    """
+    SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+      CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    """,
+    doc="Stateful streaming dropDuplicates on event_id within a "
+    "watermark horizon (the ON CONFLICT DO NOTHING idempotency analog, "
+    "SURVEY §2.I) — run end-to-end as an availableNow stream; the "
+    "deduped stream count must equal the batch COUNT(DISTINCT).",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        dedup_events,
+        read_events_stream,
+    )
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            dedup_events(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
 # --- Structured Streaming sessionization (weak: rows-only) -------------------
 
 @register(
