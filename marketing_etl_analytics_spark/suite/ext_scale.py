@@ -500,6 +500,184 @@ def ext_ann_cosine_for_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF with k-means-trained centroids (one unrolled Lloyd round) -----------
+
+EMB_DIM = 64
+
+
+@register(
+    "ext_ann_ivf_kmeans",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+        {SQL_DOT.format(a="embedding", b="embedding")} AS n2
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS cent_id, embedding AS ce, n2 AS cn2
+      FROM b WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign0 AS (
+      SELECT vec_id, cent_id, crn FROM (
+        SELECT v.vec_id, c.cent_id,
+          row_number() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {SQL_DOT.format(a="v.embedding", b="c.ce")}
+                     / sqrt(v.n2 * c.cn2) DESC, c.cent_id
+          ) AS crn
+        FROM b v, cent0 c
+      ) WHERE crn = 1
+    ),
+    comps AS (
+      SELECT a.cent_id, i.i,
+        CAST(CAST(v.embedding[i.i] AS DOUBLE) AS DECIMAL(38,12)) AS comp
+      FROM b v
+      JOIN assign0 a ON a.vec_id = v.vec_id,
+      (SELECT unnest(generate_series(1, {EMB_DIM})) AS i) i
+    ),
+    cent1 AS (
+      -- Lloyd update: exact-decimal mean per (cluster, dim), list
+      -- rebuilt in dim order
+      SELECT cent_id,
+        list(CAST(s AS DOUBLE) / cnt ORDER BY i) AS ce
+      FROM (
+        SELECT cent_id, i, SUM(comp) AS s, COUNT(*) AS cnt
+        FROM comps GROUP BY cent_id, i
+      ) GROUP BY cent_id
+    ),
+    cent1n AS (
+      SELECT cent_id, ce, {SQL_DOT.format(a="ce", b="ce")} AS cn2 FROM cent1
+    ),
+    scored1 AS (
+      SELECT v.vec_id, c.cent_id,
+        row_number() OVER (
+          PARTITION BY v.vec_id
+          ORDER BY {SQL_DOT.format(a="v.embedding", b="c.ce")}
+                   / sqrt(v.n2 * c.cn2) DESC, c.cent_id
+        ) AS crn
+      FROM b v, cent1n c
+    ),
+    assigned AS (SELECT vec_id, cent_id AS cluster FROM scored1 WHERE crn = 1),
+    probes AS (
+      SELECT vec_id AS qid, cent_id AS cluster FROM scored1
+      WHERE crn <= {N_PROBE} AND vec_id >= 100 AND vec_id < 110
+    ),
+    pairs AS (
+      SELECT p.qid, v.vec_id AS cid, a.cluster,
+        {SQL_DOT.format(a="q.embedding", b="v.embedding")}
+          / sqrt(q.n2 * v.n2) AS cos_raw
+      FROM probes p
+      JOIN assigned a ON a.cluster = p.cluster
+      JOIN b v ON v.vec_id = a.vec_id AND v.vec_id != p.qid
+      JOIN b q ON q.vec_id = p.qid
+    ),
+    final AS (
+      SELECT qid, cid, cluster, cos_raw,
+        row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn
+      FROM pairs
+    )
+    SELECT qid, cid, CAST(cluster AS BIGINT) AS cluster,
+      {sql_pround("cos_raw", 6)} AS cosine, CAST(rn AS INT) AS rn
+    FROM final WHERE rn <= {IVF_TOPK}
+    """,
+    doc="IVF with TRAINED centroids: one unrolled Lloyd round "
+    "(assign to seeds -> exact-decimal per-dimension means -> "
+    "re-assign), then probe-2 top-5 search inside the trained "
+    "clusters. Centroid means snap components to DECIMAL(38,12) so "
+    "training is bit-identical across engines; at scale each round is "
+    "one broadcast-assign pass + one (cluster, dim) aggregation.",
+)
+def ext_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
+    )
+    cent0 = b.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+
+    def argmax_assign(vectors, centroids):
+        cos = (
+            F.expr(SPARK_DOT.format(a="embedding", b="ce"))
+            / F.sqrt(F.col("n2") * F.col("cn2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc(cos), F.asc("cent_id"))
+        return vectors.crossJoin(F.broadcast(centroids)).withColumn(
+            "crn", F.row_number().over(w)
+        )
+
+    assign0 = argmax_assign(b, cent0).filter(F.col("crn") == 1).select(
+        "vec_id", "cent_id"
+    )
+    # Lloyd update: exact-decimal mean per (cluster, dimension)
+    comps = (
+        b.join(assign0, "vec_id")
+        .select(
+            "cent_id",
+            F.posexplode(F.col("embedding")).alias("i0", "comp_raw"),
+        )
+        .select(
+            "cent_id",
+            (F.col("i0") + 1).alias("i"),
+            F.col("comp_raw").cast("double").cast("decimal(38,12)").alias("comp"),
+        )
+    )
+    dim_means = comps.groupBy("cent_id", "i").agg(
+        (F.sum("comp").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    cent1 = dim_means.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+        ).alias("ce")
+    )
+    cent1 = cent1.select(
+        "cent_id", "ce", F.expr(SPARK_DOT.format(a="ce", b="ce")).alias("cn2")
+    )
+    scored1 = argmax_assign(b, cent1)
+    assigned = scored1.filter(F.col("crn") == 1).select(
+        "vec_id", F.col("cent_id").alias("cluster")
+    )
+    probes = scored1.filter(
+        (F.col("crn") <= N_PROBE) & (F.col("vec_id") >= 100) & (F.col("vec_id") < 110)
+    ).select(F.col("vec_id").alias("qid"), F.col("cent_id").alias("cluster"))
+    q = b.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = (
+        probes.join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(b, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            "cluster",
+            (
+                F.expr(SPARK_DOT.format(a="qe", b="embedding"))
+                / F.sqrt(F.col("qn2") * F.col("n2"))
+            ).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("cid"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select(
+            "qid",
+            "cid",
+            F.col("cluster").cast("long").alias("cluster"),
+            pround(F.col("cos_raw"), 6).alias("cosine"),
+            "rn",
+        )
+    )
+
+
 # --- batch sessionization (gaps-and-islands) ---------------------------------
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, matches streaming.sessionize
