@@ -14,7 +14,7 @@ Reference quirks preserved on purpose (they are the semantics):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from marketing_etl_analytics_spark.functions.bands import age_band, frequency_band
