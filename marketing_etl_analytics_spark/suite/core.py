@@ -299,6 +299,12 @@ def q6_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
             cost_expr().alias("cost"),
         )
     )
+    # NOTE (scale): this CTE feeds three aggregations and Spark has no
+    # automatic CTE materialization — at cluster scale, materialize it
+    # (.localCheckpoint()/cache or a staged table) to turn 3 fact
+    # scans + 3 join shuffles into 1 + 1. At this test scale the scans
+    # are cheaper than the materialization (measured), so it stays
+    # lazy; exchange reuse already dedupes the repeated shuffles.
     loyalty = enriched.groupBy("customer_id").agg(
         F.count(F.lit(1)).alias("purchase_count")
     )
