@@ -50,6 +50,11 @@ def get_spark(
         # mostly matches the default behavior anyway.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+        # Runtime bloom-filter pruning: selective joins inject a bloom
+        # filter of the build side's keys into the probe side's scan —
+        # at 100 TB this skips row groups before the shuffle. No-op on
+        # broadcast joins (already pruned); matters for fact-fact SMJs.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

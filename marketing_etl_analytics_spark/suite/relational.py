@@ -156,6 +156,58 @@ def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- window frames: moving aggregate + first/last value ----------------------
+
+@register(
+    "rel_window_moving",
+    f"""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      {sql_pround(
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)"
+        " / (COUNT(*) OVER w3)", 2)} AS moving_avg_3,
+      CAST(first_value(o_orderkey) OVER wfull AS BIGINT) AS first_order,
+      CAST(last_value(o_orderkey) OVER wfull AS BIGINT) AS latest_order,
+      CAST(lag(o_orderkey, 1) OVER wo AS BIGINT) AS prev_order
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW
+      wo AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      w3 AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+      wfull AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, d, o_orderkey
+    """,
+    doc="Bounded window frames: 3-row moving average (exact-decimal "
+    "AVG over the frame), first/last value over the full partition, "
+    "lag — the frame kinds beyond the running-total entry. AVG of "
+    "<=3 decimals divides exactly-summed operands: engine-independent.",
+)
+def rel_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    d = F.to_date("o_orderdate")
+    wo = Window.partitionBy("o_custkey").orderBy(d, "o_orderkey")
+    w3 = wo.rowsBetween(-2, Window.currentRow)
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        d.alias("d"),
+        # exact-decimal SUM / COUNT, not AVG(decimal): Spark keeps
+        # decimal division (HALF_UP at scale+4) while DuckDB's AVG is
+        # a double mean — a x.xx5 tie would round apart. Identical
+        # IEEE operands instead.
+        pround(
+            F.sum(money("o_totalprice")).over(w3).cast("double")
+            / F.count(F.lit(1)).over(w3),
+            2,
+        ).alias("moving_avg_3"),
+        F.first("o_orderkey").over(wfull).cast("long").alias("first_order"),
+        F.last("o_orderkey").over(wfull).cast("long").alias("latest_order"),
+        F.lag("o_orderkey", 1).over(wo).cast("long").alias("prev_order"),
+    ).orderBy("o_custkey", "d", "o_orderkey")
+
+
 # --- non-equi range join (latent campaigns_details date-range join,
 #     SURVEY §2.C "absent join kinds") ---------------------------------------
 
