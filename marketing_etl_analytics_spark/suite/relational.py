@@ -208,6 +208,83 @@ def rel_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "d", "o_orderkey")
 
 
+# --- rank-family window functions --------------------------------------------
+
+@register(
+    "rel_rank_family",
+    """
+    WITH totals AS (
+      SELECT o_custkey,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_exact
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+      CAST(rank() OVER w AS BIGINT) AS rnk,
+      CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      CAST(ntile(10) OVER w AS INT) AS decile,
+      FLOOR((percent_rank() OVER w) * 1000000 + 0.5) / 1000000 AS pct_rank,
+      FLOOR((cume_dist() OVER w) * 1000000 + 0.5) / 1000000 AS cume
+    FROM totals
+    WINDOW w AS (ORDER BY spend_exact DESC, o_custkey)
+    ORDER BY rnk
+    """,
+    doc="rank/dense_rank/ntile/percent_rank/cume_dist over an "
+    "exact-decimal spend ordering (total order via the key tiebreak; "
+    "the rank inputs are integers so every output is "
+    "engine-deterministic).",
+)
+def rel_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    totals = o.groupBy("o_custkey").agg(
+        F.sum(money("o_totalprice")).alias("spend_exact")
+    )
+    w = Window.orderBy(F.desc("spend_exact"), F.asc("o_custkey"))
+    return totals.select(
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("rnk")
+
+
+# --- deterministic array aggregation ------------------------------------------
+
+@register(
+    "rel_array_agg",
+    """
+    SELECT o_custkey,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+        AS order_keys
+    FROM orders
+    WHERE o_custkey < 100
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    doc="Order-deterministic array/list aggregation (collect_list + "
+    "sort_array, emitted as a joined string so the value-hash is "
+    "representation-independent across engines).",
+)
+def rel_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("order_keys"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 # --- non-equi range join (latent campaigns_details date-range join,
 #     SURVEY §2.C "absent join kinds") ---------------------------------------
 
