@@ -1,0 +1,65 @@
+"""Property-based checks (SURVEY.md §5) over randomized inputs.
+
+Small example counts: each example pays a Spark job; the properties
+target semantics that fixed fixtures can miss (arbitrary gap layouts,
+arbitrary text perturbations).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from marketing_etl_analytics_spark.suite.ext_scale import (
+    SESSION_GAP_US,
+    sessionize_batch,
+    simhash_fingerprints,
+)
+
+_ts_offsets = st.lists(
+    st.integers(min_value=0, max_value=6 * 60 * 60), min_size=1, max_size=12
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(offsets=_ts_offsets)
+def test_sessionize_partitions_all_events(spark, offsets):
+    """Every event lands in exactly one session; session spans never
+    overlap; intra-session gaps never exceed the threshold."""
+    t0 = dt.datetime(2025, 6, 1)
+    rows = [
+        (i, 1, t0 + dt.timedelta(seconds=s), 1.0)
+        for i, s in enumerate(sorted(offsets))
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    sessions = sessionize_batch(ev).collect()
+    assert sum(r.n_events for r in sessions) == len(rows)
+    spans = sorted((r.session_start, r.session_end) for r in sessions)
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 < s2
+        assert (s2 - e1) > dt.timedelta(microseconds=SESSION_GAP_US)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    words=st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+        min_size=8,
+        max_size=40,
+    )
+)
+def test_simhash_invariant_to_duplication(spark, words):
+    """SimHash is a frequency-weighted vote: concatenating a document
+    with itself doubles every vote but flips no sign — identical
+    fingerprint (sums are strictly nonzero for odd counts; doubling
+    preserves every sign including zero-vote ties)."""
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [(1, text), (2, text + " " + text)], "doc_id long, text string"
+    )
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(df).collect()}
+    assert fp[1] == fp[2]
