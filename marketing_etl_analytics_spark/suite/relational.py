@@ -589,7 +589,7 @@ def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_scalar_subquery",
     """
     SELECT o_orderkey, o_custkey,
-      CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
       CAST((SELECT ROUND(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))), 2)
             FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
         AS cust_total
@@ -607,7 +607,7 @@ def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey,
-          CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
           CAST((SELECT ROUND(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))), 2)
                 FROM _orders_ssq o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
             AS cust_total
