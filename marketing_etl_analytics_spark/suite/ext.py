@@ -141,6 +141,47 @@ _SQL_BAND_SIG = " ".join(
     for b in range(N_BANDS)
 )
 
+# --- LSH bucket-size cap (skew guard) ----------------------------------------
+#
+# A hot band signature (boilerplate-heavy corpora: empty docs, licence
+# headers, templated pages) makes one LSH bucket quadratic — C(n, 2)
+# candidate pairs from a single (band, signature) value, the known LSH
+# skew hazard at corpus scale. Standard mitigation: treat
+# super-frequent signatures as spam and drop those BUCKETS. Docs stay
+# in their other bands, so genuine near-dups of distinctive text still
+# surface; what is suppressed is only the degenerate
+# everything-matches-everything signature. Per-bucket pair count is
+# then bounded by C(LSH_BUCKET_CAP, 2).
+#
+# Scale shape: bucket sizes come from a map-side-combined groupBy on
+# the band key (output = distinct signatures, tiny), hot signatures
+# are removed with a BROADCAST anti-join — no window sort over the
+# full candidate table, no extra shuffle of the big side.
+LSH_BUCKET_CAP = 128
+
+
+def cap_lsh_buckets(
+    bands: DataFrame, keys: list[str], cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Drop rows belonging to LSH buckets with more than ``cap`` members."""
+    hot = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > cap)
+        .drop("_bn")
+    )
+    return bands.join(F.broadcast(hot), keys, "left_anti")
+
+
+def sql_cap_lsh_buckets(inner: str, keys: str, cap: int = LSH_BUCKET_CAP) -> str:
+    """Oracle twin of cap_lsh_buckets. Window-count formulation — the
+    oracle needs identical VALUES, not the distributed plan shape."""
+    return (
+        f"SELECT * EXCLUDE (_bn) FROM ("
+        f"SELECT *, COUNT(*) OVER (PARTITION BY {keys}) AS _bn FROM ({inner})"
+        f") WHERE _bn <= {cap}"
+    )
+
 @register(
     "ext_dedup_minhash_lsh",
     f"""
@@ -160,11 +201,12 @@ _SQL_BAND_SIG = " ".join(
       FROM exploded
       GROUP BY doc_id
     ),
-    bands AS (
+    bands0 AS (
       SELECT doc_id, band,
              CASE band {_SQL_BAND_SIG} END AS band_sig
       FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
-    )
+    ),
+    bands AS ({sql_cap_lsh_buckets("SELECT * FROM bands0", "band, band_sig")})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS shared_bands
     FROM bands a JOIN bands b
@@ -175,7 +217,9 @@ _SQL_BAND_SIG = " ".join(
     doc="MinHash(16 Carter–Wegman perms over one 48-bit md5-derived "
     "hash per shingle) + LSH(4 bands x 4 rows): candidate pairs share "
     "at least one full band signature. The join key is (band, "
-    "signature) — candidates only, never all pairs.",
+    "signature) — candidates only, never all pairs; buckets over "
+    f"{LSH_BUCKET_CAP} members (spam signatures) are dropped, bounding "
+    "per-bucket pair count.",
 )
 def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
@@ -210,6 +254,7 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = hashed.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
+    bands = cap_lsh_buckets(bands, ["band", "band_sig"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

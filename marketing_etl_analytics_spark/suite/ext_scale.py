@@ -32,7 +32,12 @@ from marketing_etl_analytics_spark.suite.common import (
     sql_pround,
     t,
 )
-from marketing_etl_analytics_spark.suite.ext import SPARK_DOT, SQL_DOT
+from marketing_etl_analytics_spark.suite.ext import (
+    SPARK_DOT,
+    SQL_DOT,
+    cap_lsh_buckets,
+    sql_cap_lsh_buckets,
+)
 from marketing_etl_analytics_spark.suite.registry import register
 
 # --- SimHash near-dedup ------------------------------------------------------
@@ -116,7 +121,9 @@ def simhash_fingerprints(df: DataFrame, key: str = "doc_id", text: str = "text")
 
 def ext_dedup_simhash_frame(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
     """Near-dup pairs (key_a, key_b, shared_bands, hamming) by banded
-    SimHash with a Hamming-distance verify."""
+    SimHash with a Hamming-distance verify. Buckets over
+    ``LSH_BUCKET_CAP`` members are dropped (spam-signature skew guard
+    — see ``suite.ext.cap_lsh_buckets``)."""
     sh = simhash_fingerprints(df, key, text)
     banded = sh.select(
         key,
@@ -126,6 +133,7 @@ def ext_dedup_simhash_frame(df: DataFrame, key: str = "doc_id", text: str = "tex
         "band_val",
         F.expr("(simhash div CAST(pow(4096, band) AS BIGINT)) % 4096"),
     )
+    banded = cap_lsh_buckets(banded, ["band", "band_val"])
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -154,11 +162,12 @@ def ext_dedup_simhash_frame(df: DataFrame, key: str = "doc_id", text: str = "tex
     sh AS (
       SELECT doc_id, {SQL_SIMHASH} AS simhash FROM hashed
     ),
-    banded AS (
+    banded0 AS (
       SELECT doc_id, simhash, band,
         (simhash // CAST(4096 ** band AS BIGINT)) % 4096 AS band_val
       FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)
     ),
+    banded AS ({sql_cap_lsh_buckets("SELECT * FROM banded0", "band, band_val")}),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(COUNT(*) AS BIGINT) AS shared_bands,
@@ -189,11 +198,12 @@ hashed AS (
 sh AS (
   SELECT doc_id, {SQL_SIMHASH} AS simhash FROM hashed
 ),
-banded AS (
+banded0 AS (
   SELECT doc_id, simhash, band,
     (simhash // CAST(4096 ** band AS BIGINT)) % 4096 AS band_val
   FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)
 ),
+banded AS ({sql_cap_lsh_buckets("SELECT * FROM banded0", "band, band_val")}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM banded a JOIN banded b
@@ -293,36 +303,94 @@ COSINE_DUP_THRESHOLD = 0.3  # candidate threshold; production near-dup ~0.95
 # cosine ≈ 0.43 — so the entry exercises the full candidate+verify
 # plan shape with a threshold that yields a non-trivial result)
 
+# Bucket-skew guard: an 8-bit sign code has only 256 buckets, so at
+# corpus scale a popular embedding region makes one bucket quadratic.
+# Dropping hot buckets (the token-LSH spam mitigation) would be wrong
+# here — it would blind the operator to whole regions — so hot buckets
+# are REFINED instead: members of a bucket with > EMB_BUCKET_CAP
+# vectors re-bucket on 8 more hyperplane sign bits (dims 9..16),
+# shrinking expected occupancy 256x; cold buckets keep the cheap
+# 8-bit key. The refined key is deterministic (depends only on the
+# data), so the DuckDB oracle computes the identical keys.
+EMB_BUCKET_CAP = 64
+
+_SPARK_SUBBUCKET = (
+    "CAST(aggregate(sequence(9, 16), CAST(0 AS BIGINT),"
+    " (acc, i) -> acc + CASE WHEN CAST(element_at(embedding, i) AS DOUBLE) > 0"
+    " THEN CAST(pow(2, i - 9) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+)
+_SQL_SUBBUCKET = (
+    "CAST(list_sum(list_transform(generate_series(9, 16),"
+    " i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0"
+    " THEN CAST(2 ** (i - 9) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+)
+
 
 @register(
     "ext_dedup_embedding_cosine",
     f"""
-    WITH b AS (
+    WITH b0 AS (
       SELECT vec_id, embedding, {SQL_BUCKET} AS bucket,
+        {_SQL_SUBBUCKET} AS subbucket,
         {SQL_DOT.format(a="embedding", b="embedding")} AS n2
       FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, embedding, n2,
+        CASE WHEN COUNT(*) OVER (PARTITION BY bucket) > {EMB_BUCKET_CAP}
+          THEN concat_ws(':', bucket, subbucket)
+          ELSE CAST(bucket AS VARCHAR) END AS bkey
+      FROM b0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       {sql_pround(
         SQL_DOT.format(a="a.embedding", b="b.embedding") + " / sqrt(a.n2 * b.n2)", 6
       )} AS cosine
     FROM b a JOIN b b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ON a.bkey = b.bkey AND a.vec_id < b.vec_id
     WHERE {SQL_DOT.format(a="a.embedding", b="b.embedding")} / sqrt(a.n2 * b.n2)
           >= {COSINE_DUP_THRESHOLD}
     ORDER BY vec_a, vec_b
     """,
     doc="Embedding-cosine near-dup: sign-LSH bucket candidates, exact "
     "cosine verify >= threshold. Norms computed once per vector; the "
-    "join key is the bucket — never all pairs.",
+    "join key is the bucket — never all pairs. Buckets over "
+    f"{EMB_BUCKET_CAP} members refine on 8 further hyperplane bits "
+    "(skew guard).",
 )
 def ext_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    b = emb.select(
+    b0 = emb.select(
         "vec_id",
         "embedding",
         F.expr(SPARK_BUCKET).alias("bucket"),
+        F.expr(_SPARK_SUBBUCKET).alias("subbucket"),
         F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
+    )
+    # hot-bucket set is tiny (<= 256 rows) -> broadcast left join
+    hot = (
+        b0.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > EMB_BUCKET_CAP)
+        .select("bucket", F.lit(True).alias("_hot"))
+    )
+    b = (
+        b0.join(F.broadcast(hot), "bucket", "left")
+        .select(
+            "vec_id",
+            "embedding",
+            "n2",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.concat_ws(
+                    ":",
+                    F.col("bucket").cast("string"),
+                    F.col("subbucket").cast("string"),
+                ),
+            )
+            .otherwise(F.col("bucket").cast("string"))
+            .alias("bkey"),
+        )
     )
     a_, b_ = b.alias("a"), b.alias("b")
     cos = (
@@ -332,7 +400,7 @@ def ext_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a_.join(
             b_,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(cos >= COSINE_DUP_THRESHOLD)
