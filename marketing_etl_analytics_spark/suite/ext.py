@@ -240,6 +240,10 @@ def ext_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in range(N_PERM)
         ]
     )
+    # signatures are ~130 B/doc but cost a full shingle explode + md5
+    # to build; materialize once so the band fan-out, hot-bucket
+    # aggregate, and both self-join sides don't recompute it per branch
+    hashed = hashed.localCheckpoint(eager=True)
     # band signature = perm-ordered mh concat (what the collect_list +
     # array_sort formulation produced, as a flat concat_ws)
     band_cols = [

@@ -124,7 +124,11 @@ def ext_dedup_simhash_frame(df: DataFrame, key: str = "doc_id", text: str = "tex
     SimHash with a Hamming-distance verify. Buckets over
     ``LSH_BUCKET_CAP`` members are dropped (spam-signature skew guard
     — see ``suite.ext.cap_lsh_buckets``)."""
-    sh = simhash_fingerprints(df, key, text)
+    # the fingerprint table is tiny relative to the corpus (~16 B/doc)
+    # but expensive to build (md5 + 48 vote-sums); materialize it once
+    # so the band fan-out, the hot-bucket aggregate, and both self-join
+    # sides read it instead of recomputing the aggregation per branch
+    sh = simhash_fingerprints(df, key, text).localCheckpoint(eager=True)
     banded = sh.select(
         key,
         "simhash",
@@ -254,31 +258,49 @@ def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(20):  # cap >> any real dup-cluster diameter
+    # The label table is sized by the dup GRAPH (nodes with at least
+    # one near-dup edge), orders of magnitude smaller than the corpus,
+    # so the loop sizes its shuffles by edge count rather than the
+    # corpus-level session default — at test scale this collapses
+    # near-empty tasks (~0.25 s/round of pure scheduling overhead at
+    # 32 partitions), at cluster scale a billion edges still get
+    # thousands of partitions.
+    def hop(lbls):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lbls, edges.dst == lbls.node)
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+        return lbls.join(
+            neighbor_min, lbls.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+            (F.col("nlabel") < F.col("label")).alias("changed"),
+        )
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(4, edges.count() // 1_000_000))
+    )
+    try:
+        for _ in range(10):  # 2 hops/round; cap >> any dup-cluster diameter
+            # TWO propagation hops per materialization (the second
+            # hop's lineage feeds off the first in the same job), and
+            # the changed flag rides the materializing projection —
+            # convergence detection is a scan of the checkpoint, not
+            # another join+shuffle per round
+            new_labels = hop(hop(labels).drop("changed")).localCheckpoint(
+                eager=True  # truncate the iterative lineage
             )
-            .localCheckpoint(eager=True)  # truncate the iterative lineage
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            changed = new_labels.filter("changed").count()
+            labels = new_labels.drop("changed")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
     ).orderBy("cluster_id", "doc_id")
@@ -366,7 +388,7 @@ def ext_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(SPARK_BUCKET).alias("bucket"),
         F.expr(_SPARK_SUBBUCKET).alias("subbucket"),
         F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
-    )
+    ).localCheckpoint(eager=True)  # norms once; read by hot-agg + both join sides
     # hot-bucket set is tiny (<= 256 rows) -> broadcast left join
     hot = (
         b0.groupBy("bucket")
