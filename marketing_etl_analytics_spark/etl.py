@@ -262,6 +262,11 @@ def incremental_upsert(
     Plan shape: one left-anti join on the key (broadcast when the
     incoming batch is small — the nightly-delta case) + a per-batch
     dropDuplicates. No shuffle of ``existing``.
+
+    For the PERSISTED form of this operation — applying a delta to an
+    on-disk table without rewriting it, with snapshot isolation for
+    concurrent readers — use ``sources.acid.merge`` (copy-on-write
+    versioned parquet; see tests/test_versioned_table.py).
     """
     fresh = incoming.dropDuplicates(key_cols).join(
         existing.select(*key_cols), key_cols, "left_anti"

@@ -75,12 +75,17 @@ def compact_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    # atomic-ish swap: parquet dirs aren't transactional; production
-    # would layer a table format (Delta/Iceberg) for true atomicity
+    # swap via rename-aside: the canonical path is never empty — a
+    # crash leaves either the old data at `path` or the new data plus
+    # a stale `__old` dir to sweep. Parquet dirs still aren't
+    # transactional under concurrent readers; production layers a
+    # table format (Delta/Iceberg — see sources/acid.py) for that.
     import shutil
 
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "__compact_old"
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
 
 
 def write_jdbc(

@@ -151,6 +151,16 @@ def _sessionize_user(
         val_parts.append(pdf["value"].to_numpy(dtype=np.float64))
     us = np.concatenate(ts_parts) if ts_parts else np.empty(0, np.int64)
     vals = np.concatenate(val_parts) if val_parts else np.empty(0, np.float64)
+    if len(us) == 0:
+        # empty non-timeout batch for this key: nothing to sessionize;
+        # re-arm the timeout so the open session still flushes
+        if state.exists:
+            _, last0, _, _ = state.get
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+                max(last0 // 1000 + SESSION_GAP_US // 1000, wm + 1)
+            )
+        return
     order = np.argsort(us, kind="stable")
     us, vals = us[order], vals[order]
 
@@ -169,8 +179,16 @@ def _sessionize_user(
         start0, last0, n0, v0 = state.get
         first = segments[0]
         if first[0] - last0 <= SESSION_GAP_US:
-            # batch's first segment continues the open session
-            segments[0] = (start0, first[1], n0 + first[2], v0 + first[3])
+            # batch's first segment continues the open session; an
+            # in-watermark out-of-order batch can sit entirely BEFORE
+            # the stored session end, so merge with min/max rather
+            # than assuming the batch postdates state
+            segments[0] = (
+                min(start0, first[0]),
+                max(last0, first[1]),
+                n0 + first[2],
+                v0 + first[3],
+            )
         else:
             segments.insert(0, (start0, last0, n0, v0))
 

@@ -57,12 +57,16 @@ def test_cobucketed_join_has_no_shuffle(bucketed):
         )
         joined.collect()
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        # bucket-aligned SortMergeJoin: no Exchange below the join
-        join_part = plan[: plan.find("HashAggregate")] if "HashAggregate" in plan else plan
-        assert "SortMergeJoin" in plan
-        before_join = plan[plan.find("SortMergeJoin"):]
-        assert "Exchange hashpartitioning(l_orderkey" not in plan
-        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # bucket-aligned SortMergeJoin. AQE's plan string doesn't order
+        # nodes by tree depth, so instead of slicing around the join
+        # assert the whole plan holds exactly ONE hash exchange — the
+        # legitimate post-join aggregation one — and none on a join key
+        final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+        assert "SortMergeJoin" in final
+        assert final.count("Exchange hashpartitioning(") == 1
+        assert "Exchange hashpartitioning(o_orderpriority" in final
+        assert "Exchange hashpartitioning(l_orderkey" not in final
+        assert "Exchange hashpartitioning(o_orderkey" not in final
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 

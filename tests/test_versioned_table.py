@@ -1,0 +1,108 @@
+"""Versioned parquet table (sources/acid.py): incremental MERGE with
+snapshot isolation, copy-on-write file granularity, time travel,
+optimistic-concurrency conflict detection, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.sources import acid
+
+
+def _df(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v string")
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    initial = _df(spark, [(k, f"a{k}") for k in range(100)]).repartitionByRange(
+        4, "k"
+    )
+    acid.create(spark, path, initial)
+    return path
+
+
+def test_two_incremental_merges_roundtrip(spark, table):
+    # merge 1: update 95..99, insert 100..104
+    acid.merge(
+        spark, table, _df(spark, [(k, f"b{k}") for k in range(95, 105)]), ["k"]
+    )
+    # merge 2: update 0..4 again
+    acid.merge(
+        spark, table, _df(spark, [(k, f"c{k}") for k in range(5)]), ["k"]
+    )
+    got = {r.k: r.v for r in acid.read(spark, table).collect()}
+    assert len(got) == 105
+    assert got[0] == "c0" and got[4] == "c4"
+    assert got[97] == "b97" and got[104] == "b104"
+    assert got[50] == "a50"
+    assert acid.history(table) == [1, 2, 3]
+
+
+def test_merge_is_copy_on_write(spark, table):
+    m1 = acid.read_manifest(table, 1)
+    # range-partitioned initial files: low keys live in few files
+    acid.merge(spark, table, _df(spark, [(k, f"u{k}") for k in range(5)]), ["k"])
+    m2 = acid.read_manifest(table, 2)
+    carried = set(m1.files) & set(m2.files)
+    rewritten = set(m1.files) - set(m2.files)
+    assert carried, "untouched files must carry over by reference"
+    assert rewritten, "files holding matched keys must be rewritten"
+    assert len(rewritten) < len(m1.files)
+
+
+def test_snapshot_isolation_and_time_travel(spark, table):
+    before = acid.read(spark, table)  # pinned to version 1's files
+    acid.merge(spark, table, _df(spark, [(0, "NEW")]), ["k"])
+    # the pre-merge handle still reads the old snapshot
+    assert {r.v for r in before.filter("k = 0").collect()} == {"a0"}
+    assert {
+        r.v for r in acid.read(spark, table).filter("k = 0").collect()
+    } == {"NEW"}
+    assert {
+        r.v for r in acid.read(spark, table, version=1).filter("k = 0").collect()
+    } == {"a0"}
+
+
+def test_concurrent_writer_conflict(spark, table):
+    # another writer commits version 2 first
+    os.makedirs(acid._versions_dir(table), exist_ok=True)
+    with open(acid._manifest_path(table, 2), "x") as f:
+        f.write("{}")
+    with pytest.raises(acid.ConcurrentWriteError):
+        acid.merge(spark, table, _df(spark, [(0, "x")]), ["k"])
+
+
+def test_delete_where_copy_on_write(spark, table):
+    m1 = acid.read_manifest(table, 1)
+    acid.delete_where(spark, table, "k < 10")
+    assert acid.read(spark, table).count() == 90
+    assert acid.read(spark, table).filter("k < 10").count() == 0
+    m2 = acid.read_manifest(table, 2)
+    assert set(m1.files) & set(m2.files), "untouched files carry over"
+
+
+def test_vacuum_drops_unreachable_files(spark, table):
+    acid.merge(spark, table, _df(spark, [(k, "z") for k in range(100)]), ["k"])
+    v1_files = set(acid.read_manifest(table, 1).files)
+    removed = acid.vacuum(table, keep_last=1)
+    # every v1-only file is gone, current snapshot intact
+    assert v1_files <= set(removed) | set(acid.read_manifest(table, 2).files)
+    assert acid.read(spark, table).count() == 100
+    assert acid.history(table) == [2]
+    for f in removed:
+        assert not os.path.exists(f)
+
+
+def test_insert_only_merge_carries_all_files(spark, table):
+    m1 = acid.read_manifest(table, 1)
+    acid.merge(
+        spark, table, _df(spark, [(k, f"n{k}") for k in range(200, 210)]), ["k"]
+    )
+    m2 = acid.read_manifest(table, 2)
+    assert set(m1.files) <= set(m2.files)
+    assert acid.read(spark, table).count() == 110
