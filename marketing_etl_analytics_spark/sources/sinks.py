@@ -101,7 +101,8 @@ def write_jdbc(
 
     Spark writes partitions in parallel over N connections; pair with
     ``df.repartition(n)`` to bound connection count against the target
-    database. (No JDBC driver ships in this environment — untested
-    here, standard `DataFrameWriter.jdbc` contract.)
+    database. Exercised end-to-end against embedded Derby (bundled in
+    Spark's jars) in tests/test_jdbc_sink.py; a networked warehouse
+    only changes the URL + driver properties.
     """
     df.write.jdbc(url=url, table=table, mode=mode, properties=properties or {})
