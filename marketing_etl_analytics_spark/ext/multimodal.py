@@ -5,12 +5,16 @@ struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each Python batch touches thousands of payloads at
 once (never row-at-a-time UDFs).
 
-The actual media decode is STUBBED: the decode libraries (PIL,
-torchaudio, ...) are not in this environment, so ``extract_features``
-computes a deterministic fake feature vector from the payload bytes
-(mode="fake", default) or raises ``NotImplementedError`` (mode="real")
-— the Spark-side plumbing (schema, batching, partitioning) is real
-and tested either way.
+Decode modes:
+
+- ``mode="real"`` decodes genuinely for the formats a pure
+  stdlib+numpy codec can handle (24-bit BMP images, PCM-16 WAV audio
+  — see ``ext/codecs.py``; dispatch sniffs magic bytes). Compressed
+  formats (JPEG/PNG/MP3/H.264) need PIL/ffmpeg, which this
+  environment lacks, and raise ``NotImplementedError``.
+- ``mode="fake"`` (default for the text-payload suite entry) computes
+  a deterministic feature vector from raw bytes, exercising the same
+  Spark-side plumbing (schema, batching, partitioning).
 """
 
 from __future__ import annotations
@@ -73,25 +77,57 @@ def _fake_decode(payload: bytes) -> list[float]:
     ]
 
 
+def _real_decode(payload: bytes) -> tuple[list[float], str]:
+    """Dispatch on magic bytes to a real codec (see module header)."""
+    import numpy as np
+
+    from marketing_etl_analytics_spark.ext import codecs
+
+    if payload[:2] == b"BM":
+        px = codecs.decode_bmp(payload)
+        h, w = px.shape[:2]
+        means = px.reshape(-1, 3).mean(axis=0)
+        return (
+            [float(w), float(h), *[float(m) for m in means],
+             float(px.std()), float(len(payload))],
+            "bmp-v1",
+        )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        samples, rate = codecs.decode_wav(payload)
+        feats = codecs.wav_features(samples, rate)
+        return (
+            [*feats, float(rate), float(np.asarray(samples).size),
+             0.0, float(len(payload))],
+            "wav-v1",
+        )
+    raise NotImplementedError(
+        "compressed media (JPEG/PNG/MP3/H.264) needs PIL/ffmpeg — "
+        "not available in this environment; BMP and PCM WAV decode for real"
+    )
+
+
 def extract_features(df: DataFrame, mode: str = "fake") -> DataFrame:
     """Arrow-batched feature extraction over payload binaries.
 
     df must have (doc_id, payload, meta) as produced by attach_payload.
+    mode="real" decodes BMP/WAV payloads with ext/codecs.py.
     """
-    if mode == "real":
-        raise NotImplementedError(
-            "real media decode needs PIL/torchaudio etc., not available "
-            "in this environment — use mode='fake' for the plumbing path"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            if mode == "real":
+                decoded = [_real_decode(bytes(p)) for p in pdf["payload"]]
+                feats = [d[0] for d in decoded]
+                names = [d[1] for d in decoded]
+            else:
+                feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+                names = ["fake-v1"] * len(feats)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "byte_len": [len(p) for p in pdf["payload"]],
-                    "features": [_fake_decode(bytes(p)) for p in pdf["payload"]],
-                    "decoder": "fake-v1",
+                    "features": feats,
+                    "decoder": names,
                 }
             )
 
@@ -112,27 +148,41 @@ RESIZED_SCHEMA = StructType(
 def resize_images(df: DataFrame, width: int, height: int, mode: str = "fake") -> DataFrame:
     """Arrow-batched image resize (1 row in → 1 row out).
 
-    STUB decode: deterministically truncates/pads the payload to
-    width*height bytes so batch shapes and schema are real; a deploy
-    swaps ``_fake_resize`` for PIL. df needs (doc_id, payload).
+    mode="real": decode 24-bit BMP payloads, nearest-neighbor resample
+    (ext/codecs.py), re-encode BMP — a genuine pixel-level resize.
+    JPEG/PNG would need PIL and raise. mode="fake" truncates/pads the
+    payload to width*height bytes (plumbing-only path).
+    df needs (doc_id, payload).
     """
-    if mode == "real":
-        raise NotImplementedError("real resize needs PIL — use mode='fake'")
     target = width * height
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from marketing_etl_analytics_spark.ext import codecs
+
         for pdf in it:
-            out = [
-                (bytes(p)[:target].ljust(target, b"\0")).hex()
-                for p in pdf["payload"]
-            ]
+            if mode == "real":
+                out = [
+                    codecs.encode_bmp(
+                        codecs.resize_nearest(
+                            codecs.decode_bmp(bytes(p)), width, height
+                        )
+                    ).hex()
+                    for p in pdf["payload"]
+                ]
+                decoder = "bmp-resize-v1"
+            else:
+                out = [
+                    (bytes(p)[:target].ljust(target, b"\0")).hex()
+                    for p in pdf["payload"]
+                ]
+                decoder = "fake-resize-v1"
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "payload": out,
                     "width": width,
                     "height": height,
-                    "decoder": "fake-resize-v1",
+                    "decoder": decoder,
                 }
             )
 

@@ -107,8 +107,10 @@ def test_multimodal_stub(docs):
         assert len(r.features) == 8
         assert r.byte_len > 0
         assert r.decoder == "fake-v1"
-    with pytest.raises(NotImplementedError):
-        extract_features(payloads, mode="real")
+    # mode="real" decodes BMP/WAV (tests/test_multimodal_codecs.py);
+    # text payloads aren't a decodable media container and must raise
+    with pytest.raises(Exception, match="PIL/ffmpeg"):
+        extract_features(payloads, mode="real").collect()
 
 
 def test_multimodal_resize_and_frames(docs):

@@ -1,0 +1,85 @@
+"""Derive a larger scale factor from an existing testdata dir.
+
+Usage: python tools/make_sf.py SRC_DIR DST_DIR FACTOR
+
+Replicates every fact/entity table FACTOR times with key-shifted
+copies (foreign keys shift consistently, so join cardinalities scale
+linearly); tiny dims (region, nation) copy as-is. Output is written as
+multi-file parquet so scans parallelize naturally.
+
+This produces a PERFORMANCE dataset: the driver's own sf dirs remain
+the only correctness inputs, but a 10x datapoint substantiates the
+scale design (BASELINE.md records the numbers). Replicated documents/
+embeddings form exact clone groups — deliberately, that is the
+dedup-workload shape at corpus scale.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from marketing_etl_analytics_spark.session import get_spark  # noqa: E402
+
+# key columns shifted per replica (offset = replica * (max+1) of the
+# table that OWNS the key, so FK relationships stay intact)
+KEY_OWNERS = {
+    "o_orderkey": ("orders", "o_orderkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "c_custkey": ("customer", "c_custkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+
+COPY_AS_IS = {"region", "nation"}
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main(src: str, dst: str, factor: int) -> None:
+    spark = get_spark(app_name="make_sf", shuffle_partitions=32)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    os.makedirs(dst, exist_ok=True)
+
+    offsets: dict[tuple[str, str], int] = {}
+    for col, (owner, owner_col) in KEY_OWNERS.items():
+        if (owner, owner_col) not in offsets:
+            mx = (
+                spark.read.parquet(f"{src}/{owner}.parquet")
+                .agg(F.max(owner_col))
+                .collect()[0][0]
+            )
+            offsets[(owner, owner_col)] = int(mx) + 1
+
+    replicas = spark.range(factor).withColumnRenamed("id", "_r")
+    for table in TABLES:
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        out = f"{dst}/{table}.parquet"
+        if table in COPY_AS_IS:
+            df.coalesce(1).write.mode("overwrite").parquet(out)
+            continue
+        rep = df.crossJoin(F.broadcast(replicas))
+        for col in df.columns:
+            if col in KEY_OWNERS:
+                off = offsets[KEY_OWNERS[col]]
+                rep = rep.withColumn(col, F.col(col) + F.col("_r") * F.lit(off))
+        n_files = max(8, min(64, rep.count() // 200_000))
+        rep.drop("_r").repartition(n_files).write.mode("overwrite").parquet(out)
+        print(f"{table}: {df.count()} -> x{factor} ({n_files} files)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
