@@ -27,6 +27,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # memoize+persist the 10 shared tables (suite/common.py): 64 queries
+    # in one session shouldn't each re-pay the same scan + spread
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
+
     spark = get_spark(app_name="bench")
     # warm-up actions so one-time session costs (JVM, codegen compiler,
     # parquet reader init + footer reads, Python UDF worker pool) aren't

@@ -63,13 +63,33 @@ def _needs_spread(path: str) -> bool:
         return False
 
 
+# Opt-in table memoization (SPARK_GRAFT_CACHE_TABLES=1): bench.py runs
+# 64 queries against the same 10 tables in one session — without this,
+# every query re-pays the same scan + spread shuffle, so per-query
+# timings measure redundant IO instead of the plan under test. Kept
+# OFF by default: plan-audit tests must see real parquet scans
+# (PushedFilters/ReadSchema assert on them), and correctness runs
+# should exercise the cold path.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cache_on() -> bool:
+    return os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1"
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return events(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if _cache_on() and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if _needs_spread(path):
         df = df.repartition(_SPREAD_PARTITIONS)
+    if _cache_on():
+        df = df.persist()
+        _TABLE_CACHE[key] = df
     return df
 
 
@@ -84,13 +104,24 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin UTC so the comparison holds under ANY host session
     # (get_spark already sets this; the driver's own session may not)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = (spark.sparkContext.applicationId, sf_dir, "events")
+    if _cache_on() and key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     path = os.path.join(sf_dir, "events.parquet")
     raw = spark.read.parquet(path)
-    # integer DIV, not `/`: float division of an int64 nanos value loses
-    # low-order microseconds (2^53 < ns range)
-    out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        # nanos-as-long (the driver's testdata): rebuild micro-precision
+        # timestamps with integer DIV, not `/` — float division of an
+        # int64 nanos value loses low-order microseconds (2^53 < ns range)
+        out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # already micro-precision TIMESTAMP (e.g. tools/make_sf.py output)
+        out = raw
     if _needs_spread(path):
         out = out.repartition(_SPREAD_PARTITIONS)
+    if _cache_on():
+        out = out.persist()
+        _TABLE_CACHE[key] = out
     return out
 
 

@@ -289,9 +289,16 @@ JACCARD_T = 0.5
 @register(
     "ext_dedup_ngram_jaccard",
     f"""
-    WITH shingled AS (
+    WITH reps AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5(lower(text))
+    ),
+    rep_docs AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)
+    ),
+    shingled AS (
       SELECT doc_id, {SQL_SHINGLES} AS shingles
-      FROM documents
+      FROM rep_docs
       WHERE len(string_split(lower(text), ' ')) >= 3
     ),
     sets AS (
@@ -329,10 +336,22 @@ JACCARD_T = 0.5
     doc="3-gram shingle Jaccard >= 0.5 near-dup pairs with PPJoin "
     "prefix filtering: only each doc's floor(n/2)+1 smallest 48-bit "
     "shingle hashes enter the inverted-index join; survivors are "
-    "verified with one array_intersect per candidate pair.",
+    "verified with one array_intersect per candidate pair. Pairs are "
+    "reported between exact-dedup representatives (min doc_id per "
+    "identical text): exact clones are already ext_dedup_exact's "
+    "output, and re-listing a k-clone group as C(k,2) Jaccard-1.0 "
+    "pairs makes clone-dense corpora quadratic for no information.",
 )
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # exact-dedup prefilter: one representative per identical text
+    reps = (
+        docs.select("doc_id", F.md5(F.lower("text")).alias("_th"))
+        .groupBy("_th")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    docs = docs.join(reps, "doc_id", "left_semi")
     hashed = shingle_rows(docs).select(
         "doc_id",
         F.conv(F.substring(F.md5("sh_str"), 1, 12), 16, 10).cast("long").alias("h"),

@@ -51,9 +51,11 @@ def main() -> int:
     spark = get_spark(app_name="diffcheck", shuffle_partitions=8)
     con = duckdb.connect()
     for tbl in TABLES:
+        path = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.isdir(path):  # Spark-written multi-file layout
+            path = os.path.join(path, "*.parquet")
         con.execute(
-            f"CREATE VIEW {tbl} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, tbl)}.parquet')"
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')"
         )
 
     n_pass = n_fail = n_weak = 0

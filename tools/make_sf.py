@@ -67,6 +67,11 @@ def main(src: str, dst: str, factor: int) -> None:
     replicas = spark.range(factor).withColumnRenamed("id", "_r")
     for table in TABLES:
         df = spark.read.parquet(f"{src}/{table}.parquet")
+        if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+            # source stores TIMESTAMP(NANOS) read as long; emit a real
+            # micro-precision TIMESTAMP so any reader (Spark, DuckDB
+            # oracle) sees the same type without the nanos workaround
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         out = f"{dst}/{table}.parquet"
         if table in COPY_AS_IS:
             df.coalesce(1).write.mode("overwrite").parquet(out)
