@@ -156,7 +156,10 @@ def merge(
 ) -> int:
     """MERGE ``source`` into the table: update matched keys (source row
     replaces target row), insert unmatched. Copy-on-write: only data
-    files containing a matched key are rewritten.
+    files containing a matched key are rewritten. Key matching is
+    NULL-safe (a NULL key component matches NULL — upsert-by-key
+    semantics, so rows keyed by an outer-join's NULL column update in
+    place instead of duplicating).
 
     Returns the new version number. Raises :class:`ConcurrentWriteError`
     if another writer commits first (retry against the new snapshot).
@@ -168,6 +171,15 @@ def merge(
     source = source.dropDuplicates(key_cols)
     cur = _read_files(spark, m)
 
+    def _key_cond(left, right):
+        cond = None
+        for k in key_cols:
+            c = left[k].eqNullSafe(right[k])
+            cond = c if cond is None else cond & c
+        return cond
+
+    skeys = source.select(*key_cols).distinct()
+
     # which files hold matched keys? file paths are metadata-sized —
     # the one deliberate driver-side collect (same shape as a format's
     # manifest planning step). Files are matched by basename: Spark
@@ -175,19 +187,19 @@ def merge(
     # URI scheme spelling (file:/ vs file:///) must not matter.
     tagged = cur.withColumn("_vt_file", _basename(F.input_file_name()))
     touched_rows = tagged.join(
-        F.broadcast(source.select(*key_cols).distinct()), key_cols, "left_semi"
+        F.broadcast(skeys), _key_cond(tagged, skeys), "left_semi"
     )
     touched = {r[0] for r in touched_rows.select("_vt_file").distinct().collect()}
 
     if touched:
         # rows of rewritten files that keep their target version,
         # plus every source row (updates replace, inserts append)
-        new_data = (
-            tagged.filter(F.col("_vt_file").isin(sorted(touched)))
-            .drop("_vt_file")
-            .join(source.select(*key_cols), key_cols, "left_anti")
-            .unionByName(source)
+        rewrite = tagged.filter(F.col("_vt_file").isin(sorted(touched))).drop(
+            "_vt_file"
         )
+        new_data = rewrite.join(
+            F.broadcast(skeys), _key_cond(rewrite, skeys), "left_anti"
+        ).unionByName(source)
     else:  # inserts only — untouched files all carry over
         new_data = source
     new_files = _write_data_files(new_data, path, new_version)

@@ -138,6 +138,38 @@ def kpi_campaign(
     return _kpi_block(m.groupBy("campaign_id", "campaign_name", "channel"))
 
 
+def incremental_refresh_channel_daily(
+    spark,
+    mv_path: str,
+    wh: dict[str, DataFrame],
+    changed_date_ids: DataFrame,
+) -> int:
+    """Incrementally maintain a MATERIALIZED mv_channel_daily.
+
+    The reference recomputes its ``mv_*`` views from scratch nightly
+    (README.md:261-263); at 100 TB the incremental form recomputes only
+    the (date, channel) rows whose underlying dates received new fact
+    rows, and MERGEs them into a versioned table (``sources/acid.py``)
+    — concurrent readers keep a consistent snapshot throughout.
+
+    ``changed_date_ids``: one column ``date_id`` listing dates touched
+    by the fact delta (additive-delta contract: facts only gain rows —
+    the nightly-append model; retractions need a delete+refresh).
+    Affected dates are re-read from the full facts via a broadcast semi
+    join — with facts hive-partitioned by date that is a partition-
+    pruned scan, not a full pass.
+
+    Returns the new table version.
+    """
+    from marketing_etl_analytics_spark.sources import acid
+
+    affected = changed_date_ids.select("date_id").distinct()
+    fs = wh["fact_sales"].join(F.broadcast(affected), "date_id", "left_semi")
+    sp = wh["fact_spend"].join(F.broadcast(affected), "date_id", "left_semi")
+    rows = channel_daily(fs, sp, wh["dim_campaigns"], wh["dim_date"])
+    return acid.merge(spark, mv_path, rows, ["date", "channel"])
+
+
 def build_views(wh: dict[str, DataFrame]) -> dict[str, DataFrame]:
     """Attach the three views to a warehouse dict (lazy, view semantics)."""
     return {
