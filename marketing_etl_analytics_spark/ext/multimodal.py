@@ -87,9 +87,10 @@ def _real_decode(payload: bytes) -> tuple[list[float], str]:
         px = codecs.decode_bmp(payload)
         h, w = px.shape[:2]
         means = px.reshape(-1, 3).mean(axis=0)
+        # FEATURE_DIM entries, same as the WAV and fake paths
         return (
             [float(w), float(h), *[float(m) for m in means],
-             float(px.std()), float(len(payload))],
+             float(px.std()), float(h * w), float(len(payload))],
             "bmp-v1",
         )
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

@@ -125,6 +125,25 @@ def _write_data_files(df: DataFrame, path: str, version: int) -> list[str]:
     )
 
 
+def _commit_or_cleanup(
+    path: str,
+    version: int,
+    files: list[str],
+    new_files: list[str],
+    schema_json: str,
+    parent: int | None,
+) -> None:
+    """Commit; on losing the version race, delete the just-written data
+    files before re-raising — otherwise every losing writer would leak
+    an orphaned (manifest-unreferenced) rewrite that vacuum can't see."""
+    try:
+        _commit(path, version, files, schema_json, parent)
+    except ConcurrentWriteError:
+        if new_files:
+            shutil.rmtree(os.path.dirname(new_files[0]), ignore_errors=True)
+        raise
+
+
 def _read_files(spark: SparkSession, m: Manifest) -> DataFrame:
     if not m.files:
         schema = StructType.fromJson(json.loads(m.schema_json))
@@ -205,8 +224,8 @@ def merge(
     new_files = _write_data_files(new_data, path, new_version)
 
     carried = [f for f in m.files if os.path.basename(f) not in touched]
-    _commit(
-        path, new_version, carried + new_files, m.schema_json, parent=base
+    _commit_or_cleanup(
+        path, new_version, carried + new_files, new_files, m.schema_json, base
     )
     return new_version
 
@@ -227,18 +246,25 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     if touched:
         survivors = (
             tagged.filter(F.col("_vt_file").isin(sorted(touched)))
-            .filter(f"NOT ({predicate})")
+            # SQL DELETE semantics: remove rows where the predicate is
+            # TRUE; rows where it evaluates NULL survive (a bare
+            # NOT(pred) filter would silently drop them too)
+            .filter(~F.coalesce(F.expr(predicate), F.lit(False)))
             .drop("_vt_file")
         )
         new_files = _write_data_files(survivors, path, new_version)
     carried = [f for f in m.files if os.path.basename(f) not in touched]
-    _commit(path, new_version, carried + new_files, m.schema_json, parent=base)
+    _commit_or_cleanup(
+        path, new_version, carried + new_files, new_files, m.schema_json, base
+    )
     return new_version
 
 
 def history(path: str) -> list[int]:
+    # f[1:-5] strips "v" and ".json" — version numbers wider than the
+    # zero-padded 5 digits still parse correctly
     return sorted(
-        int(f[1:6]) for f in os.listdir(_versions_dir(path)) if f.endswith(".json")
+        int(f[1:-5]) for f in os.listdir(_versions_dir(path)) if f.endswith(".json")
     )
 
 

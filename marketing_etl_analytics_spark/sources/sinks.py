@@ -10,6 +10,9 @@ declaratively.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 
 
@@ -69,20 +72,25 @@ def compact_parquet(
     scanner can parallelize. (The inverse of the single-row-group
     pathology handled in suite.common.)
     """
+    old = path.rstrip("/") + "__compact_old"
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            # stale leftover from a crash after the swap completed
+            shutil.rmtree(old)
+        else:
+            # crash happened mid-swap: the old data is the only copy
+            shutil.move(old, path)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
     writer = df.repartition(target_files).write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    # swap via rename-aside: the canonical path is never empty — a
-    # crash leaves either the old data at `path` or the new data plus
-    # a stale `__old` dir to sweep. Parquet dirs still aren't
+    # swap via rename-aside: a crash leaves either the old data at
+    # `path`, or (mid-swap) at `__compact_old` — which the recovery
+    # branch above restores on the next run. Parquet dirs still aren't
     # transactional under concurrent readers; production layers a
-    # table format (Delta/Iceberg — see sources/acid.py) for that.
-    import shutil
-
-    old = path.rstrip("/") + "__compact_old"
+    # table format (see sources/acid.py) for that.
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)

@@ -176,21 +176,26 @@ def _sessionize_user(
     ]
 
     if state.exists:
-        start0, last0, n0, v0 = state.get
-        first = segments[0]
-        if first[0] - last0 <= SESSION_GAP_US:
-            # batch's first segment continues the open session; an
-            # in-watermark out-of-order batch can sit entirely BEFORE
-            # the stored session end, so merge with min/max rather
-            # than assuming the batch postdates state
-            segments[0] = (
-                min(start0, first[0]),
-                max(last0, first[1]),
-                n0 + first[2],
-                v0 + first[3],
-            )
-        else:
-            segments.insert(0, (start0, last0, n0, v0))
+        # place the open session on the segment timeline and re-merge:
+        # an in-watermark out-of-order batch can sit entirely BEFORE
+        # the stored session (or straddle it), so pairwise in-gap
+        # merging over the sorted segment list is the correct general
+        # form — not a special case on the first batch segment
+        segments.append(tuple(state.get))
+        segments.sort()
+        merged = [segments[0]]
+        for seg in segments[1:]:
+            prev = merged[-1]
+            if seg[0] - prev[1] <= SESSION_GAP_US:
+                merged[-1] = (
+                    min(prev[0], seg[0]),
+                    max(prev[1], seg[1]),
+                    prev[2] + seg[2],
+                    prev[3] + seg[3],
+                )
+            else:
+                merged.append(seg)
+        segments = merged
 
     out = segments[:-1]
     start_us, last_us, n, value = segments[-1]

@@ -99,6 +99,31 @@ def test_out_of_order_batch_can_extend_session_start_backwards():
     assert start == 300 * US and last == 650 * US and n == 3
 
 
+def test_late_batch_fully_before_open_session_stays_separate():
+    # open session 12:00-12:10; a late batch lands entirely earlier,
+    # with its own internal gap: [10:30] and [11:20]. Neither is
+    # in-gap with the open session (40+ min away), so two closed
+    # sessions emit and the open one is untouched.
+    h12, m10 = 12 * 3600 * US, 10 * 60 * US
+    state = FakeState(value=(h12, h12 + m10, 2, 2.0))
+    out = _run(
+        state, _batch([10 * 3600 * US + 30 * 60 * US, 11 * 3600 * US + 20 * 60 * US])
+    )
+    assert len(out) == 1 and len(out[0]) == 2  # both late segments closed
+    assert list(out[0]["n_events"]) == [1, 1]
+    start, last, n, _ = state.get
+    assert (start, last, n) == (h12, h12 + m10, 2)  # open session intact
+
+
+def test_late_straddling_batch_merges_across_state():
+    # late events on both sides of the stored session, all in-gap:
+    # one merged open session spanning them
+    state = FakeState(value=(1000 * US, 1100 * US, 1, 1.0))
+    _run(state, _batch([900 * US, 1200 * US]))
+    start, last, n, _ = state.get
+    assert (start, last, n) == (900 * US, 1200 * US, 3)
+
+
 def test_gap_split_emits_closed_sessions():
     state = FakeState()
     out = _run(state, _batch([0, 10 * US, SESSION_GAP_US + 20 * US]))

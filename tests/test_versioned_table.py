@@ -86,6 +86,17 @@ def test_delete_where_copy_on_write(spark, table):
     assert set(m1.files) & set(m2.files), "untouched files carry over"
 
 
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    path = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, None), (2, 10.0), (3, 2.0)], "k long, v double"
+    )
+    acid.create(spark, path, df)
+    acid.delete_where(spark, path, "v > 5")
+    # SQL DELETE semantics: the NULL-predicate row survives
+    assert {r.k for r in acid.read(spark, path).collect()} == {1, 3}
+
+
 def test_vacuum_drops_unreachable_files(spark, table):
     acid.merge(spark, table, _df(spark, [(k, "z") for k in range(100)]), ["k"])
     v1_files = set(acid.read_manifest(table, 1).files)

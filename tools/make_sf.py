@@ -81,9 +81,12 @@ def main(src: str, dst: str, factor: int) -> None:
             if col in KEY_OWNERS:
                 off = offsets[KEY_OWNERS[col]]
                 rep = rep.withColumn(col, F.col(col) + F.col("_r") * F.lit(off))
-        n_files = max(8, min(64, rep.count() // 200_000))
+        # size output files from the cheap source count — counting the
+        # replicated crossJoin would materialize it a second time
+        n_src = df.count()
+        n_files = max(8, min(64, n_src * factor // 200_000))
         rep.drop("_r").repartition(n_files).write.mode("overwrite").parquet(out)
-        print(f"{table}: {df.count()} -> x{factor} ({n_files} files)")
+        print(f"{table}: {n_src} -> x{factor} ({n_files} files)")
 
 
 if __name__ == "__main__":
