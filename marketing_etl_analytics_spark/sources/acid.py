@@ -260,6 +260,22 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     return new_version
 
 
+def compact(spark: SparkSession, path: str, target_files: int) -> int:
+    """Rewrite the current snapshot into ``target_files`` data files as
+    a new version — no row changes, readers keep snapshot isolation
+    throughout (unlike ``sinks.compact_parquet``, which swaps a raw
+    directory in place). Incremental MERGEs accrete small files; at
+    scale this runs periodically like a format's OPTIMIZE."""
+    base = current_version(path)
+    m = read_manifest(path, base)
+    new_version = base + 1
+    new_files = _write_data_files(
+        _read_files(spark, m).repartition(target_files), path, new_version
+    )
+    _commit_or_cleanup(path, new_version, new_files, new_files, m.schema_json, base)
+    return new_version
+
+
 def history(path: str) -> list[int]:
     # f[1:-5] strips "v" and ".json" — version numbers wider than the
     # zero-padded 5 digits still parse correctly
