@@ -125,43 +125,14 @@ def rel_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- window: running total --------------------------------------------------
 
-@register(
-    "rel_window_running",
-    """
-    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
-      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-        PARTITION BY o_custkey
-        ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ), 2) AS DOUBLE) AS running_revenue
-    FROM orders
-    WHERE o_custkey < 100
-    """,
-    doc="Cumulative window sum per customer, deterministic total order.",
-)
-def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.to_date("o_orderdate"), "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.to_date("o_orderdate").alias("d"),
-        F.round(F.sum(money("o_totalprice")).over(w), 2)
-        .cast("double")
-        .alias("running_revenue"),
-    )
-
-
-# --- window frames: moving aggregate + first/last value ----------------------
+# --- window frames: running, moving, full-partition, lag ---------------------
 
 @register(
-    "rel_window_moving",
+    "rel_window_frames",
     f"""
     SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+      CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wrun, 2)
+        AS DOUBLE) AS running_revenue,
       {sql_pround(
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)"
         " / (COUNT(*) OVER w3)", 2)} AS moving_avg_3,
@@ -172,27 +143,33 @@ def rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_custkey < 100
     WINDOW
       wo AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      wrun AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
       w3 AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
       wfull AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY o_custkey, d, o_orderkey
     """,
-    doc="Bounded window frames: 3-row moving average (exact-decimal "
-    "AVG over the frame), first/last value over the full partition, "
-    "lag — the frame kinds beyond the running-total entry. AVG of "
-    "<=3 decimals divides exactly-summed operands: engine-independent.",
+    doc="The window-frame family in one deterministic total order: "
+    "running total (UNBOUNDED PRECEDING..CURRENT), 3-row moving "
+    "average (exact-decimal sum / count — AVG(decimal) would round "
+    "apart across engines), first/last over the full partition, lag.",
 )
-def rel_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     d = F.to_date("o_orderdate")
     wo = Window.partitionBy("o_custkey").orderBy(d, "o_orderkey")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w3 = wo.rowsBetween(-2, Window.currentRow)
     wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_custkey",
         "o_orderkey",
         d.alias("d"),
+        F.round(F.sum(money("o_totalprice")).over(wrun), 2)
+        .cast("double")
+        .alias("running_revenue"),
         # exact-decimal SUM / COUNT, not AVG(decimal): Spark keeps
         # decimal division (HALF_UP at scale+4) while DuckDB's AVG is
         # a double mean — a x.xx5 tie would round apart. Identical
@@ -621,30 +598,30 @@ def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- explicit grouping sets --------------------------------------------------
 
 @register(
-    "rel_grouping_sets",
+    "rel_rollup_grouping_sets",
     """
     SELECT l_returnflag, l_linestatus,
       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       CAST(COUNT(*) AS BIGINT) AS n,
-      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
-    doc="Explicit GROUPING SETS (a hand-picked subset of grains, vs "
-    "rollup/cube's fixed lattices) via the SQL surface; grouping_id "
-    "disambiguates superaggregate rows.",
+    doc="ROLLUP(flag, status) expressed two ways — the DataFrame "
+    ".rollup() lattice on the Spark side, the equivalent explicit "
+    "GROUP BY GROUPING SETS on the oracle side — so the entry proves "
+    "the set-lattice equivalence as well as the values; grouping_id "
+    "disambiguates superaggregate rows from genuine NULL keys.",
 )
-def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_li_gs")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-          CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-          COUNT(*) AS n,
-          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
-        FROM _li_gs
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
+def rel_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.round(F.sum(money("l_extendedprice")), 2).cast("double").alias("revenue"),
     )
 
 
@@ -682,20 +659,3 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rel_rollup",
-    """
-    SELECT l_returnflag, l_linestatus,
-      CAST(COUNT(*) AS BIGINT) AS n,
-      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    doc="ROLLUP grouping sets: (flag,status), (flag), () grains in one pass.",
-)
-def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(money("l_extendedprice")), 2).cast("double").alias("revenue"),
-    )

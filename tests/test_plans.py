@@ -40,7 +40,7 @@ def test_dim_joins_broadcast_not_shuffle(spark):
 def test_filter_pushed_to_parquet_scan(spark):
     """A filtered scan must reach the parquet reader as PushedFilters,
     not run as a post-scan Filter over all rows."""
-    plan = plan_of(spark, "rel_window_running")
+    plan = plan_of(spark, "rel_window_frames")
     assert "PushedFilters" in plan
     assert "LessThan(o_custkey,100)" in plan.replace(" ", "")
 
