@@ -187,8 +187,11 @@ def merge(
     m = read_manifest(path, base)
     new_version = base + 1
 
-    source = source.dropDuplicates(key_cols)
     cur = _read_files(spark, m)
+    # normalize to the table's column order so every data file in the
+    # manifest carries one physical layout (also enforces that the
+    # source provides exactly the table's columns)
+    source = source.select(*cur.columns).dropDuplicates(key_cols)
 
     def _key_cond(left, right):
         cond = None

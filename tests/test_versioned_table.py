@@ -109,6 +109,13 @@ def test_vacuum_drops_unreachable_files(spark, table):
         assert not os.path.exists(f)
 
 
+def test_merge_normalizes_source_column_order(spark, table):
+    shuffled = spark.createDataFrame([("zz", 300)], "v string, k long")
+    acid.merge(spark, table, shuffled, ["k"])
+    got = {r.k: r.v for r in acid.read(spark, table).collect()}
+    assert got[300] == "zz" and got[0] == "a0"
+
+
 def test_insert_only_merge_carries_all_files(spark, table):
     m1 = acid.read_manifest(table, 1)
     acid.merge(
