@@ -28,6 +28,7 @@ from marketing_etl_analytics_spark.suite import views  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import relational  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import ext  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import ext_scale  # noqa: E402,F401
+from marketing_etl_analytics_spark.suite import ext_pipeline  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import udf  # noqa: E402,F401
 
 # Priority prefix (everything registered but not listed here keeps its
@@ -52,6 +53,7 @@ _PRIORITY = [
     "ext_ann_ivf_kmeans",
     "ext_text_quality", "ext_lang_id", "ext_token_count", "ext_fingerprint",
     "ext_tfidf", "ext_ngram_topk", "ext_sessionize", "ext_curation_pipeline",
+    "ext_decontaminate", "ext_sample_stratified", "ext_repetition_filter",
     "ext_multimodal_meta", "ext_stream_daily_window",
     # UDF + streaming surface
     "rel_pandas_udf", "rel_apply_in_pandas", "stream_dedup", "stream_sessionize",

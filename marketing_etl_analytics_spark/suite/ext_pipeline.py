@@ -1,0 +1,303 @@
+"""Training-data curation operators, part 2 (SURVEY.md §7.4 north star).
+
+Three pipeline stages every large-scale pretraining-data build needs
+but the round-1 suite lacked:
+
+- **benchmark decontamination** (`ext_decontaminate`): flag training
+  documents sharing 3-word shingles with a held-out eval set. The eval
+  n-gram set is tiny relative to the corpus (benchmarks are ~10^6
+  n-grams vs ~10^11 training docs), so the plan broadcasts it: the
+  100 TB side is never shuffled on content, only the per-doc hit
+  counts shuffle on doc_id.
+- **deterministic stratified sampling** (`ext_sample_stratified`):
+  per-stratum keep rates driven by a content-addressed uniform hash
+  (md5 -> 32-bit int -> [0,1)), so the sample is reproducible across
+  engines, runs, and partitionings — no RNG state, no shuffle at all
+  (a pure filter that pushes down), and inverse-probability weights
+  for unbiased downstream stats.
+- **repetition filtering** (`ext_repetition_filter`): Gopher/C4-style
+  intra-document repetition metrics (duplicate-word fraction,
+  duplicate-2-gram fraction, top-word fraction) and a keep/drop
+  verdict. Word/2-gram distinct counts stay doc-local (array_distinct
+  over codegen'd builtins — no explode, no shuffle); only the
+  top-word mode needs an explode + two-level aggregate with map-side
+  combine.
+
+All three are SQL-expressible, so the DuckDB oracle verifies them
+exactly; numeric discipline per ``suite.common``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.suite.common import ratio, sql_pround, t
+from marketing_etl_analytics_spark.suite.ext import (
+    _SHINGLE_ZIP,
+    _TOKS,
+    SQL_SHINGLES,
+    shingle_rows,
+)
+from marketing_etl_analytics_spark.suite.registry import register
+
+# --- benchmark decontamination ----------------------------------------------
+
+# Stand-in eval set: every 97th doc_id. In production this is the
+# benchmark suite's n-gram inventory (MMLU/GSM8K/...), always tiny
+# next to the training corpus.
+_EVAL_PRED = "doc_id % 97 = 0"
+
+@register(
+    "ext_decontaminate",
+    f"""
+    WITH train AS (
+      SELECT doc_id, lang, source, text FROM documents WHERE NOT ({_EVAL_PRED})
+    ),
+    ev AS (
+      SELECT {SQL_SHINGLES} AS shingles FROM documents
+      WHERE ({_EVAL_PRED}) AND len(string_split(lower(text), ' ')) >= 3
+    ),
+    eval_sh AS (
+      SELECT DISTINCT md5(s.sh) AS h FROM ev, unnest(ev.shingles) AS s(sh)
+    ),
+    tr_sh AS (
+      SELECT doc_id, {SQL_SHINGLES} AS shingles FROM train
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    tr_rows AS (
+      SELECT doc_id, md5(s.sh) AS h FROM tr_sh, unnest(tr_sh.shingles) AS s(sh)
+    ),
+    ov AS (
+      SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_overlap
+      FROM tr_rows t JOIN eval_sh e USING (h) GROUP BY t.doc_id
+    ),
+    nsh AS (SELECT doc_id, len(shingles) AS n_shingles FROM tr_sh),
+    scored AS (
+      SELECT tr.doc_id, tr.lang, tr.source,
+        CAST(COALESCE(n.n_shingles, 0) AS BIGINT) AS n_shingles,
+        CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        COALESCE({sql_pround(
+            "CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)"
+            " / NULLIF(CAST(COALESCE(n.n_shingles, 0) AS DOUBLE), 0)", 4)},
+          0.0) AS overlap_ratio
+      FROM train tr
+      LEFT JOIN nsh n USING (doc_id)
+      LEFT JOIN ov o USING (doc_id)
+    )
+    SELECT *, CASE WHEN overlap_ratio >= 0.05 THEN 1 ELSE 0 END AS contaminated
+    FROM scored ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: 3-word-shingle overlap between the "
+    "training split and a held-out eval split. Eval n-gram set is "
+    "deduped and broadcast (never shuffles the corpus side); per-doc "
+    "shingle counts are doc-local array_distinct expressions, and only "
+    "the matched hits shuffle (on doc_id, with partial distinct).",
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    is_eval = F.expr(_EVAL_PRED)
+    train = docs.filter(~is_eval)
+    eval_sh = (
+        shingle_rows(docs.filter(is_eval))
+        .select(F.md5("sh_str").alias("h"))
+        .distinct()
+    )
+    # matched shingles per training doc; COUNT(DISTINCT) dedups the
+    # multiset shingle rows with a map-side partial aggregate
+    hits = (
+        shingle_rows(train)
+        .select("doc_id", F.md5("sh_str").alias("h"))
+        .join(F.broadcast(eval_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_overlap"))
+    )
+    # per-doc distinct-shingle count: doc-local expression, no explode
+    n_sh = F.when(
+        F.expr(f"size({_TOKS}) >= 3"),
+        F.size(F.array_distinct(F.expr(_SHINGLE_ZIP))),
+    ).otherwise(F.lit(0))
+    scored = (
+        train.select("doc_id", "lang", "source", n_sh.cast("long").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "source", "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            F.coalesce(
+                ratio(F.coalesce(F.col("n_overlap"), F.lit(0)), F.col("n_shingles"), 4),
+                F.lit(0.0),
+            ).alias("overlap_ratio"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "contaminated",
+            F.when(F.col("overlap_ratio") >= 0.05, 1).otherwise(0),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- deterministic stratified sampling --------------------------------------
+
+# Keep rates per language stratum — powers of two, so rates and
+# inverse-probability weights are exact doubles in both engines.
+_RATES = {"en": 0.5, "es": 0.25, "de": 0.125}
+_DEFAULT_RATE = 0.0625
+
+# divide by CAST(... AS DOUBLE): both engines type a bare x.0 literal
+# as DECIMAL, and decimal division would diverge from IEEE division
+_SPARK_U = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    " / CAST(4294967296 AS DOUBLE)"
+)
+_SQL_U = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / CAST(4294967296 AS DOUBLE)"
+)
+# CAST to DOUBLE: DuckDB types bare numeric literals as DECIMAL,
+# which would diverge from Spark's double rate/weight columns
+_SQL_RATE = (
+    "CAST(CASE " + " ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in _RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END AS DOUBLE)"
+)
+
+@register(
+    "ext_sample_stratified",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, source,
+        {_SQL_U} AS sample_key,
+        {_SQL_RATE} AS rate
+      FROM documents
+    )
+    SELECT doc_id, lang, source, sample_key, rate,
+      CAST(1.0 AS DOUBLE) / rate AS weight
+    FROM keyed WHERE sample_key < rate
+    ORDER BY doc_id
+    """,
+    doc="Deterministic stratified sampling: content-addressed uniform "
+    "key in [0,1) from md5(doc_id), per-language keep rates, inverse-"
+    "probability weights. A pure pushdown filter — zero shuffle, "
+    "reproducible under any partitioning, and composable (sub-sampling "
+    "with a lower rate selects a subset of a higher rate's sample).",
+)
+def ext_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    keyed = docs.select(
+        "doc_id", "lang", "source",
+        F.expr(_SPARK_U).alias("sample_key"),
+        rate.alias("rate"),
+    )
+    return (
+        keyed.filter(F.col("sample_key") < F.col("rate"))
+        .select("doc_id", "lang", "source", "sample_key", "rate",
+                (F.lit(1.0) / F.col("rate")).alias("weight"))
+        .orderBy("doc_id")
+    )
+
+
+# --- repetition / boilerplate filtering -------------------------------------
+
+# DuckDB-side 2-gram list (strings; tokens are space-split so the
+# joined form is injective and distinct-counts match Spark's distinct
+# struct pairs from arrays_zip)
+_SQL_2GRAMS = (
+    "list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 1),"
+    " i -> string_split(lower(text), ' ')[i] || ' ' || string_split(lower(text), ' ')[i + 1])"
+)
+_SPARK_2GRAM_ZIP = (
+    f"arrays_zip(slice({_TOKS}, 1, size({_TOKS}) - 1),"
+    f" slice({_TOKS}, 2, size({_TOKS}) - 1))"
+)
+
+@register(
+    "ext_repetition_filter",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+        len(string_split(lower(text), ' ')) AS n_words,
+        len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_words,
+        len(list_distinct({_SQL_2GRAMS})) AS n_distinct_2grams
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, u.w
+      FROM documents, unnest(string_split(lower(text), ' ')) AS u(w)
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+    top AS (SELECT doc_id, MAX(c) AS top_word_count FROM wc GROUP BY doc_id),
+    metrics AS (
+      SELECT b.doc_id,
+        CAST(b.n_words AS BIGINT) AS n_words,
+        {sql_pround(
+            "CAST(b.n_words - b.n_distinct_words AS DOUBLE)"
+            " / NULLIF(CAST(b.n_words AS DOUBLE), 0)", 4)} AS dup_word_frac,
+        COALESCE({sql_pround(
+            "CAST(b.n_words - 1 - b.n_distinct_2grams AS DOUBLE)"
+            " / NULLIF(CAST(b.n_words - 1 AS DOUBLE), 0)", 4)}, 0.0)
+          AS dup_2gram_frac,
+        {sql_pround(
+            "CAST(t.top_word_count AS DOUBLE)"
+            " / NULLIF(CAST(b.n_words AS DOUBLE), 0)", 4)} AS top_word_frac
+      FROM base b JOIN top t USING (doc_id)
+    )
+    SELECT *,
+      CASE WHEN n_words >= 5 AND dup_2gram_frac <= 0.5 AND top_word_frac <= 0.1
+           THEN 1 ELSE 0 END AS keep
+    FROM metrics ORDER BY doc_id
+    """,
+    doc="Gopher/C4-style repetition filter: duplicate-word fraction, "
+    "duplicate-2-gram fraction, top-word (mode) fraction, keep/drop "
+    "verdict. Distinct counts are doc-local array_distinct expressions "
+    "(codegen, zero shuffle); only the word mode runs explode + "
+    "two-level aggregate with map-side combine.",
+)
+def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+    n_words = F.size(toks)
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+        F.when(
+            n_words >= 2, F.size(F.array_distinct(F.expr(_SPARK_2GRAM_ZIP)))
+        ).otherwise(0).alias("n_distinct_2grams"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    metrics = base.join(top, "doc_id").select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        ratio(F.col("n_words") - F.col("n_distinct_words"), F.col("n_words"), 4)
+        .alias("dup_word_frac"),
+        F.coalesce(
+            ratio(
+                F.col("n_words") - 1 - F.col("n_distinct_2grams"),
+                F.col("n_words") - 1, 4,
+            ),
+            F.lit(0.0),
+        ).alias("dup_2gram_frac"),
+        ratio(F.col("top_word_count"), F.col("n_words"), 4).alias("top_word_frac"),
+    )
+    return (
+        metrics.withColumn(
+            "keep",
+            F.when(
+                (F.col("n_words") >= 5)
+                & (F.col("dup_2gram_frac") <= 0.5)
+                & (F.col("top_word_frac") <= 0.1),
+                1,
+            ).otherwise(0),
+        )
+        .orderBy("doc_id")
+    )
