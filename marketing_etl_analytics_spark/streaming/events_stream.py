@@ -71,6 +71,49 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def attribution_join(
+    events: DataFrame, window: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to same-user views
+    in the preceding ``window`` (the last-touch attribution shape).
+
+    Both sides carry watermarks and the join predicate carries an
+    event-time range, so the state store is bounded: a buffered view
+    row is evicted once the watermark passes ``view_ts + window``, a
+    click row once it passes ``click_ts`` — the state size is
+    O(events per watermark horizon), independent of stream length.
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("view_ts") < F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {window}")),
+    ).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
 def daily_event_aggregates(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling daily windows per event_type with late-data watermark —
     the streaming form of the reference's nightly (day, campaign) grain."""

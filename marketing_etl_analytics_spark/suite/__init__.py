@@ -57,6 +57,7 @@ _PRIORITY = [
     "ext_multimodal_meta", "ext_stream_daily_window",
     # UDF + streaming surface
     "rel_pandas_udf", "rel_apply_in_pandas", "stream_dedup", "stream_sessionize",
+    "stream_attribution_join",
     # scale-critical relational operators
     "rel_scalar_subquery", "rel_asof_join", "rel_range_join",
     "rel_salted_agg", "rel_window_topn",

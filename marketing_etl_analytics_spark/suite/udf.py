@@ -201,3 +201,49 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# --- Structured Streaming stream-stream join ---------------------------------
+
+@register(
+    "stream_attribution_join",
+    """
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+      epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM events c JOIN events v
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts < c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+    ORDER BY click_id, view_id
+    """,
+    doc="Stream-stream inner join with an event-time range predicate "
+    "(last-touch attribution: each click joined to same-user views in "
+    "the prior 30 min). Watermarks on both sides bound the join state "
+    "to the watermark horizon; run end-to-end as an availableNow "
+    "stream, so the result must equal the batch join — verified "
+    "against the SQL twin.",
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        attribution_join,
+        read_events_stream,
+    )
+
+    name = f"attrib_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        q = (
+            attribution_join(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).orderBy("click_id", "view_id")

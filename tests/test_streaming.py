@@ -112,3 +112,52 @@ def test_sessionize(spark):
         spans.sort()
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert e1 < s2
+
+
+def test_attribution_join_matches_batch(spark):
+    """Stream-stream interval join over a bounded stream must equal
+    the batch join: watermarks only evict state, never drop matches
+    when every row arrives before the final watermark advance."""
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        attribution_join,
+        read_events_stream,
+    )
+    from marketing_etl_analytics_spark.suite.common import events as batch_events
+
+    sf_dir = "/root/testdata/sf0.001"
+    q = (
+        attribution_join(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("attrib_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.click_id, r.view_id, r.user_id, r.gap_us)
+        for r in spark.sql("SELECT * FROM attrib_test").collect()
+    }
+
+    ev = batch_events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").selectExpr(
+        "event_id AS click_id", "user_id AS cu", "ts AS cts"
+    )
+    v = ev.filter(F.col("event_type") == "view").selectExpr(
+        "event_id AS view_id", "user_id", "ts AS vts"
+    )
+    want = {
+        (r.click_id, r.view_id, r.user_id, r.gap_us)
+        for r in c.join(
+            v,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("vts") < F.col("cts"))
+            & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "click_id", "view_id", "user_id",
+            (F.unix_micros("cts") - F.unix_micros("vts")).alias("gap_us"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
