@@ -51,16 +51,21 @@ _PRIORITY = [
     "ext_dedup_simhash", "ext_dedup_embedding_cosine", "ext_dedup_cluster",
     "ext_ann_cosine_topk", "ext_ann_lsh_bucketed", "ext_ann_ivf",
     "ext_ann_ivf_kmeans",
-    "ext_text_quality", "ext_lang_id", "ext_token_count", "ext_fingerprint",
+    "ext_token_count", "ext_fingerprint",
     "ext_tfidf", "ext_ngram_topk", "ext_sessionize", "ext_curation_pipeline",
     "ext_decontaminate", "ext_sample_stratified", "ext_repetition_filter",
     "ext_multimodal_meta", "ext_stream_daily_window",
     # UDF + streaming surface
     "rel_pandas_udf", "rel_apply_in_pandas", "stream_dedup", "stream_sessionize",
     "stream_attribution_join",
-    # scale-critical relational operators
-    "rel_scalar_subquery", "rel_asof_join", "rel_range_join",
-    "rel_salted_agg", "rel_window_topn",
+    # scale-critical relational operators; rel_window_frames and
+    # rel_rollup_grouping_sets are round-2 consolidations whose NEW names
+    # have no CORRECTNESS row yet — they outrank ext_text_quality /
+    # ext_lang_id (green in round 1 under these exact names, and both
+    # pure column expressions pinned by pytest + diffcheck).
+    "rel_scalar_subquery", "rel_window_frames", "rel_rollup_grouping_sets",
+    "rel_asof_join", "rel_range_join", "rel_salted_agg", "rel_window_topn",
+    "ext_text_quality", "ext_lang_id",
 ]
 
 _missing = [n for n in _PRIORITY if n not in SUITE]
