@@ -35,6 +35,38 @@ from marketing_etl_analytics_spark.suite.common import t
 from marketing_etl_analytics_spark.suite.registry import register
 
 
+def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Size the state-store count for a streaming entry from the input
+    volume, the way Spark sizes scan partitions from file bytes.
+
+    Each shuffle partition of a stateful operator is one state-store
+    instance paying a fixed commit (delta file + snapshot bookkeeping)
+    per micro-batch, so over-partitioning a small stream is pure
+    overhead — measured here: the stream-stream join at sf0.1 (2 MB of
+    events) runs 2.7 s with 8 stores vs 6.5-9.7 s with 32 for identical
+    output. Rule: one store per ~256 KB of source parquet, clamped to
+    [4, defaultParallelism]; a cluster-scale stream hits the
+    parallelism cap and behaves exactly as before.
+    """
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        nbytes = (
+            os.path.getsize(src)
+            if os.path.isfile(src)
+            else sum(
+                os.path.getsize(os.path.join(src, f))
+                for f in os.listdir(src)
+                if f.endswith(".parquet")
+            )
+        )
+    except OSError:
+        nbytes = 0
+    cap = spark.sparkContext.defaultParallelism
+    return max(4, min(cap, nbytes // (256 * 1024) or 4))
+
+
 # --- vectorized scalar pandas UDF -------------------------------------------
 
 def _make_risk_score():
@@ -145,7 +177,10 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_partitions(spark, sf_dir)),
+    )
     try:
         q = (
             dedup_events(read_events_stream(spark, sf_dir))
@@ -187,7 +222,10 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session (a driver-default 200 would mean 200 stores for ~10^5
     # rows), then restore the caller's setting
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_partitions(spark, sf_dir)),
+    )
     try:
         q = (
             sessionize(read_events_stream(spark, sf_dir))
@@ -233,7 +271,10 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"attrib_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_partitions(spark, sf_dir)),
+    )
     try:
         q = (
             attribution_join(read_events_stream(spark, sf_dir))
