@@ -48,21 +48,43 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    src = os.path.join(sf_dir, "events.parquet")
-    tag = hashlib.md5(src.encode()).hexdigest()[:8]
-    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # abspath: a relative sf_dir would otherwise produce a symlink whose
+    # relative target resolves against /tmp — a broken link the parquet
+    # stream source reads as an EMPTY directory (0 rows, no error)
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.isdir(src):
+        # already a directory of part files (Spark-written layout) —
+        # stream straight from it; a nested symlink would be invisible
+        # to the file source (non-partition subdirs are not recursed)
+        stage = src
+    else:
+        tag = hashlib.md5(src.encode()).hexdigest()[:8]
+        stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(
+            src
+        ):
+            os.remove(link)  # stale/broken link from an earlier process
+        if not os.path.lexists(link):
+            os.symlink(src, link)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .format("parquet")
-        .load(stage)
+    # the file stream source needs an explicit schema; the physical ts
+    # type varies by writer (driver testdata: INT64 nanos -> long under
+    # nanosAsLong; Spark-written copies: INT96/INT64 timestamps), so
+    # probe it with a batch footer read and adapt like suite.common.events
+    ts_type = dict(spark.read.parquet(stage).dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(stage)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", TimestampType())
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(schema).format("parquet").load(stage)
 
 
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
