@@ -145,10 +145,13 @@ def _commit_or_cleanup(
 
 
 def _read_files(spark: SparkSession, m: Manifest) -> DataFrame:
+    schema = StructType.fromJson(json.loads(m.schema_json))
     if not m.files:
-        schema = StructType.fromJson(json.loads(m.schema_json))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*m.files)
+    # explicit manifest schema: after additive schema evolution the
+    # manifest may list files written under an older (narrower) schema;
+    # parquet fills the missing columns with NULL
+    return spark.read.schema(schema).parquet(*m.files)
 
 
 def create(spark: SparkSession, path: str, df: DataFrame) -> int:
@@ -171,7 +174,11 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
 
 
 def merge(
-    spark: SparkSession, path: str, source: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    schema_evolution: bool = False,
 ) -> int:
     """MERGE ``source`` into the table: update matched keys (source row
     replaces target row), insert unmatched. Copy-on-write: only data
@@ -179,6 +186,13 @@ def merge(
     NULL-safe (a NULL key component matches NULL — upsert-by-key
     semantics, so rows keyed by an outer-join's NULL column update in
     place instead of duplicating).
+
+    With ``schema_evolution=True``, columns present only in ``source``
+    are appended to the table schema (additive evolution, the Delta
+    ``mergeSchema`` analog): existing rows and carried-over files read
+    NULL for the new columns; type changes are NOT evolution and still
+    error. Without it, the source must provide exactly the table's
+    columns.
 
     Returns the new version number. Raises :class:`ConcurrentWriteError`
     if another writer commits first (retry against the new snapshot).
@@ -188,6 +202,24 @@ def merge(
     new_version = base + 1
 
     cur = _read_files(spark, m)
+    schema_json = m.schema_json
+    if schema_evolution:
+        extra = [f for f in source.schema.fields if f.name not in set(cur.columns)]
+        if extra:
+            evolved = StructType(list(cur.schema.fields) + extra)
+            schema_json = evolved.json()
+            for f in extra:
+                cur = cur.withColumn(f.name, F.lit(None).cast(f.dataType))
+        missing = [f for f in cur.schema.fields if f.name not in source.columns]
+        for f in missing:
+            source = source.withColumn(f.name, F.lit(None).cast(f.dataType))
+    else:
+        extra_names = [c for c in source.columns if c not in set(cur.columns)]
+        if extra_names:
+            raise ValueError(
+                f"source has columns {extra_names} not in the table schema; "
+                "pass schema_evolution=True to append them"
+            )
     # normalize to the table's column order so every data file in the
     # manifest carries one physical layout (also enforces that the
     # source provides exactly the table's columns)
@@ -228,7 +260,7 @@ def merge(
 
     carried = [f for f in m.files if os.path.basename(f) not in touched]
     _commit_or_cleanup(
-        path, new_version, carried + new_files, new_files, m.schema_json, base
+        path, new_version, carried + new_files, new_files, schema_json, base
     )
     return new_version
 
@@ -277,6 +309,67 @@ def compact(spark: SparkSession, path: str, target_files: int) -> int:
     )
     _commit_or_cleanup(path, new_version, new_files, new_files, m.schema_json, base)
     return new_version
+
+
+def changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between two snapshots: the rows a downstream
+    consumer must apply to go from ``v_from`` to ``v_to``, tagged
+    ``_change_type`` in ('insert', 'update', 'delete') (updates carry
+    the post-image).
+
+    Copy-on-write makes this cheap without write-time change logs: a
+    data file listed in BOTH manifests is byte-identical, so only files
+    removed since ``v_from`` (rewritten/deleted) and files added by
+    ``v_to`` can contribute changes — a 10 GB MERGE against a 100 TB
+    table diffs the touched fraction, not two full snapshots. The two
+    sides full-outer join on the (NULL-safe) key; rows that were merely
+    copied unchanged into a rewritten file drop out. Schema evolution:
+    both sides are read under ``v_to``'s schema (old files yield NULL
+    for appended columns), so a row whose only difference is a newly
+    NULL column is correctly reported unchanged.
+    """
+    mf, mt = read_manifest(path, v_from), read_manifest(path, v_to)
+    schema = StructType.fromJson(json.loads(mt.schema_json))
+    removed = sorted(set(mf.files) - set(mt.files))
+    added = sorted(set(mt.files) - set(mf.files))
+
+    def side(files: list[str]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    old, new = side(removed), side(added)
+    val_cols = [c for c in schema.fieldNames() if c not in key_cols]
+    o = old.select(
+        F.struct(*key_cols).alias("_k"), F.struct(*schema.fieldNames()).alias("_o")
+    )
+    n = new.select(
+        F.struct(*key_cols).alias("_k"), F.struct(*schema.fieldNames()).alias("_n")
+    )
+    j = o.join(n, o["_k"].eqNullSafe(n["_k"]), "full_outer")
+    tag = (
+        F.when(o["_k"].isNull() & ~n["_k"].isNull(), F.lit("insert"))
+        .when(n["_k"].isNull() & ~o["_k"].isNull(), F.lit("delete"))
+        .when(
+            ~F.struct(*[o["_o"][c] for c in val_cols]).eqNullSafe(
+                F.struct(*[n["_n"][c] for c in val_cols])
+            ),
+            F.lit("update"),
+        )
+        .otherwise(F.lit(None))  # rewritten-but-unchanged row: no change
+    )
+    img = F.coalesce(n["_n"], o["_o"])
+    return (
+        j.select(tag.alias("_change_type"), img.alias("_row"))
+        .filter(F.col("_change_type").isNotNull())
+        .select("_change_type", *[F.col("_row")[c].alias(c) for c in schema.fieldNames()])
+    )
 
 
 def history(path: str) -> list[int]:

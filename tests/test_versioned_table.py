@@ -124,3 +124,68 @@ def test_insert_only_merge_carries_all_files(spark, table):
     m2 = acid.read_manifest(table, 2)
     assert set(m1.files) <= set(m2.files)
     assert acid.read(spark, table).count() == 110
+
+
+def test_changes_feed_tags_insert_update_delete(spark, table):
+    acid.merge(
+        spark, table, _df(spark, [(0, "UPD"), (500, "NEW")]), ["k"]
+    )  # v2: update k=0, insert k=500
+    acid.delete_where(spark, table, "k = 1")  # v3
+    got = {
+        (r._change_type, r.k): r.v
+        for r in acid.changes(spark, table, 1, 3, ["k"]).collect()
+    }
+    assert got == {("update", 0): "UPD", ("insert", 500): "NEW", ("delete", 1): "a1"}
+
+
+def test_changes_feed_ignores_rewritten_but_unchanged_rows(spark, table):
+    # k=0 shares a data file with other low keys; rewriting that file
+    # must not report its unchanged neighbors as changes
+    acid.merge(spark, table, _df(spark, [(0, "UPD")]), ["k"])
+    rows = acid.changes(spark, table, 1, 2, ["k"]).collect()
+    assert [(r._change_type, r.k, r.v) for r in rows] == [("update", 0, "UPD")]
+
+
+def test_changes_feed_reads_only_touched_files(spark, table):
+    m1, _ = acid.read_manifest(table, 1), acid.merge(
+        spark, table, _df(spark, [(0, "UPD")]), ["k"]
+    )
+    m2 = acid.read_manifest(table, 2)
+    # the diff inputs: files removed from v1 + files added by v2
+    touched = (set(m1.files) - set(m2.files)) | (set(m2.files) - set(m1.files))
+    assert len(touched) < len(set(m1.files) | set(m2.files)), (
+        "carried-over files must stay out of the CDC diff"
+    )
+
+
+def test_compact_produces_empty_change_feed(spark, table):
+    acid.compact(spark, table, target_files=2)
+    assert acid.changes(spark, table, 1, 2, ["k"]).count() == 0
+
+
+def test_merge_schema_evolution_appends_column(spark, table):
+    src = spark.createDataFrame(
+        [(0, "UPD", 1.5), (600, "NEW", 2.5)], "k long, v string, score double"
+    )
+    with pytest.raises(Exception):
+        acid.merge(spark, table, src, ["k"])  # strict mode still errors
+    v = acid.merge(spark, table, src, ["k"], schema_evolution=True)
+    cur = acid.read(spark, table)
+    assert cur.columns == ["k", "v", "score"]
+    got = {r.k: (r.v, r.score) for r in cur.collect()}
+    assert got[0] == ("UPD", 1.5) and got[600] == ("NEW", 2.5)
+    assert got[50] == ("a50", None), "old rows read NULL for the appended column"
+    # time travel to v1 keeps the original schema
+    assert acid.read(spark, table, version=1).columns == ["k", "v"]
+    # a later plain merge uses the evolved schema (missing col -> NULL? no:
+    # strict mode requires all columns; evolution fills source gaps)
+    acid.merge(
+        spark,
+        table,
+        spark.createDataFrame([(700, "X")], "k long, v string"),
+        ["k"],
+        schema_evolution=True,
+    )
+    got = {r.k: (r.v, r.score) for r in acid.read(spark, table).collect()}
+    assert got[700] == ("X", None)
+    assert v == 2
