@@ -301,3 +301,92 @@ def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- PII redaction -----------------------------------------------------------
+
+# Regex subset valid in BOTH Java (Spark) and RE2 (DuckDB): character
+# classes, bounded repetition, non-capturing groups; no backrefs or
+# lookaround. Redaction order matters: emails first (they contain dots
+# and digits the broader patterns would half-match).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9][0-9-]{6,}[0-9]"
+PII_IP_RE = r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}"
+
+_PII_AUG_SQL = (
+    "'contact u' || doc_id || '@example.com or +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+    "' from 192.168.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ' || text"
+)
+
+
+@register(
+    "ext_pii_redact",
+    """
+    WITH aug AS (
+      SELECT doc_id, {aug} AS raw FROM documents
+    ),
+    red AS (
+      SELECT doc_id, raw,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(raw, '{email}', '<EMAIL>', 'g'),
+            '{phone}', '<PHONE>', 'g'),
+          '{ip}', '<IP>', 'g') AS redacted
+      FROM aug
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(raw, '{email}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(raw, '{phone}')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(redacted, '{ip}')) AS BIGINT) AS n_ips_left,
+      md5(redacted) AS redacted_md5
+    FROM red
+    ORDER BY doc_id
+    """.format(
+        aug=_PII_AUG_SQL,
+        email=PII_EMAIL_RE,
+        phone=PII_PHONE_RE,
+        ip=PII_IP_RE.replace("?:", "?:"),
+    ),
+    doc="PII redaction stage: emails, phone numbers, and IPv4 "
+    "addresses replaced with typed placeholders via chained "
+    "regexp_replace (pure codegen column expressions - no UDF, no "
+    "shuffle; the scan-transform-write shape at 100 TB). The synthetic "
+    "corpus has no PII, so each row deterministically embeds "
+    "doc_id-derived PII first; counts before/after prove every "
+    "occurrence was caught. Regexes stay in the Java-RE2-common "
+    "subset so Spark and the oracle replace identical spans.",
+)
+def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    raw = F.expr(
+        "concat('contact u', doc_id, '@example.com or +1-555-', "
+        "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), "
+        "' from 192.168.', CAST(doc_id % 256 AS STRING), '.7 ', text)"
+    )
+    aug = docs.select("doc_id", raw.alias("raw"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IP_RE,
+        "<IP>",
+    )
+    return (
+        aug.select(
+            "doc_id",
+            F.regexp_count("raw", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+            F.regexp_count("raw", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+            redacted.alias("redacted"),
+        )
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            F.regexp_count("redacted", F.lit(PII_IP_RE)).cast("long").alias("n_ips_left"),
+            F.md5("redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
