@@ -346,7 +346,7 @@ _PII_AUG_SQL = (
         aug=_PII_AUG_SQL,
         email=PII_EMAIL_RE,
         phone=PII_PHONE_RE,
-        ip=PII_IP_RE.replace("?:", "?:"),
+        ip=PII_IP_RE,
     ),
     doc="PII redaction stage: emails, phone numbers, and IPv4 "
     "addresses replaced with typed placeholders via chained "

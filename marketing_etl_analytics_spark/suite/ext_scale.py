@@ -1034,3 +1034,123 @@ def ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
         .limit(NGRAM_TOPK)
     )
+
+
+# --- incremental (cross-corpus) dedup ----------------------------------------
+
+from marketing_etl_analytics_spark.suite.ext import (  # noqa: E402
+    _SQL_BAND_SIG,
+    _SQL_MH_MINS,
+    MH_PRIME,
+    N_BANDS,
+    N_PERM,
+    PERM_A,
+    PERM_B,
+    ROWS_PER_BAND,
+    SQL_SHINGLES,
+    shingle_rows,
+)
+
+
+@register(
+    "ext_dedup_incremental",
+    f"""
+    WITH split AS (
+      SELECT CAST(floor(MAX(doc_id) * 0.8) AS BIGINT) AS cut FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, (doc_id >= (SELECT cut FROM split)) AS incoming,
+        {SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    exploded AS (
+      SELECT doc_id, incoming,
+        ('0x' || substr(md5(unnest(shingles)), 1, 12))::BIGINT % {MH_PRIME} AS h
+      FROM shingled
+    ),
+    hashed AS (
+      SELECT doc_id, incoming,
+             {_SQL_MH_MINS}
+      FROM exploded
+      GROUP BY doc_id, incoming
+    ),
+    bands0 AS (
+      SELECT doc_id, incoming, band,
+             CASE band {_SQL_BAND_SIG} END AS band_sig
+      FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
+    ),
+    bands AS ({sql_cap_lsh_buckets("SELECT * FROM bands0", "band, band_sig")})
+    SELECT i.doc_id AS incoming_id, c.doc_id AS corpus_id,
+           CAST(COUNT(*) AS BIGINT) AS shared_bands
+    FROM bands i JOIN bands c
+      ON i.band = c.band AND i.band_sig = c.band_sig
+     AND i.incoming AND NOT c.incoming
+    GROUP BY i.doc_id, c.doc_id
+    ORDER BY shared_bands DESC, incoming_id, corpus_id
+    """,
+    doc="Incremental cross-corpus dedup (the continuous-ingest shape): "
+    "the newest 20% of docs are matched against the standing corpus "
+    "via the MinHash band join, ASYMMETRICALLY — incoming x corpus "
+    "only, never corpus x corpus — so a daily delta against a 100 TB "
+    "corpus generates candidates proportional to the delta, not the "
+    "corpus. At scale the corpus-side band signatures are a persisted "
+    "index (built once per corpus version via sources/acid.py, reused "
+    "every ingest); the same spam-signature cap bounds bucket fanout.",
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.floor(F.max("doc_id") * 0.8).cast("long").alias("cut")
+    )
+    tagged = docs.crossJoin(F.broadcast(cut)).withColumn(
+        "incoming", F.col("doc_id") >= F.col("cut")
+    )
+    exploded = shingle_rows(tagged, "incoming").select(
+        "doc_id",
+        "incoming",
+        (
+            F.conv(F.substring(F.md5("sh_str"), 1, 12), 16, 10).cast("long")
+            % MH_PRIME
+        ).alias("h"),
+    )
+    hashed = exploded.groupBy("doc_id", "incoming").agg(
+        *[
+            F.min((F.col("h") * PERM_A[p] + PERM_B[p]) % MH_PRIME).alias(f"mh{p}")
+            for p in range(N_PERM)
+        ]
+    )
+    bands = hashed.select(
+        "doc_id",
+        "incoming",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{b * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "incoming", "bs.band", "bs.band_sig")
+    bands = cap_lsh_buckets(bands, ["band", "band_sig"]).localCheckpoint(eager=False)
+    inc = bands.filter(F.col("incoming")).select(
+        F.col("doc_id").alias("incoming_id"), "band", "band_sig"
+    )
+    corp = bands.filter(~F.col("incoming")).select(
+        F.col("doc_id").alias("corpus_id"), "band", "band_sig"
+    )
+    return (
+        inc.join(corp, ["band", "band_sig"])
+        .groupBy("incoming_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared_bands"))
+        .orderBy(F.desc("shared_bands"), "incoming_id", "corpus_id")
+    )

@@ -288,3 +288,55 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("click_id", "view_id")
+
+
+# --- Structured Streaming stream-static enrichment join ----------------------
+
+@register(
+    "stream_enrich_join",
+    """
+    SELECT c.c_nationkey AS nationkey,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY nationkey
+    """,
+    doc="Stream-static enrichment join: the event stream joined to the "
+    "static customer dimension (broadcast hash join inside every "
+    "micro-batch - stateless, no watermark, no state store; the "
+    "dimension is re-resolvable per batch, which is how slowly-"
+    "changing dims stay fresh at scale). The enriched stream lands in "
+    "the sink; the returned aggregate must equal the batch join.",
+)
+def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_events_stream(spark, sf_dir)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "value", "c_nationkey")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from marketing_etl_analytics_spark.suite.common import money
+
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("nationkey")
+    )
