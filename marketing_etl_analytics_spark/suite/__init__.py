@@ -47,26 +47,34 @@ _PRIORITY = [
     "etl_fact_sales", "etl_upsert_dedup", "etl_merge_upsert",
     # reference-parity: the 3 views
     "v_channel_daily", "v_kpi_channel", "v_kpi_campaign",
-    # LLM-pipeline: dedup / ANN / text / multimodal / windowed stream
-    "ext_dedup_exact", "ext_dedup_minhash_lsh", "ext_dedup_ngram_jaccard",
+    # LLM-pipeline: dedup / ANN / text / multimodal / windowed stream.
+    # The hash-based LSH entries stay graded because their skew-guard
+    # rework postdates round 1; ext_dedup_exact / ext_ann_cosine_topk /
+    # ext_ann_lsh_bucketed / ext_token_count / ext_fingerprint are green
+    # in CORRECTNESS_r01.json under these exact names with code
+    # UNCHANGED since that grading, so they yield their window slots to
+    # entries that have no driver row yet and take tail positions
+    # (still pytest + diffcheck covered).
+    "ext_dedup_minhash_lsh", "ext_dedup_ngram_jaccard",
     "ext_dedup_simhash", "ext_dedup_embedding_cosine", "ext_dedup_cluster",
-    "ext_ann_cosine_topk", "ext_ann_lsh_bucketed", "ext_ann_ivf",
-    "ext_ann_ivf_kmeans",
-    "ext_token_count", "ext_fingerprint",
+    "ext_dedup_incremental", "ext_ann_ivf", "ext_ann_ivf_kmeans",
     "ext_tfidf", "ext_ngram_topk", "ext_sessionize", "ext_curation_pipeline",
     "ext_decontaminate", "ext_sample_stratified", "ext_repetition_filter",
+    "ext_pii_redact", "ext_sketch_kmv",
     "ext_multimodal_meta", "ext_stream_daily_window",
     # UDF + streaming surface
     "rel_pandas_udf", "rel_apply_in_pandas", "stream_dedup", "stream_sessionize",
-    "stream_attribution_join",
+    "stream_attribution_join", "stream_enrich_join",
     # scale-critical relational operators; rel_window_frames and
-    # rel_rollup_grouping_sets are round-2 consolidations whose NEW names
-    # have no CORRECTNESS row yet — they outrank ext_text_quality /
-    # ext_lang_id (green in round 1 under these exact names, and both
-    # pure column expressions pinned by pytest + diffcheck).
+    # rel_rollup_grouping_sets are round-2 consolidations and
+    # rel_time_rollup is round-2-new, so none has a green row yet —
+    # they outrank the round-1-green capability rows below.
     "rel_scalar_subquery", "rel_window_frames", "rel_rollup_grouping_sets",
+    "rel_time_rollup",
     "rel_asof_join", "rel_range_join", "rel_salted_agg", "rel_window_topn",
     "ext_text_quality", "ext_lang_id",
+    "ext_dedup_exact", "ext_ann_cosine_topk", "ext_ann_lsh_bucketed",
+    "ext_token_count", "ext_fingerprint",
 ]
 
 _missing = [n for n in _PRIORITY if n not in SUITE]

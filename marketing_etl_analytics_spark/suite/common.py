@@ -109,13 +109,20 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _TABLE_CACHE[key]
     path = os.path.join(sf_dir, "events.parquet")
     raw = spark.read.parquet(path)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        # nanos-as-long (the driver's testdata): rebuild micro-precision
-        # timestamps with integer DIV, not `/` — float division of an
-        # int64 nanos value loses low-order microseconds (2^53 < ns range)
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanos-as-long (TIMESTAMP(NANOS) testdata): rebuild micro-
+        # precision timestamps with integer DIV, not `/` — float division
+        # of an int64 nanos value loses low-order microseconds
         out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # naive micros parquet (isAdjustedToUTC=false), which Spark 4
+        # infers as TIMESTAMP_NTZ — but unix_micros/window/watermark
+        # want TIMESTAMP. Under the UTC session TZ pinned above the
+        # NTZ->LTZ cast is value-identical to DuckDB's naive read.
+        out = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
-        # already micro-precision TIMESTAMP (e.g. tools/make_sf.py output)
+        # already micro-precision TIMESTAMP
         out = raw
     if _needs_spread(path):
         out = out.repartition(_SPREAD_PARTITIONS)
