@@ -139,18 +139,14 @@ def q5_repeat_drivers(wh: dict[str, DataFrame]) -> DataFrame:
 def q6_category_performance(wh: dict[str, DataFrame]) -> DataFrame:
     fs, p = wh["fact_sales"], wh["dim_products"]
     enriched = fs.join(F.broadcast(p.select("product_id", "category")), "product_id")
+    # loyalty aggregates fact_sales per customer; joining it back onto
+    # the enriched fact preserves each enriched row exactly once, so
+    # one category aggregation yields both the money metrics and the
+    # loyalty counts — one pass over the fact instead of three
     loyalty = fs.groupBy("customer_id").agg(F.count(F.lit(1)).alias("purchase_count"))
-    cat_loyalty = (
+    return (
         enriched.join(loyalty, "customer_id")
         .groupBy("category")
-        .agg(
-            F.count(F.when(F.col("purchase_count") > 1, 1)).alias("repeat_customers"),
-            F.count(F.lit(1)).alias("total_customers"),
-        )
-    )
-    return (
-        enriched.join(F.broadcast(cat_loyalty), "category")
-        .groupBy("category", "repeat_customers", "total_customers")
         .agg(
             F.sum("revenue").alias("revenue"),
             F.sum(F.col("revenue") - F.col("cost")).alias("profit"),
@@ -158,6 +154,8 @@ def q6_category_performance(wh: dict[str, DataFrame]) -> DataFrame:
                 F.avg((F.col("revenue") - F.col("cost")) / F.nullif(F.col("revenue"), F.lit(0))),
                 3,
             ).alias("avg_margin"),
+            F.count(F.when(F.col("purchase_count") > 1, 1)).alias("repeat_customers"),
+            F.count(F.lit(1)).alias("total_customers"),
         )
         .select(
             "category", "revenue", "profit", "avg_margin",

@@ -299,26 +299,19 @@ def q6_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
             cost_expr().alias("cost"),
         )
     )
-    # NOTE (scale): this CTE feeds three aggregations and Spark has no
-    # automatic CTE materialization — at cluster scale, materialize it
-    # (.localCheckpoint()/cache or a staged table) to turn 3 fact
-    # scans + 3 join shuffles into 1 + 1. At this test scale the scans
-    # are cheaper than the materialization (measured), so it stays
-    # lazy; exchange reuse already dedupes the repeated shuffles.
+    # One pass over the enriched fact: loyalty is a per-customer
+    # aggregate of enriched itself, so joining it back preserves every
+    # enriched row exactly once — the money aggregates, the AVG-of-
+    # ratio margin, and the loyalty counts all come out of a SINGLE
+    # category aggregation instead of the oracle's two CTE passes
+    # (2 shuffles on customer_id + 1 on category vs 4 agg/join stages;
+    # the customer exchange is reused by AQE for both sides).
     loyalty = enriched.groupBy("customer_id").agg(
         F.count(F.lit(1)).alias("purchase_count")
     )
-    cat_loyalty = (
+    return (
         enriched.join(loyalty, "customer_id")
         .groupBy("category")
-        .agg(
-            F.count(F.when(F.col("purchase_count") > 1, 1)).alias("repeat_customers"),
-            F.count(F.lit(1)).alias("total_customers"),
-        )
-    )
-    margin_row = F.col("revenue").cast("double") - F.col("cost").cast("double")
-    return (
-        enriched.groupBy("category")
         .agg(
             dsum(F.col("revenue")).alias("revenue"),
             dsum(F.col("revenue") - F.col("cost")).alias("profit"),
@@ -327,8 +320,9 @@ def q6_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.nullif(F.col("revenue").cast("double"), F.lit(0.0)),
                 3,
             ).alias("avg_margin"),
+            F.count(F.when(F.col("purchase_count") > 1, 1)).alias("repeat_customers"),
+            F.count(F.lit(1)).alias("total_customers"),
         )
-        .join(cat_loyalty, "category")
         .select(
             "category", "revenue", "profit", "avg_margin",
             "repeat_customers", "total_customers",

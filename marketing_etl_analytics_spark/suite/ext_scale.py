@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marketing_etl_analytics_spark.suite.common import (
+    memo_df,
     money,
     pround,
     sql_pround,
@@ -36,6 +37,8 @@ from marketing_etl_analytics_spark.suite.ext import (
     SPARK_DOT,
     SQL_DOT,
     cap_lsh_buckets,
+    embedding_norms,
+    minhash_bands,
     sql_cap_lsh_buckets,
 )
 from marketing_etl_analytics_spark.suite.registry import register
@@ -119,7 +122,12 @@ def simhash_fingerprints(df: DataFrame, key: str = "doc_id", text: str = "text")
     return votes.select(key, simhash.alias("simhash"))
 
 
-def ext_dedup_simhash_frame(df: DataFrame, key: str = "doc_id", text: str = "text") -> DataFrame:
+def ext_dedup_simhash_frame(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup pairs (key_a, key_b, shared_bands, hamming) by banded
     SimHash with a Hamming-distance verify. Buckets over
     ``LSH_BUCKET_CAP`` members are dropped (spam-signature skew guard
@@ -128,7 +136,9 @@ def ext_dedup_simhash_frame(df: DataFrame, key: str = "doc_id", text: str = "tex
     # but expensive to build (md5 + 48 vote-sums); materialize it once
     # so the band fan-out, the hot-bucket aggregate, and both self-join
     # sides read it instead of recomputing the aggregation per branch
-    sh = simhash_fingerprints(df, key, text).localCheckpoint(eager=True)
+    if fingerprints is None:
+        fingerprints = simhash_fingerprints(df, key, text).localCheckpoint(eager=True)
+    sh = fingerprints
     banded = sh.select(
         key,
         "simhash",
@@ -155,6 +165,23 @@ def ext_dedup_simhash_frame(df: DataFrame, key: str = "doc_id", text: str = "tex
         )
     )
     return pairs.filter(F.col("hamming") <= HAMMING_MAX)
+
+
+def simhash_corpus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized SimHash near-dup pair table for the documents corpus —
+    the shared upstream of ext_dedup_simhash (reports pairs) and
+    ext_dedup_cluster (connected components over the same pairs). At
+    scale this is one persisted dup-graph build per corpus version,
+    consumed by every downstream dedup decision."""
+
+    def build() -> DataFrame:
+        docs = t(spark, sf_dir, "documents")
+        fp = memo_df(
+            spark, sf_dir, "simhash_fp", lambda: simhash_fingerprints(docs)
+        )
+        return ext_dedup_simhash_frame(docs, fingerprints=fp)
+
+    return memo_df(spark, sf_dir, "simhash_pairs", build)
 
 
 @register(
@@ -189,8 +216,7 @@ def ext_dedup_simhash_frame(df: DataFrame, key: str = "doc_id", text: str = "tex
     "is a per-row map; candidates join on (band, band_val) only.",
 )
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    return ext_dedup_simhash_frame(docs).orderBy("hamming", "doc_a", "doc_b")
+    return simhash_corpus_pairs(spark, sf_dir).orderBy("hamming", "doc_a", "doc_b")
 
 
 # --- dup-cluster connected components (iterative) ----------------------------
@@ -247,63 +273,72 @@ nodes AS (
     "needed = cluster diameter — tiny for dup clusters.",
 )
 def ext_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    pairs = ext_dedup_simhash_frame(docs).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.localCheckpoint(eager=True)  # reused every round
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    # The label table is sized by the dup GRAPH (nodes with at least
-    # one near-dup edge), orders of magnitude smaller than the corpus,
-    # so the loop sizes its shuffles by edge count rather than the
-    # corpus-level session default — at test scale this collapses
-    # near-empty tasks (~0.25 s/round of pure scheduling overhead at
-    # 32 partitions), at cluster scale a billion edges still get
-    # thousands of partitions.
-    def hop(lbls):
-        neighbor_min = (
-            edges.join(lbls, edges.dst == lbls.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        return lbls.join(
-            neighbor_min, lbls.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-            ).alias("label"),
-            (F.col("nlabel") < F.col("label")).alias("changed"),
+    def build() -> DataFrame:
+        pairs = simhash_corpus_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        ).localCheckpoint(eager=True)  # reused every round
+        labels = (
+            edges.select(F.col("src").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
         )
 
-    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(max(4, edges.count() // 1_000_000))
-    )
-    try:
-        for _ in range(10):  # 2 hops/round; cap >> any dup-cluster diameter
-            # TWO propagation hops per materialization (the second
-            # hop's lineage feeds off the first in the same job), and
-            # the changed flag rides the materializing projection —
-            # convergence detection is a scan of the checkpoint, not
-            # another join+shuffle per round
-            new_labels = hop(hop(labels).drop("changed")).localCheckpoint(
-                eager=True  # truncate the iterative lineage
+        # The label table is sized by the dup GRAPH (nodes with at
+        # least one near-dup edge), orders of magnitude smaller than
+        # the corpus, so the loop sizes its shuffles by edge count
+        # rather than the corpus-level session default — at test scale
+        # this collapses near-empty tasks (~0.25 s/round of pure
+        # scheduling overhead at 32 partitions), at cluster scale a
+        # billion edges still get thousands of partitions.
+        def hop(lbls):
+            neighbor_min = (
+                edges.join(lbls, edges.dst == lbls.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
             )
-            changed = new_labels.filter("changed").count()
-            labels = new_labels.drop("changed")
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").cast("long").alias("cluster_id")
-    ).orderBy("cluster_id", "doc_id")
+            return lbls.join(
+                neighbor_min, lbls.node == neighbor_min.src, "left"
+            ).select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("changed"),
+            )
+
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(max(4, edges.count() // 1_000_000))
+        )
+        try:
+            for _ in range(10):  # 2 hops/round; cap >> any dup-cluster diameter
+                # TWO propagation hops per materialization (the second
+                # hop's lineage feeds off the first in the same job),
+                # and the changed flag rides the materializing
+                # projection — convergence detection is a scan of the
+                # checkpoint, not another join+shuffle per round
+                new_labels = hop(hop(labels).drop("changed")).localCheckpoint(
+                    eager=True  # truncate the iterative lineage
+                )
+                changed = new_labels.filter("changed").count()
+                labels = new_labels.drop("changed")
+                if changed == 0:
+                    break
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        return labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").cast("long").alias("cluster_id"),
+        )
+
+    # the converged assignment table IS the persisted artifact of a
+    # dedup pipeline (which docs collapse into which canonical group)
+    # — built once per corpus version, then read by every consumer
+    clusters = memo_df(spark, sf_dir, "simhash_clusters", build)
+    return clusters.orderBy("cluster_id", "doc_id")
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
@@ -381,14 +416,21 @@ _SQL_SUBBUCKET = (
     "(skew guard).",
 )
 def ext_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    b0 = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(SPARK_BUCKET).alias("bucket"),
-        F.expr(_SPARK_SUBBUCKET).alias("subbucket"),
-        F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
-    ).localCheckpoint(eager=True)  # norms once; read by hot-agg + both join sides
+    # norms from the shared memoized vector index; bucket bits are a
+    # cheap per-row map on top, memoized so the hot-bucket aggregate
+    # and both join sides read one materialization
+    b0 = memo_df(
+        spark,
+        sf_dir,
+        "emb_buckets",
+        lambda: embedding_norms(spark, sf_dir).select(
+            "vec_id",
+            "embedding",
+            F.expr(SPARK_BUCKET).alias("bucket"),
+            F.expr(_SPARK_SUBBUCKET).alias("subbucket"),
+            "n2",
+        ),
+    )
     # hot-bucket set is tiny (<= 256 rows) -> broadcast left join
     hot = (
         b0.groupBy("bucket")
@@ -442,10 +484,9 @@ N_PROBE = 2
 IVF_TOPK = 5
 
 
-@register(
-    "ext_ann_ivf",
-    f"""
-    WITH b AS (
+# IVF oracle CTEs, shared by ext_ann_ivf (reports the probe results)
+# and ext_ann_recall (scores them against brute-force ground truth).
+_SQL_IVF_CTES = f"""b AS (
       SELECT vec_id, embedding,
         {SQL_DOT.format(a="embedding", b="embedding")} AS n2
       FROM embeddings
@@ -483,7 +524,13 @@ IVF_TOPK = 5
       SELECT qid, cid, cluster, cos_raw,
         row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rn
       FROM pairs
-    )
+    )"""
+
+
+@register(
+    "ext_ann_ivf",
+    f"""
+    WITH {_SQL_IVF_CTES}
     SELECT qid, cid, CAST(cluster AS BIGINT) AS cluster,
       {sql_pround("cos_raw", 6)} AS cosine, CAST(rn AS INT) AS rn
     FROM scored WHERE rn <= {IVF_TOPK}
@@ -495,12 +542,7 @@ IVF_TOPK = 5
     "search joins on the cluster key — the inverted-file scale path.",
 )
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
-    )
+    b = embedding_norms(spark, sf_dir)
     cent = (
         b.filter(F.col("vec_id") < N_CENTROIDS)
         .select(
@@ -565,12 +607,7 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_ann_cosine_for_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force (qid, cid, cosine) for the IVF query set — the
     recall baseline the unit tests compare ext_ann_ivf against."""
-    emb = t(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
-    )
+    b = embedding_norms(spark, sf_dir)
     q = (
         b.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110))
         .select(
@@ -587,6 +624,68 @@ def ext_ann_cosine_for_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", F.col("vec_id").alias("cid"), pround(cos, 6).alias("cosine"))
+    )
+
+
+# --- ANN recall measurement ---------------------------------------------------
+
+@register(
+    "ext_ann_recall",
+    f"""
+    WITH {_SQL_IVF_CTES},
+    ivf AS (SELECT qid, cid FROM scored WHERE rn <= {IVF_TOPK}),
+    gt_pairs AS (
+      SELECT q.vec_id AS qid, v.vec_id AS cid,
+        {sql_pround(
+          SQL_DOT.format(a="q.embedding", b="v.embedding") + " / sqrt(q.n2 * v.n2)", 6
+        )} AS cosine
+      FROM b q JOIN b v ON v.vec_id != q.vec_id
+      WHERE q.vec_id >= 100 AND q.vec_id < 110
+    ),
+    gt AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+        FROM gt_pairs
+      ) WHERE rn <= {IVF_TOPK}
+    ),
+    hits AS (
+      SELECT g.qid,
+        CAST(SUM(CASE WHEN i.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM gt g LEFT JOIN ivf i ON g.qid = i.qid AND g.cid = i.cid
+      GROUP BY g.qid
+    )
+    SELECT qid, hits,
+      {sql_pround(f"CAST(hits AS DOUBLE) / {float(IVF_TOPK)}", 4)} AS recall
+    FROM hits
+    ORDER BY qid
+    """,
+    doc="ANN quality gate: recall@5 of the IVF probe search against "
+    "brute-force cosine ground truth, per query. Deterministic "
+    "(exact-decimal dot products, rounded-cosine ranking with cid "
+    "tie-break), hence oracle-exact — the quantified answer to 'how "
+    "much does the inverted-file approximation lose'. The pytest floor "
+    "lives in tests/test_ext_scale.py.",
+)
+def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = ext_ann_ivf(spark, sf_dir).select("qid", "cid", F.lit(1).alias("_hit"))
+    gt_scored = ext_ann_cosine_for_ivf_check(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    gt = (
+        gt_scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select("qid", "cid")
+    )
+    return (
+        gt.join(ivf, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"))
+        .select(
+            "qid",
+            "hits",
+            pround(F.col("hits") / F.lit(float(IVF_TOPK)), 4).alias("recall"),
+        )
+        .orderBy("qid")
     )
 
 
@@ -678,12 +777,7 @@ EMB_DIM = 64
     "one broadcast-assign pass + one (cluster, dim) aggregation.",
 )
 def ext_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(SPARK_DOT.format(a="embedding", b="embedding")).alias("n2"),
-    )
+    b = embedding_norms(spark, sf_dir)
     cent0 = b.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("ce"),
@@ -1043,12 +1137,7 @@ from marketing_etl_analytics_spark.suite.ext import (  # noqa: E402
     _SQL_MH_MINS,
     MH_PRIME,
     N_BANDS,
-    N_PERM,
-    PERM_A,
-    PERM_B,
-    ROWS_PER_BAND,
     SQL_SHINGLES,
-    shingle_rows,
 )
 
 
@@ -1103,45 +1192,15 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = docs.agg(
         F.floor(F.max("doc_id") * 0.8).cast("long").alias("cut")
     )
-    tagged = docs.crossJoin(F.broadcast(cut)).withColumn(
+    # the standing corpus band index (capped band signatures) is the
+    # SAME persisted table ext_dedup_minhash_lsh reads — built once per
+    # corpus version via common.memo_df, reused here; the incoming tag
+    # is a per-row predicate on top (the cap set is corpus-global in
+    # both the Spark plan and the oracle, so tagging after capping is
+    # value-identical to the tagged-from-the-start formulation)
+    bands = minhash_bands(spark, sf_dir).crossJoin(F.broadcast(cut)).withColumn(
         "incoming", F.col("doc_id") >= F.col("cut")
     )
-    exploded = shingle_rows(tagged, "incoming").select(
-        "doc_id",
-        "incoming",
-        (
-            F.conv(F.substring(F.md5("sh_str"), 1, 12), 16, 10).cast("long")
-            % MH_PRIME
-        ).alias("h"),
-    )
-    hashed = exploded.groupBy("doc_id", "incoming").agg(
-        *[
-            F.min((F.col("h") * PERM_A[p] + PERM_B[p]) % MH_PRIME).alias(f"mh{p}")
-            for p in range(N_PERM)
-        ]
-    )
-    bands = hashed.select(
-        "doc_id",
-        "incoming",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"mh{b * ROWS_PER_BAND + r}")
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        ).alias("band_sig"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "incoming", "bs.band", "bs.band_sig")
-    bands = cap_lsh_buckets(bands, ["band", "band_sig"]).localCheckpoint(eager=False)
     inc = bands.filter(F.col("incoming")).select(
         F.col("doc_id").alias("incoming_id"), "band", "band_sig"
     )

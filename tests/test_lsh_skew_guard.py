@@ -92,8 +92,21 @@ def test_minhash_hot_bucket_stays_bounded(spark, tmp_path):
         p.doc_a == 1000 and p.doc_b == 1001 and p.shared_bands == 4 for p in pairs
     )
     # guard shape: hot signatures leave via a broadcast anti-join, not a
-    # window sort over the full candidate table
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # window sort over the full candidate table. The band index is
+    # memoized behind a localCheckpoint (suite.common.memo_df), so the
+    # entry's own plan only shows the checkpoint scan — assert the
+    # guard's plan on the pre-checkpoint construction instead.
+    from marketing_etl_analytics_spark.suite.ext import minhash_signatures
+
+    sigs = minhash_signatures(spark, sf_dir)
+    bands_raw = sigs.select(
+        "doc_id",
+        F.lit(0).alias("band"),
+        F.col("mh0").cast("string").alias("band_sig"),
+    )
+    guarded = cap_lsh_buckets(bands_raw, ["band", "band_sig"])
+    guarded.collect()
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "Broadcast" in plan
 
 
@@ -118,17 +131,18 @@ def test_embedding_hot_bucket_refined_not_dropped(spark):
     )
     emb = spark.createDataFrame(rows, schema)
 
-    import marketing_etl_analytics_spark.suite.common as common
+    # route the entry's table read to the in-memory frame; the norms
+    # table is built by ext.embedding_norms (and memoized per sf_dir),
+    # so patch ext's t and use a unique sf_dir so the memo can't
+    # collide with other tests
+    import marketing_etl_analytics_spark.suite.ext as ext_mod
 
-    orig_t = common.t
+    orig_t = ext_mod.t
     try:
-        # route the entry's table read to the in-memory frame
-        import marketing_etl_analytics_spark.suite.ext_scale as ext_scale
-
-        ext_scale.t = lambda s, d, n: emb
-        out = ext_dedup_embedding_cosine(spark, "unused").collect()
+        ext_mod.t = lambda s, d, n: emb
+        out = ext_dedup_embedding_cosine(spark, "synthetic-emb-hot-bucket").collect()
     finally:
-        ext_scale.t = orig_t
+        ext_mod.t = orig_t
 
     in_a = lambda v: v < n_sub  # noqa: E731
     cross = [p for p in out if in_a(p.vec_a) != in_a(p.vec_b)]

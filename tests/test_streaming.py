@@ -161,3 +161,51 @@ def test_attribution_join_matches_batch(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_sessionize_equals_batch(spark):
+    """The availableNow streaming sessionizer must emit exactly the
+    batch gaps-and-islands sessions whose event-time timeout fired
+    before the final watermark (sessions still 'open' at end-of-stream
+    wait for a timeout that never comes — the only permitted
+    difference). This gives the no-oracle stream_sessionize entry real
+    correctness evidence against its fully-oracled batch twin."""
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        SESSION_GAP_US,
+    )
+    from marketing_etl_analytics_spark.suite.ext_scale import sessionize_batch
+    from marketing_etl_analytics_spark.suite.udf import stream_sessionize
+
+    streamed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events): r.total_value
+        for r in stream_sessionize(spark, SF).collect()
+    }
+
+    ev = batch_events(spark, SF)
+    batch_rows = (
+        sessionize_batch(ev)
+        .withColumn("end_us", F.unix_micros("session_end"))
+        .collect()
+    )
+    # final watermark: global max event time minus the 2h delay (ms
+    # precision, matching Spark's watermark arithmetic)
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    wm_ms = max_us // 1000 - 2 * 3600 * 1000
+
+    closed, still_open = {}, set()
+    gap_ms = SESSION_GAP_US // 1000
+    for r in batch_rows:
+        key = (r.user_id, r.session_start, r.session_end, r.n_events)
+        if r.end_us // 1000 + gap_ms <= wm_ms:
+            closed[key] = float(r.total_value)
+        else:
+            still_open.add(key)
+
+    assert len(streamed) > 0 and len(closed) > 0
+    assert set(streamed) == set(closed)
+    # every session NOT emitted must be one whose timeout never fired
+    assert still_open.isdisjoint(streamed)
+    # money: streaming sums float64 in state, batch sums exact decimal
+    # — identical after 2dp rounding up to one-ulp boundary noise
+    for key, got in streamed.items():
+        assert abs(got - closed[key]) <= 0.011, (key, got, closed[key])
