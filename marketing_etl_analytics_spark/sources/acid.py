@@ -32,10 +32,18 @@ Single-table layout::
     <path>/_versions/v0000N.json -> {"files": [...], "schema": ...}
     <path>/data/v0000N-<nonce>/part-*.parquet
 
+- **Statistics-based file skipping.** Manifests record per-file
+  min/max (+ null count) for declared stats columns (the Delta
+  ``dataSkippingNumIndexedCols`` analog). ``merge`` prunes its
+  touched-file scan to files whose key range can intersect the source
+  keys, and ``read_range`` serves selective reads from the candidate
+  files only — a point MERGE against a 100 TB table plans against
+  file-count metadata and scans the overlapping fraction.
+
 Not implemented (documented non-goals at this scope): multi-table
-transactions, a commit service for cross-host writers on non-POSIX
+transactions and a commit service for cross-host writers on non-POSIX
 stores (S3 needs a DynamoDB-style arbiter — same gap Delta has
-without a LogStore), and statistics-based file skipping.
+without a LogStore).
 """
 
 from __future__ import annotations
@@ -61,6 +69,9 @@ class Manifest:
     files: list[str]
     schema_json: str
     parent: int | None
+    # per-file column statistics: {basename: {col: [min, max, n_null]}}
+    stats: dict | None = None
+    stats_cols: list[str] | None = None
 
 
 def _versions_dir(path: str) -> str:
@@ -88,16 +99,26 @@ def read_manifest(path: str, version: int) -> Manifest:
         files=m["files"],
         schema_json=m["schema"],
         parent=m.get("parent"),
+        stats=m.get("stats"),
+        stats_cols=m.get("stats_cols"),
     )
 
 
 def _commit(path: str, version: int, files: list[str], schema_json: str,
-            parent: int | None) -> None:
+            parent: int | None, stats: dict | None = None,
+            stats_cols: list[str] | None = None) -> None:
     """O_EXCL manifest creation is the commit arbiter; the pointer swap
     is atomic, so readers never observe a partial commit."""
     os.makedirs(_versions_dir(path), exist_ok=True)
     body = json.dumps(
-        {"files": files, "schema": schema_json, "parent": parent}, indent=1
+        {
+            "files": files,
+            "schema": schema_json,
+            "parent": parent,
+            "stats": stats,
+            "stats_cols": stats_cols,
+        },
+        indent=1,
     )
     try:
         with open(_manifest_path(path, version), "x") as f:
@@ -125,6 +146,80 @@ def _write_data_files(df: DataFrame, path: str, version: int) -> list[str]:
     )
 
 
+# --- per-file statistics (data skipping) ------------------------------------
+
+# stats are kept only for types whose min/max survive a JSON round
+# trip exactly — a lossy bound (e.g. decimal -> float) could prune a
+# file that actually contains a matching key
+_STATS_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "string"
+)
+
+
+def eligible_stats_cols(schema: StructType, wanted: list[str] | None) -> list[str]:
+    if not wanted:
+        return []
+    ok = {f.name for f in schema.fields if f.dataType.simpleString() in _STATS_TYPES}
+    return [c for c in wanted if c in ok]
+
+
+def _collect_stats(
+    spark: SparkSession, files: list[str], stats_cols: list[str]
+) -> dict:
+    """{basename: {col: [min, max, n_null]}} for just-written files —
+    one scan of the delta (the write path already holds it hot), same
+    as a table format computing footer stats at commit time."""
+    if not files or not stats_cols:
+        return {}
+    df = spark.read.parquet(*files).withColumn(
+        "_vt_file", _basename(F.input_file_name())
+    )
+    aggs = []
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+        ]
+    out: dict = {}
+    for r in df.groupBy("_vt_file").agg(*aggs).collect():
+        out[r["_vt_file"]] = {
+            c: [r[f"mn_{c}"], r[f"mx_{c}"], int(r[f"nn_{c}"] or 0)]
+            for c in stats_cols
+        }
+    return out
+
+
+def _file_may_match(
+    entry: dict | None, col: str, lo, hi, src_has_null: bool
+) -> bool:
+    """Conservative skip test: True unless the file's recorded range
+    provably excludes every source key."""
+    if not entry or col not in entry:
+        return True  # no stats recorded -> must scan
+    mn, mx, n_null = entry[col]
+    if src_has_null and n_null > 0:
+        return True  # NULL-safe key match: NULL meets NULL
+    if mn is None or mx is None:
+        # file is all-NULL in this column; only NULL keys could match
+        return src_has_null
+    if lo is None or hi is None:
+        # source side entirely NULL: only files with NULLs matter
+        return src_has_null and n_null > 0
+    return not (hi < mn or lo > mx)
+
+
+def prune_files(m: Manifest, col: str, lo, hi, src_has_null: bool = False) -> list[str]:
+    """Manifest files whose ``col`` range may intersect [lo, hi]."""
+    if not m.stats:
+        return list(m.files)
+    return [
+        f
+        for f in m.files
+        if _file_may_match(m.stats.get(os.path.basename(f)), col, lo, hi, src_has_null)
+    ]
+
+
 def _commit_or_cleanup(
     path: str,
     version: int,
@@ -132,16 +227,38 @@ def _commit_or_cleanup(
     new_files: list[str],
     schema_json: str,
     parent: int | None,
+    stats: dict | None = None,
+    stats_cols: list[str] | None = None,
 ) -> None:
     """Commit; on losing the version race, delete the just-written data
     files before re-raising — otherwise every losing writer would leak
     an orphaned (manifest-unreferenced) rewrite that vacuum can't see."""
     try:
-        _commit(path, version, files, schema_json, parent)
+        _commit(path, version, files, schema_json, parent, stats, stats_cols)
     except ConcurrentWriteError:
         if new_files:
             shutil.rmtree(os.path.dirname(new_files[0]), ignore_errors=True)
         raise
+
+
+def _carry_stats(
+    spark: SparkSession,
+    m: Manifest,
+    carried: list[str],
+    new_files: list[str],
+) -> tuple[dict | None, list[str] | None]:
+    """Stats for the next manifest: carried files keep their recorded
+    entries; new files get one delta-scan of stats. Tables created
+    without stats_cols stay stats-free."""
+    if not m.stats_cols:
+        return None, None
+    stats = {
+        os.path.basename(f): (m.stats or {}).get(os.path.basename(f))
+        for f in carried
+    }
+    stats = {k: v for k, v in stats.items() if v is not None}
+    stats.update(_collect_stats(spark, new_files, m.stats_cols))
+    return stats, m.stats_cols
 
 
 def _read_files(spark: SparkSession, m: Manifest) -> DataFrame:
@@ -154,11 +271,27 @@ def _read_files(spark: SparkSession, m: Manifest) -> DataFrame:
     return spark.read.schema(schema).parquet(*m.files)
 
 
-def create(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Create a versioned table at ``path`` from ``df`` (version 1)."""
+def create(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Create a versioned table at ``path`` from ``df`` (version 1).
+
+    ``stats_cols``: columns to index with per-file min/max stats (the
+    table's merge keys are the natural choice) — enables file skipping
+    in ``merge`` planning and ``read_range``. Non-JSON-roundtrippable
+    column types are silently excluded (conservative: no stats = scan).
+    """
     os.makedirs(path, exist_ok=True)
     files = _write_data_files(df, path, 1)
-    _commit(path, 1, files, df.schema.json(), parent=None)
+    cols = eligible_stats_cols(df.schema, stats_cols)
+    stats = _collect_stats(spark, files, cols) if cols else None
+    _commit(
+        path, 1, files, df.schema.json(), parent=None,
+        stats=stats, stats_cols=cols or None,
+    )
     return 1
 
 
@@ -234,12 +367,39 @@ def merge(
 
     skeys = source.select(*key_cols).distinct()
 
+    # file skipping: bound the touched-file scan to files whose
+    # recorded key range can intersect the source keys. One tiny agg
+    # over the source (min/max/null of the first indexed key column)
+    # prunes the planning scan from |table| to the overlapping files —
+    # the point-MERGE-against-100TB case reads almost nothing.
+    cand_files = m.files
+    prune_col = next(
+        (c for c in key_cols if c in (m.stats_cols or [])), None
+    )
+    if prune_col is not None and m.stats:
+        b = skeys.agg(
+            F.min(prune_col),
+            F.max(prune_col),
+            F.sum(F.col(prune_col).isNull().cast("long")),
+        ).collect()[0]
+        lo, hi, src_has_null = b[0], b[1], bool(b[2] or 0)
+        cand_files = prune_files(m, prune_col, lo, hi, src_has_null)
+
+    # candidate scan under the (possibly evolved) manifest schema —
+    # parquet yields NULL for columns absent from older files
+    cand = (
+        spark.read.schema(StructType.fromJson(json.loads(schema_json)))
+        .parquet(*cand_files)
+        if cand_files
+        else _read_files(spark, Manifest(m.version, [], schema_json, m.parent))
+    )
+
     # which files hold matched keys? file paths are metadata-sized —
     # the one deliberate driver-side collect (same shape as a format's
     # manifest planning step). Files are matched by basename: Spark
     # part-file names embed a per-job UUID, and input_file_name()'s
     # URI scheme spelling (file:/ vs file:///) must not matter.
-    tagged = cur.withColumn("_vt_file", _basename(F.input_file_name()))
+    tagged = cand.withColumn("_vt_file", _basename(F.input_file_name()))
     touched_rows = tagged.join(
         F.broadcast(skeys), _key_cond(tagged, skeys), "left_semi"
     )
@@ -259,10 +419,37 @@ def merge(
     new_files = _write_data_files(new_data, path, new_version)
 
     carried = [f for f in m.files if os.path.basename(f) not in touched]
+    stats, stats_cols = _carry_stats(spark, m, carried, new_files)
     _commit_or_cleanup(
-        path, new_version, carried + new_files, new_files, schema_json, base
+        path, new_version, carried + new_files, new_files, schema_json, base,
+        stats, stats_cols,
     )
     return new_version
+
+
+def read_range(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Selective read: ``col BETWEEN lo AND hi``, scanning only data
+    files whose recorded stats range intersects [lo, hi]. Falls back to
+    the full file list when the table carries no stats for ``col``
+    (then parquet row-group pushdown is the remaining pruning layer).
+    The residual filter still applies — stats pruning is a superset
+    guarantee, not an exact index."""
+    v = current_version(path) if version is None else version
+    m = read_manifest(path, v)
+    files = prune_files(m, col, lo, hi)
+    schema = StructType.fromJson(json.loads(m.schema_json))
+    if not files:
+        return spark.createDataFrame([], schema).filter(F.col(col).between(lo, hi))
+    return (
+        spark.read.schema(schema).parquet(*files).filter(F.col(col).between(lo, hi))
+    )
 
 
 def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
@@ -289,8 +476,10 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
         )
         new_files = _write_data_files(survivors, path, new_version)
     carried = [f for f in m.files if os.path.basename(f) not in touched]
+    stats, stats_cols = _carry_stats(spark, m, carried, new_files)
     _commit_or_cleanup(
-        path, new_version, carried + new_files, new_files, m.schema_json, base
+        path, new_version, carried + new_files, new_files, m.schema_json, base,
+        stats, stats_cols,
     )
     return new_version
 
@@ -307,7 +496,11 @@ def compact(spark: SparkSession, path: str, target_files: int) -> int:
     new_files = _write_data_files(
         _read_files(spark, m).repartition(target_files), path, new_version
     )
-    _commit_or_cleanup(path, new_version, new_files, new_files, m.schema_json, base)
+    stats, stats_cols = _carry_stats(spark, m, [], new_files)
+    _commit_or_cleanup(
+        path, new_version, new_files, new_files, m.schema_json, base,
+        stats, stats_cols,
+    )
     return new_version
 
 

@@ -1,0 +1,136 @@
+"""Statistics-based file skipping in the versioned table.
+
+A table created with ``stats_cols`` records per-file min/max (+ null
+count). ``read_range`` must scan strictly fewer files under a selective
+predicate while returning exactly the rows of a full-scan filter, and
+``merge`` planning must prune its touched-file scan the same way —
+with NULL-key and no-stats cases handled conservatively (never skip a
+file that could match).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.sources import acid
+
+
+def _table_df(spark):
+    # 8 range-partitioned files -> disjoint id ranges per file
+    return (
+        spark.range(0, 800)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("grp"),
+            F.concat(F.lit("v"), F.col("id")).alias("payload"),
+        )
+        .repartitionByRange(8, "id")
+    )
+
+
+def _make(spark, tmp_path, name="skip_tbl"):
+    path = str(tmp_path / name)
+    v = acid.create(spark, path, _table_df(spark), stats_cols=["id"])
+    assert v == 1
+    return path
+
+
+def test_manifest_records_stats(spark, tmp_path):
+    path = _make(spark, tmp_path)
+    m = acid.read_manifest(path, 1)
+    assert m.stats_cols == ["id"]
+    assert set(m.stats) == {os.path.basename(f) for f in m.files}
+    for ent in m.stats.values():
+        mn, mx, n_null = ent["id"]
+        assert mn <= mx and n_null == 0
+
+
+def test_read_range_scans_fewer_files(spark, tmp_path):
+    path = _make(spark, tmp_path)
+    total = len(acid.read_manifest(path, 1).files)
+    assert total > 1
+
+    df = acid.read_range(spark, path, "id", 100, 120)
+    scanned = {os.path.basename(f) for f in df.inputFiles()}
+    assert 0 < len(scanned) < total  # pruned, not a full scan
+
+    full = acid.read(spark, path).filter(F.col("id").between(100, 120))
+    assert sorted(r.id for r in df.collect()) == sorted(
+        r.id for r in full.collect()
+    )
+
+
+def test_merge_planning_prunes_candidate_files(spark, tmp_path):
+    path = _make(spark, tmp_path)
+    m1 = acid.read_manifest(path, 1)
+
+    # a point-ish delta: keys 10..19 live in one range file
+    delta = spark.range(10, 20).select(
+        F.col("id"),
+        F.lit(99).alias("grp"),
+        F.lit("updated").alias("payload"),
+    )
+    v = acid.merge(spark, path, delta, ["id"])
+    assert v == 2
+    m2 = acid.read_manifest(path, 2)
+
+    # copy-on-write + skipping: all but the touched file(s) carried over
+    carried = set(m1.files) & set(m2.files)
+    rewritten = set(m1.files) - set(m2.files)
+    assert len(rewritten) <= 2 and len(carried) >= len(m1.files) - 2
+
+    # stats followed the rewrite: every current file has an entry
+    assert set(m2.stats) == {os.path.basename(f) for f in m2.files}
+
+    # values are the usual merge semantics
+    out = acid.read(spark, path)
+    assert out.filter(F.col("payload") == "updated").count() == 10
+    assert out.count() == 800
+
+    # prune_files on the delta range selects a strict subset
+    cand = acid.prune_files(m1, "id", 10, 19)
+    assert 0 < len(cand) < len(m1.files)
+
+
+def test_null_keys_disable_skipping_conservatively(spark, tmp_path):
+    path = str(tmp_path / "null_tbl")
+    base = spark.createDataFrame(
+        [(None, "n0"), (1, "a"), (500, "b")], "id long, payload string"
+    ).repartition(3)
+    acid.create(spark, path, base, stats_cols=["id"])
+    m = acid.read_manifest(path, 1)
+
+    # a NULL source key must keep every file holding NULLs as candidate
+    cand = acid.prune_files(m, "id", None, None, src_has_null=True)
+    nullish = [
+        f for f in m.files
+        if m.stats[os.path.basename(f)]["id"][2] > 0
+        or m.stats[os.path.basename(f)]["id"][0] is None
+    ]
+    assert set(nullish) <= set(cand)
+
+    # NULL-safe merge semantics still hold end-to-end with stats on
+    delta = spark.createDataFrame(
+        [(None, "n1"), (2, "c")], "id long, payload string"
+    )
+    acid.merge(spark, path, delta, ["id"])
+    rows = {(r.id, r.payload) for r in acid.read(spark, path).collect()}
+    assert rows == {(None, "n1"), (1, "a"), (2, "c"), (500, "b")}
+
+
+def test_stats_free_table_unaffected(spark, tmp_path):
+    """Tables created without stats_cols behave exactly as before."""
+    path = str(tmp_path / "plain_tbl")
+    acid.create(spark, path, _table_df(spark))
+    m = acid.read_manifest(path, 1)
+    assert m.stats is None and m.stats_cols is None
+    assert acid.prune_files(m, "id", 0, 5) == list(m.files)
+    delta = spark.range(0, 5).select(
+        F.col("id"), F.lit(0).alias("grp"), F.lit("u").alias("payload")
+    )
+    v = acid.merge(spark, path, delta, ["id"])
+    assert v == 2
+    assert acid.read_manifest(path, 2).stats is None
+    assert acid.read(spark, path).count() == 800
