@@ -78,6 +78,26 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     return pixels[rows][:, cols]
 
 
+def dhash(pixels: np.ndarray, hash_size: int = 8) -> int:
+    """Difference hash (perceptual fingerprint): integer-exact
+    grayscale, nearest-neighbor resize to (hash_size+1) x hash_size,
+    one bit per horizontally adjacent pixel pair (left < right).
+    hash_size=8 -> 64 bits. Deterministic (no float rounding), robust
+    to re-encoding/small edits, flips few bits under local changes —
+    the image-side analog of SimHash for banded near-dup search."""
+    gray = (
+        299 * pixels[:, :, 0].astype(np.int64)
+        + 587 * pixels[:, :, 1].astype(np.int64)
+        + 114 * pixels[:, :, 2].astype(np.int64)
+    ) // 1000
+    small = resize_nearest(gray[:, :, None], hash_size + 1, hash_size)[:, :, 0]
+    bits = (small[:, :-1] < small[:, 1:]).flatten()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h
+
+
 # --- WAV ---------------------------------------------------------------------
 
 

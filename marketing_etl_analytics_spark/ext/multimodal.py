@@ -225,3 +225,84 @@ def sample_frames(df: DataFrame, every_n: int = 4, mode: str = "fake") -> DataFr
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select("doc_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)
+
+
+# --- perceptual-hash near-dup (the multimodal <-> dedup bridge) --------------
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+DHASH_BANDS = 4  # 64-bit dHash -> 4 x 16-bit LSH bands
+DHASH_MAX_HAMMING = 6
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """(doc_id, dhash): 64-bit difference-hash per BMP payload,
+    Arrow-batched (ext/codecs.dhash over the decoded pixels)."""
+    from marketing_etl_analytics_spark.ext import codecs
+
+    def one(p) -> int | None:
+        if p is None:
+            return None
+        h = codecs.dhash(codecs.decode_bmp(bytes(p)))
+        # reinterpret the unsigned 64-bit hash as signed for the LONG
+        # column; band math downstream uses shiftrightunsigned, so the
+        # sign bit carries no meaning
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "dhash": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, DHASH_SCHEMA)
+
+
+def dhash_near_dups(
+    df: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate image pairs (doc_a, doc_b, shared_bands, hamming)
+    by banded dHash — the SimHash plan shape applied to the multimodal
+    column family: per-row fingerprint (map-side), 4x16-bit band
+    explode, candidate join on (band, band_val) only (never all
+    pairs), exact Hamming verify, hot buckets capped by the shared
+    spam-signature guard (suite.ext.cap_lsh_buckets)."""
+    from marketing_etl_analytics_spark.suite.ext import cap_lsh_buckets
+
+    h = image_dhash(df).filter(F.col("dhash").isNotNull())
+    banded = h.select(
+        "doc_id",
+        "dhash",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias("band"),
+    ).withColumn(
+        # shiftrightunsigned needs a literal shift in the Python API;
+        # the SQL form takes the per-row band expression
+        "band_val",
+        F.expr("shiftrightunsigned(dhash, band * 16) & 65535"),
+    )
+    banded = cap_lsh_buckets(banded, ["band", "band_val"])
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_bands"),
+            F.min(F.expr("bit_count(a.dhash ^ b.dhash)")).cast("int").alias("hamming"),
+        )
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
