@@ -484,18 +484,35 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     return new_version
 
 
-def compact(spark: SparkSession, path: str, target_files: int) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    order_by: list[str] | None = None,
+) -> int:
     """Rewrite the current snapshot into ``target_files`` data files as
     a new version — no row changes, readers keep snapshot isolation
     throughout (unlike ``sinks.compact_parquet``, which swaps a raw
     directory in place). Incremental MERGEs accrete small files; at
-    scale this runs periodically like a format's OPTIMIZE."""
+    scale this runs periodically like a format's OPTIMIZE.
+
+    ``order_by`` range-partitions + sorts the rewrite on the given
+    columns (OPTIMIZE ... ZORDER's one-dimensional analog): files end
+    up with disjoint key ranges, so the min/max stats recorded in the
+    manifest make ``read_range``/``merge`` skipping maximally
+    selective — MERGEs scatter keys across files over time, clustering
+    restores the skipping guarantee."""
     base = current_version(path)
     m = read_manifest(path, base)
     new_version = base + 1
-    new_files = _write_data_files(
-        _read_files(spark, m).repartition(target_files), path, new_version
-    )
+    cur = _read_files(spark, m)
+    if order_by:
+        shaped = cur.repartitionByRange(target_files, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        shaped = cur.repartition(target_files)
+    new_files = _write_data_files(shaped, path, new_version)
     stats, stats_cols = _carry_stats(spark, m, [], new_files)
     _commit_or_cleanup(
         path, new_version, new_files, new_files, m.schema_json, base,

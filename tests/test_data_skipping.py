@@ -134,3 +134,24 @@ def test_stats_free_table_unaffected(spark, tmp_path):
     assert v == 2
     assert acid.read_manifest(path, 2).stats is None
     assert acid.read(spark, path).count() == 800
+
+
+def test_clustered_compaction_restores_skipping(spark, tmp_path):
+    """Merges scatter keys across files; compact(order_by) re-clusters
+    so stats ranges become disjoint and skipping gets selective again."""
+    path = str(tmp_path / "cluster_tbl")
+    # deliberately hash-partitioned: every file spans the full id range
+    df = _table_df(spark).repartition(8)
+    acid.create(spark, path, df, stats_cols=["id"])
+    m1 = acid.read_manifest(path, 1)
+    assert len(acid.prune_files(m1, "id", 100, 120)) == len(m1.files)  # no skip
+
+    v = acid.compact(spark, path, target_files=8, order_by=["id"])
+    assert v == 2
+    m2 = acid.read_manifest(path, 2)
+    cand = acid.prune_files(m2, "id", 100, 120)
+    assert 0 < len(cand) < len(m2.files)  # clustered -> skipping works
+
+    out = acid.read_range(spark, path, "id", 100, 120)
+    assert sorted(r.id for r in out.collect()) == list(range(100, 121))
+    assert acid.read(spark, path).count() == 800  # no row changes
