@@ -183,6 +183,11 @@ def q7_product_quadrant(wh: dict[str, DataFrame]) -> DataFrame:
             ).alias("margin"),
         )
     )
+    # Materialize the bounded product-grain aggregate once: it feeds
+    # both the stats row and the final projection, and the two pruned
+    # subtrees differ so Catalyst cannot ReuseExchange them — without
+    # this the fact table is scanned and aggregated twice.
+    product_profit = product_profit.localCheckpoint(eager=True)
     stats = product_profit.agg(
         F.avg("units_sold").alias("avg_units"), F.avg("margin").alias("avg_margin")
     )

@@ -383,6 +383,13 @@ def q7_product_quadrant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin"),
         )
     )
+    # The dim-grain aggregate is bounded (#products, not #facts), but it
+    # feeds two consumers — the global stats row and the final quadrant
+    # projection — and column pruning makes the two subtrees differ, so
+    # Catalyst cannot ReuseExchange them and would scan+aggregate the
+    # fact table twice. Materialize it once; at 100 TB this is the
+    # difference between one fact scan and two.
+    product_profit = product_profit.localCheckpoint(eager=True)
     stats = product_profit.agg(
         F.avg(F.col("units_sold").cast("double")).alias("avg_units"),
         avg_det_raw(F.col("margin")).alias("avg_margin"),

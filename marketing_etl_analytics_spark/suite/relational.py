@@ -42,13 +42,28 @@ from marketing_etl_analytics_spark.suite.registry import register
     doc="INTERSECT / EXCEPT / UNION ALL over customer-year sets.",
 )
 def rel_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # INTERSECT / EXCEPT over two distinct key sets, fused into ONE
+    # aggregation: a single scan of orders and a single shuffle on
+    # o_custkey produce per-key membership flags, from which all three
+    # set operations are derived as a CASE. The naive 3-branch form
+    # (distinct + intersect + 2×exceptAll) costs 5 shuffles and reads
+    # the fact table twice; this is the shape that survives at 100 TB.
     o = t(spark, sf_dir, "orders")
-    c95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
-    c96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
-    return (
-        c95.intersect(c96).select(F.lit("both").alias("op"), "o_custkey")
-        .unionAll(c95.exceptAll(c96).select(F.lit("only_1995").alias("op"), "o_custkey"))
-        .unionAll(c96.exceptAll(c95).select(F.lit("only_1996").alias("op"), "o_custkey"))
+    yr = F.year("o_orderdate")
+    flags = (
+        o.filter(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(yr == 1995).alias("in95"),
+            F.max(yr == 1996).alias("in96"),
+        )
+    )
+    return flags.select(
+        F.when(F.col("in95") & F.col("in96"), "both")
+        .when(F.col("in95"), "only_1995")
+        .otherwise("only_1996")
+        .alias("op"),
+        "o_custkey",
     )
 
 
