@@ -484,11 +484,58 @@ def delete_where(spark: SparkSession, path: str, predicate: str) -> int:
     return new_version
 
 
+_Z_BITS = 8  # equi-depth buckets per column = 2^8; z-value fits in a long
+
+
+def _zorder_value(df: DataFrame, cols: list[str]) -> F.Column:
+    """Morton (Z-order) key over ``cols`` as a pure column expression.
+
+    Each column is mapped to an equi-depth bucket id in [0, 256) against
+    boundaries sampled once with ``approxQuantile`` (the sampling role
+    ``range_partition_id`` plays in Delta's OPTIMIZE ZORDER), then the
+    per-column 8-bit ids are bit-interleaved. Equi-depth (not min/max
+    scaling) keeps skewed distributions evenly spread across buckets.
+    Everything after the one-time quantile probe is a projection —
+    no shuffle, no UDF; the only shuffle is the range partition on the
+    final z-value that the rewrite needs anyway.
+    """
+    n_buckets = 1 << _Z_BITS
+    k = len(cols)
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.simpleString()
+        in ("tinyint", "smallint", "int", "bigint", "float", "double")
+    }
+    bad = [c for c in cols if c not in numeric]
+    if bad:
+        raise ValueError(f"zorder_by supports numeric columns only, got: {bad}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    z = F.lit(0).cast("bigint")
+    for ci, c in enumerate(cols):
+        cuts = sorted(set(df.stat.approxQuantile(c, probs, 1.0 / (4 * n_buckets))))
+        # bucket id = #boundaries strictly below the value (NULL -> 0)
+        arr = F.array(*[F.lit(float(b)) for b in cuts])
+        bucket = F.aggregate(
+            arr,
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc
+            + F.when(F.col(c).cast("double") > b, F.lit(1)).otherwise(F.lit(0)),
+        )
+        # interleave: bit j of this column lands at position j*k + ci
+        for j in range(_Z_BITS):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(bucket, j).bitwiseAND(F.lit(1)), j * k + ci)
+            )
+    return z
+
+
 def compact(
     spark: SparkSession,
     path: str,
     target_files: int,
     order_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Rewrite the current snapshot into ``target_files`` data files as
     a new version — no row changes, readers keep snapshot isolation
@@ -501,12 +548,27 @@ def compact(
     up with disjoint key ranges, so the min/max stats recorded in the
     manifest make ``read_range``/``merge`` skipping maximally
     selective — MERGEs scatter keys across files over time, clustering
-    restores the skipping guarantee."""
+    restores the skipping guarantee.
+
+    ``zorder_by`` is the multi-column variant (OPTIMIZE ... ZORDER):
+    rows are clustered on an interleaved-bit Morton key over the given
+    numeric columns, so per-file min/max ranges stay narrow on EVERY
+    listed column at once — a predicate on any one of them skips files.
+    A linear sort can only do this for its leading column."""
+    if order_by and zorder_by:
+        raise ValueError("pass order_by or zorder_by, not both")
     base = current_version(path)
     m = read_manifest(path, base)
     new_version = base + 1
     cur = _read_files(spark, m)
-    if order_by:
+    if zorder_by:
+        shaped = (
+            cur.withColumn("_vt_z", _zorder_value(cur, zorder_by))
+            .repartitionByRange(target_files, "_vt_z")
+            .sortWithinPartitions("_vt_z")
+            .drop("_vt_z")
+        )
+    elif order_by:
         shaped = cur.repartitionByRange(target_files, *order_by).sortWithinPartitions(
             *order_by
         )

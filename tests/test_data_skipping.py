@@ -155,3 +155,61 @@ def test_clustered_compaction_restores_skipping(spark, tmp_path):
     out = acid.read_range(spark, path, "id", 100, 120)
     assert sorted(r.id for r in out.collect()) == list(range(100, 121))
     assert acid.read(spark, path).count() == 800  # no row changes
+
+def test_zorder_compaction_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering keeps per-file ranges narrow on BOTH listed
+    columns, so selective predicates on either dimension skip files.
+    A linear sort on x gives y ranges that span everything."""
+    path_z = str(tmp_path / "z_tbl")
+    path_lin = str(tmp_path / "lin_tbl")
+    # two independent uniform dimensions, hash-scattered across files
+    n = 1 << 12
+    base = (
+        spark.range(0, n)
+        .select(
+            F.col("id"),
+            (F.col("id") % 64).alias("x"),
+            F.floor(F.col("id") / 64).alias("y"),
+        )
+        .repartition(16)
+    )
+    for p in (path_z, path_lin):
+        acid.create(spark, p, base, stats_cols=["x", "y"])
+
+    acid.compact(spark, path_z, target_files=16, zorder_by=["x", "y"])
+    acid.compact(spark, path_lin, target_files=16, order_by=["x"])
+
+    mz = acid.read_manifest(path_z, 2)
+    ml = acid.read_manifest(path_lin, 2)
+    total = len(mz.files)
+    assert total == len(ml.files) > 4
+
+    # point-ish range on each dimension
+    zx = len(acid.prune_files(mz, "x", 3, 4))
+    zy = len(acid.prune_files(mz, "y", 3, 4))
+    lx = len(acid.prune_files(ml, "x", 3, 4))
+    ly = len(acid.prune_files(ml, "y", 3, 4))
+
+    assert lx < total          # linear sort skips on its sort column...
+    assert ly == total         # ...but spans everything on the other
+    assert zx < total and zy < total  # z-order skips on BOTH
+    # and z-order's worst dimension beats linear's worst dimension
+    assert max(zx, zy) < max(lx, ly)
+
+    # no row changes; values identical to the linear table
+    rows_z = {(r.id, r.x, r.y) for r in acid.read(spark, path_z).collect()}
+    rows_l = {(r.id, r.x, r.y) for r in acid.read(spark, path_lin).collect()}
+    assert rows_z == rows_l and len(rows_z) == n
+
+
+def test_zorder_rejects_non_numeric_and_both_orders(spark, tmp_path):
+    path = str(tmp_path / "z_bad")
+    acid.create(spark, path, _table_df(spark), stats_cols=["id"])
+    import pytest
+
+    with pytest.raises(ValueError, match="numeric"):
+        acid.compact(spark, path, target_files=2, zorder_by=["payload"])
+    with pytest.raises(ValueError, match="not both"):
+        acid.compact(
+            spark, path, target_files=2, order_by=["id"], zorder_by=["id"]
+        )
