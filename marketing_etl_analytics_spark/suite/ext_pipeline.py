@@ -390,3 +390,68 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- data-quality expectations (deequ / Delta-constraints shape) ------------
+
+@register(
+    "ext_data_quality",
+    """
+    WITH tot AS (SELECT COUNT(*) AS total FROM orders),
+    rep AS (
+    SELECT 'not_null(o_custkey)' AS "check", 'o_custkey' AS target,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS violations,
+           total FROM tot
+    UNION ALL
+    SELECT 'unique(o_orderkey)', 'o_orderkey',
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders), total FROM tot
+    UNION ALL
+    SELECT 'in_range(o_totalprice)', 'o_totalprice',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_totalprice NOT BETWEEN 0 AND 400000), total FROM tot
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)', 'o_orderstatus',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O')),
+           total FROM tot
+    UNION ALL
+    SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-3]-')), total FROM tot
+    UNION ALL
+    SELECT 'foreign_key(o_custkey)', 'o_custkey',
+           (SELECT COUNT(*) FROM orders o
+            WHERE o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)), total FROM tot
+    )
+    SELECT "check", target, violations, total,
+           ROUND(CAST(violations AS DOUBLE) / total, 6) AS metric,
+           violations = 0 AS passed
+    FROM rep ORDER BY "check"
+    """,
+    doc="Single-pass constraint metrics report: completeness, key "
+    "uniqueness, range/domain/format compliance, referential integrity "
+    "(ext/quality.py). Row-local + uniqueness checks fuse into one "
+    "aggregate over one column-pruned scan; each FK check is one "
+    "broadcast left-anti probe.",
+)
+def ext_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.ext import quality as Q
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    report = Q.validate(
+        o,
+        [
+            Q.not_null("o_custkey"),
+            Q.unique("o_orderkey"),
+            Q.in_range("o_totalprice", 0, 400000),
+            Q.in_set("o_orderstatus", ["F", "O"]),
+            Q.matches("o_orderpriority", "^[1-3]-"),
+            Q.foreign_key(["o_custkey"], c, ["c_custkey"]),
+        ],
+    )
+    return report.withColumn("metric", F.col("metric").cast("double")).orderBy("check")
