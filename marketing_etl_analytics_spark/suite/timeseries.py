@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from marketing_etl_analytics_spark.suite.common import money, t
+from marketing_etl_analytics_spark.suite.common import money, sql_pround, t
 from marketing_etl_analytics_spark.suite.registry import register
 
 BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
@@ -198,4 +198,182 @@ def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.cast("long").alias("kmv_estimate"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "ext_sketch_kmv_setops",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+          row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+      ) WHERE rn <= {KMV_K}
+    ),
+    types AS (SELECT DISTINCT event_type FROM h),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    un AS (
+      SELECT p.ta, p.tb, s.hv,
+        MAX(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS fa,
+        MAX(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS fb
+      FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, s.hv
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+      FROM un
+    ),
+    agg AS (
+      SELECT ta, tb, COUNT(*) AS cnt,
+        MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS hk,
+        CAST(SUM(fa * fb) AS BIGINT) AS m
+      FROM r WHERE rn <= {KMV_K} GROUP BY ta, tb
+    ),
+    ex_i AS (
+      SELECT p.ta, p.tb, CAST(COUNT(*) AS BIGINT) AS exact_intersect
+      FROM pairs p
+      JOIN h a ON a.event_type = p.ta
+      JOIN h b ON b.event_type = p.tb AND b.hv = a.hv
+      GROUP BY p.ta, p.tb
+    ),
+    ex_t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY event_type),
+    est AS (
+      SELECT ta, tb, m, cnt,
+        CAST(CASE WHEN cnt < {KMV_K} THEN cnt
+             ELSE ({KMV_K - 1} * {HASH_SPACE}) // hk END AS BIGINT) AS union_est
+      FROM agg
+    )
+    SELECT e.ta AS type_a, e.tb AS type_b, e.union_est,
+      CAST((e.m * e.union_est) // LEAST({KMV_K}, e.cnt) AS BIGINT) AS intersect_est,
+      {sql_pround(f"CAST(e.m AS DOUBLE) / LEAST({KMV_K}, e.cnt)", 4)} AS jaccard_est,
+      CAST(ta_n.n + tb_n.n - COALESCE(i.exact_intersect, 0) AS BIGINT) AS exact_union,
+      CAST(COALESCE(i.exact_intersect, 0) AS BIGINT) AS exact_intersect
+    FROM est e
+    JOIN ex_t ta_n ON ta_n.event_type = e.ta
+    JOIN ex_t tb_n ON tb_n.event_type = e.tb
+    LEFT JOIN ex_i i ON i.ta = e.ta AND i.tb = e.tb
+    ORDER BY type_a, type_b
+    """,
+    doc="KMV sketch SET OPERATIONS: per-type k-minimum sketches are "
+    "merged pairwise — the k smallest of the merged set estimate "
+    "|A∪B|, and the fraction of merged-sketch members present in both "
+    "sides estimates Jaccard, hence |A∩B| (Beyer et al., SIGMOD 2007). "
+    "Everything after the per-type sketch build (O(k) rows per type, "
+    "same scale guard as ext_sketch_kmv) runs on sketch-sized data — "
+    "set cardinalities over a 100 TB corpus from KB-sized mergeable "
+    "summaries. md5-derived hashing keeps the estimates deterministic, "
+    "so the oracle verifies them exactly; exact_union/exact_intersect "
+    "columns quantify the sketch error in the report itself.",
+)
+def ext_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.suite.common import memo_df, pround
+
+    ev = t(spark, sf_dir, "events")
+
+    def build_sketch():
+        hv = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        h = ev.select("event_type", hv.alias("hv")).distinct()
+        thr = h.groupBy("event_type").agg(
+            F.least(
+                F.lit(HASH_SPACE),
+                F.expr(
+                    f"CAST({HASH_SPACE} * {4 * KMV_K} / "
+                    "GREATEST(approx_count_distinct(hv), 1) AS BIGINT)"
+                ),
+            ).alias("thr")
+        )
+        kept = h.join(F.broadcast(thr), "event_type").filter(
+            F.col("hv") <= F.col("thr")
+        )
+        rn = F.row_number().over(Window.partitionBy("event_type").orderBy("hv"))
+        return kept.withColumn("rn", rn).filter(F.col("rn") <= KMV_K).drop("rn")
+
+    def build_h_exact():
+        hv = F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        return ev.select("event_type", hv.alias("hv")).distinct()
+
+    sk = memo_df(spark, sf_dir, "kmv_sketch_sets", build_sketch)
+    h = memo_df(spark, sf_dir, "kmv_hash_sets", build_h_exact)
+
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb"))
+    )
+    rows_a = pairs.join(sk, sk.event_type == F.col("ta")).select(
+        "ta", "tb", "hv", F.lit(1).alias("fa"), F.lit(0).alias("fb")
+    )
+    rows_b = pairs.join(sk, sk.event_type == F.col("tb")).select(
+        "ta", "tb", "hv", F.lit(0).alias("fa"), F.lit(1).alias("fb")
+    )
+    un = (
+        rows_a.unionAll(rows_b)
+        .groupBy("ta", "tb", "hv")
+        .agg(F.max("fa").alias("fa"), F.max("fb").alias("fb"))
+    )
+    rn = F.row_number().over(Window.partitionBy("ta", "tb").orderBy("hv"))
+    agg = (
+        un.withColumn("rn", rn)
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))).alias("hk"),
+            F.sum(F.col("fa") * F.col("fb")).cast("long").alias("m"),
+        )
+    )
+    union_est = (
+        F.when(F.col("cnt") < KMV_K, F.col("cnt"))
+        .otherwise(F.expr(f"({KMV_K - 1} * {HASH_SPACE}) div hk"))
+        .cast("long")
+    )
+    est = agg.select("ta", "tb", "m", "cnt", union_est.alias("union_est"))
+
+    ex_t = h.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ha, hb = h.alias("ha"), h.alias("hb")
+    ex_i = (
+        pairs.join(ha, F.col("ha.event_type") == F.col("ta"))
+        .join(
+            hb,
+            (F.col("hb.event_type") == F.col("tb"))
+            & (F.col("hb.hv") == F.col("ha.hv")),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersect"))
+    )
+    denom = F.least(F.lit(KMV_K), F.col("cnt"))
+    return (
+        est.join(ex_t.withColumnRenamed("event_type", "ta").withColumnRenamed("n", "na"), "ta")
+        .join(ex_t.withColumnRenamed("event_type", "tb").withColumnRenamed("n", "nb"), "tb")
+        .join(ex_i, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "union_est",
+            F.expr(f"(m * union_est) div LEAST({KMV_K}, cnt)")
+            .cast("long")
+            .alias("intersect_est"),
+            pround(F.col("m").cast("double") / denom, 4).alias("jaccard_est"),
+            (F.col("na") + F.col("nb") - F.coalesce(F.col("exact_intersect"), F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+            F.coalesce(F.col("exact_intersect"), F.lit(0))
+            .cast("long")
+            .alias("exact_intersect"),
+        )
+        .orderBy("type_a", "type_b")
     )
