@@ -136,6 +136,51 @@ def attribution_join(
     )
 
 
+def attribution_join_outer(
+    events: DataFrame, window: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, matched to same-user
+    views in the preceding ``window`` — clicks with no qualifying view
+    emit a NULL-view row (the unattributed-click feed).
+
+    Outer rows cannot be emitted eagerly: a matching view may still
+    arrive. Spark buffers the click and emits the NULL-joined row only
+    once the global watermark (min across both sides) passes the
+    click's last possible match time, so the unmatched feed is exactly
+    the clicks provably beyond late-data reach — state stays bounded by
+    the watermark horizon just like the inner join."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    return clicks.join(
+        views,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("view_ts") < F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {window}")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        F.col("click_user").alias("user_id"),
+        "view_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+
+
 def daily_event_aggregates(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Tumbling daily windows per event_type with late-data watermark —
     the streaming form of the reference's nightly (day, campaign) grain."""

@@ -340,3 +340,70 @@ def stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# --- Structured Streaming stream-stream LEFT OUTER join ----------------------
+
+@register(
+    "stream_attribution_outer",
+    """
+    WITH wm AS (
+      -- the final global watermark: min across both sides' max event
+      -- time, minus the 1h late-data delay. Unmatched clicks at or
+      -- above it are still buffered when the stream ends (a match
+      -- could yet arrive), so the streaming result cannot contain
+      -- their NULL rows -- the oracle reproduces that emission rule.
+      SELECT LEAST(
+        (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+        (SELECT MAX(ts) FROM events WHERE event_type = 'view')
+      ) - INTERVAL 1 HOUR AS w
+    ),
+    c AS (SELECT event_id AS click_id, user_id, ts AS cts
+          FROM events WHERE event_type = 'click'),
+    v AS (SELECT event_id AS view_id, user_id, ts AS vts
+          FROM events WHERE event_type = 'view'),
+    j AS (
+      SELECT c.click_id, c.user_id, v.view_id,
+        epoch_us(c.cts) - epoch_us(v.vts) AS gap_us, c.cts
+      FROM c LEFT JOIN v
+        ON v.user_id = c.user_id
+       AND v.vts < c.cts AND v.vts >= c.cts - INTERVAL 30 MINUTE
+    )
+    SELECT click_id, user_id, view_id, gap_us
+    FROM j
+    WHERE view_id IS NOT NULL OR cts < (SELECT w FROM wm)
+    ORDER BY click_id, view_id
+    """,
+    doc="Stream-stream LEFT OUTER join with event-time range predicate "
+    "and watermark-driven NULL-row emission (unattributed clicks). Run "
+    "end-to-end as an availableNow stream; matched rows equal the "
+    "batch join, unmatched rows appear exactly for clicks the final "
+    "watermark has provably closed — the oracle mirrors that rule.",
+)
+def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        attribution_join_outer,
+        read_events_stream,
+    )
+
+    name = f"attrib_outer_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_partitions(spark, sf_dir)),
+    )
+    try:
+        q = (
+            attribution_join_outer(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name).orderBy("click_id", "view_id")
