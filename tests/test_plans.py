@@ -90,3 +90,74 @@ def test_topk_is_take_ordered_not_full_sort(spark):
     top-k + merge), not a global Sort followed by Limit."""
     plan = plan_of(spark, "q1_top_sellers")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A date-partitioned fact joined to a filtered dim must prune fact
+    PARTITIONS at runtime (DPP): the selective dim filter reaches the
+    fact scan as a dynamicpruning subquery, so a 100 TB fact table
+    reads only the partitions the dim side selects."""
+    from pyspark.sql import functions as F
+
+    fact = str(tmp_path / "fact_part")
+    spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 20).alias("day_key"), (F.col("id") * 2).alias("v")
+    ).write.partitionBy("day_key").parquet(fact)
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("day_key"), (F.col("id") % 7).alias("grp")
+    )
+
+    f = spark.read.parquet(fact)
+    joined = f.join(dim.filter(F.col("grp") == 3), "day_key").agg(F.sum("v"))
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.replace(" ", "").lower(), plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
+    """With a selective filter on the build side, Spark injects a
+    runtime bloom filter on the probe side's join key — rows that
+    cannot match are dropped at the scan, before the join shuffle.
+    Thresholds are lowered to make the tiny test table eligible; the
+    optimization itself is what 100 TB probe sides rely on."""
+    from pyspark.sql import functions as F
+
+    big = str(tmp_path / "big_tbl")
+    small = str(tmp_path / "small_tbl")
+    spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+    ).write.parquet(big)
+    spark.range(0, 50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("tag")
+    ).write.parquet(small)
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        b = spark.read.parquet(big)
+        s = spark.read.parquet(small).filter(F.col("tag") == 5)
+        joined = b.join(s, "k").agg(F.sum("v"))
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan.lower() or "bloomfilter" in plan.lower(), plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
