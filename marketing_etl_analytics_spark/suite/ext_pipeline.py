@@ -455,3 +455,60 @@ def ext_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return report.withColumn("metric", F.col("metric").cast("double")).orderBy("check")
+
+
+# --- weighted per-group reservoir sampling ----------------------------------
+
+_RES_K = 8
+# u in (0, 1]: +1 so ln() never sees 0; same content-addressed hash as
+# the stratified sampler, so the sample is reproducible anywhere
+_SPARK_U1 = (
+    "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    " + 1) / CAST(4294967296 AS DOUBLE)"
+)
+_SQL_U1 = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " + 1) / CAST(4294967296 AS DOUBLE)"
+)
+
+@register(
+    "ext_sample_reservoir",
+    f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+        ln({_SQL_U1}) / n_chars AS es_key
+      FROM documents WHERE n_chars > 0
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY es_key DESC, doc_id
+      ) AS rn FROM keyed
+    )
+    SELECT lang, doc_id, n_chars, {sql_pround("es_key", 6)} AS es_key
+    FROM r WHERE rn <= {_RES_K}
+    ORDER BY lang, doc_id
+    """,
+    doc="Weighted per-group reservoir sample, k=8 per language "
+    "(Efraimidis-Spirakis A-ES: top-k by u^(1/w), equivalently "
+    "ln(u)/w, u content-addressed from md5 so the 'reservoir' is a "
+    "deterministic pure computation — same sample on any engine, run, "
+    "or partitioning; longer documents proportionally likelier). The "
+    "rank<=k filter compiles to WindowGroupLimit, i.e. a per-partition "
+    "k-heap before the group shuffle — per-group state is O(k) no "
+    "matter the corpus size.",
+)
+def ext_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from marketing_etl_analytics_spark.suite.common import pround
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    es_key = F.expr(f"ln({_SPARK_U1})") / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        docs.select("lang", "doc_id", "n_chars", es_key.alias("es_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RES_K)
+        .select("lang", "doc_id", "n_chars", pround(F.col("es_key"), 6).alias("es_key"))
+        .orderBy("lang", "doc_id")
+    )

@@ -407,3 +407,50 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("click_id", "view_id")
+
+
+# --- Arrow-native mapInArrow -------------------------------------------------
+
+@register(
+    "rel_map_in_arrow",
+    """
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars_arrow,
+      CAST(strlen(text) AS BIGINT) AS n_bytes,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="mapInArrow: per-batch pyarrow RecordBatch in/out with "
+    "pyarrow.compute kernels only (utf8_length, binary byte length, "
+    "count_substring) — no pandas conversion, no per-row Python. The "
+    "zero-copy tier of the UDF surface: when even a pandas round-trip "
+    "is too much, operate on the Arrow buffers the JVM already ships. "
+    "Integer outputs, so the oracle matches exactly.",
+)
+def rel_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        for batch in it:
+            text = batch.column("text")
+            out = pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(
+                        pc.add(pc.count_substring(text, " "), 1), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_chars_arrow", "n_bytes", "n_tokens"],
+            )
+            yield out
+
+    schema = (
+        "doc_id long, n_chars_arrow long, n_bytes long, n_tokens long"
+    )
+    return docs.mapInArrow(batches, schema).orderBy("doc_id")
