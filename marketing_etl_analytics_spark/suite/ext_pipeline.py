@@ -512,3 +512,63 @@ def ext_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", pround(F.col("es_key"), 6).alias("es_key"))
         .orderBy("lang", "doc_id")
     )
+
+
+# --- inverted index / conjunctive keyword search ----------------------------
+
+_IDX_TERMS = ("vector", "stream", "window")
+
+@register(
+    "ext_inverted_index",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks
+      WHERE term IN {str(tuple(_IDX_TERMS))}
+      GROUP BY term, doc_id
+    ),
+    hits AS (
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_terms,
+        CAST(SUM(tf) AS BIGINT) AS tf_total,
+        CAST(MIN(tf) AS BIGINT) AS tf_min
+      FROM postings GROUP BY doc_id
+      HAVING COUNT(*) = {len(_IDX_TERMS)}
+    )
+    SELECT doc_id, n_terms, tf_total, tf_min
+    FROM hits ORDER BY tf_total DESC, doc_id
+    LIMIT 50
+    """,
+    doc="Inverted-index conjunctive keyword search: one explode+"
+    "aggregate builds (term, doc, tf) postings pruned to the query "
+    "terms BEFORE the shuffle (the WHERE pushes below the aggregation, "
+    "so only query-term tokens move); the AND query is a postings "
+    "GROUP BY doc HAVING count = |terms| — posting-list intersection "
+    "without any self-join. At 100 TB the full index would persist "
+    "bucketed by term; the query plan over it is exactly this.",
+)
+def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term").isin(*_IDX_TERMS))
+    postings = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    hits = (
+        postings.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").cast("long").alias("tf_total"),
+            F.min("tf").cast("long").alias("tf_min"),
+        )
+        .filter(F.col("n_terms") == len(_IDX_TERMS))
+    )
+    return (
+        hits.select("doc_id", F.col("n_terms").cast("long"), "tf_total", "tf_min")
+        .orderBy(F.desc("tf_total"), "doc_id")
+        .limit(50)
+    )

@@ -454,3 +454,53 @@ def rel_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_chars_arrow long, n_bytes long, n_tokens long"
     )
     return docs.mapInArrow(batches, schema).orderBy("doc_id")
+
+
+# --- Python UDTF (table function) --------------------------------------------
+
+@register(
+    "rel_udtf",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM w WHERE length(term) >= 6
+    GROUP BY doc_id, term
+    ORDER BY doc_id, term
+    """,
+    doc="Python UDTF (CREATE FUNCTION ... RETURNS TABLE analog): a "
+    "lateral-joined table function exploding each document into "
+    "filtered term rows, aggregated to per-doc term frequencies. "
+    "UDTFs are the row-expanding tier of the UDF surface (scalar "
+    "pandas_udf -> grouped applyInPandas -> batch mapInArrow -> "
+    "table-generating udtf); integer outputs keep the oracle exact.",
+)
+def rel_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="term: string")
+    class LongTerms:
+        def eval(self, text: str, min_len: int):
+            if text:
+                for tok in text.lower().split(" "):
+                    if len(tok) >= min_len:
+                        yield (tok,)
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text")
+    )
+    spark.udtf.register("long_terms", LongTerms)
+    docs.createOrReplaceTempView("_udtf_docs")
+    out = spark.sql(
+        "SELECT d.doc_id, tok.term FROM _udtf_docs d, "
+        "LATERAL long_terms(d.text, 6) tok"
+    )
+    return (
+        out.groupBy("doc_id", "term")
+        .agg(F.count(lit(1)).cast("long").alias("tf"))
+        .orderBy("doc_id", "term")
+    )
