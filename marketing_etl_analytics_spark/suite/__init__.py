@@ -83,6 +83,12 @@ _PRIORITY = [
     "stream_attribution_join", "stream_enrich_join",
     "rel_scalar_subquery", "rel_window_frames", "rel_rollup_grouping_sets",
     "rel_time_rollup",
+    # NEW late-r3 (register after the prefix; each oracle-verified at
+    # two SFs via tools/diffcheck + the differential pytest; rotate
+    # into the graded window next round): ext_data_quality,
+    # ext_sketch_kmv_setops, stream_attribution_outer,
+    # ext_sample_reservoir, rel_map_in_arrow, ext_inverted_index,
+    # rel_udtf — they follow in module registration order below.
 ]
 
 _missing = [n for n in _PRIORITY if n not in SUITE]
