@@ -31,6 +31,7 @@ from marketing_etl_analytics_spark.suite import ext_scale  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import ext_pipeline  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import udf  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import timeseries  # noqa: E402,F401
+from marketing_etl_analytics_spark.suite import funnels  # noqa: E402,F401
 
 # Priority prefix (everything registered but not listed here keeps its
 # module registration order after the prefix). Round-3 rotation
