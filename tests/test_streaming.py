@@ -209,3 +209,40 @@ def test_stream_sessionize_equals_batch(spark):
     # — identical after 2dp rounding up to one-ulp boundary noise
     for key, got in streamed.items():
         assert abs(got - closed[key]) <= 0.011, (key, got, closed[key])
+
+
+def test_transform_with_state_sessionizer_equals_group_state(spark):
+    """The transformWithStateInPandas sessionizer (next-gen stateful
+    API: named value state + explicit event-time timers) must emit
+    exactly the rows of the applyInPandasWithState one on the same
+    bounded stream — two implementations, one contract."""
+    # the TWS Python driver worker speaks protobuf to the JVM; without
+    # the google.protobuf package the runner cannot even start
+    # (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE) — environment
+    # gap, not an implementation one, so skip rather than xfail
+    pytest.importorskip("google.protobuf")
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        sessionize_tws,
+    )
+
+    def run(build, name):
+        q = (
+            build(read_events_stream(spark, SF))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            (r.user_id, r.session_start, r.session_end, r.n_events): round(
+                r.total_value, 2
+            )
+            for r in spark.table(name).collect()
+        }
+
+    old = run(sessionize, "tws_old_sessions")
+    new = run(sessionize_tws, "tws_new_sessions")
+    assert len(old) > 100
+    assert new == old
