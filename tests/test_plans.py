@@ -161,3 +161,49 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE's skew-join handling must split an oversized partition of a
+    shuffle join instead of letting one straggler task carry the hot
+    key — the runtime guard salting can't cover when skew is only
+    discovered at execution. Thresholds are lowered so the test-sized
+    hot key qualifies; at 100 TB the defaults catch the same shape."""
+    from pyspark.sql import functions as F
+
+    left = str(tmp_path / "skew_left")
+    right = str(tmp_path / "skew_right")
+    # 95% of left rows share key 0; right is uniform
+    spark.range(0, 400_000).select(
+        F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    ).write.parquet(left)
+    spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+    ).write.parquet(right)
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = (
+            spark.read.parquet(left)
+            .join(spark.read.parquet(right), "k")
+            .agg(F.sum("v"), F.sum("w"))
+        )
+        j.collect()  # AQE decides at runtime; plan must be read after
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
