@@ -1213,3 +1213,295 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_bands"))
         .orderBy(F.desc("shared_bands"), "incoming_id", "corpus_id")
     )
+
+
+# --- IVF-free product quantization (PQ) ADC scan -----------------------------
+#
+# The 100 TB ANN endgame is PQ: vectors compressed to M sub-space code
+# ids (here 64 dims -> 8 codes = 8 bytes/vector against 256 bytes raw),
+# queries scanning CODES with a per-query lookup table instead of raw
+# floats. Everything here is exact-decimal until the final cosine, so
+# encoding (argmin over sub-space distances) is bit-deterministic and
+# the DuckDB oracle verifies codes, ADC scores, and recall flags
+# exactly. Codebooks are seeded from the first PQ_K corpus subvectors
+# (k-means iterations would refine them; the machinery — encode, LUT,
+# ADC, recall measurement — is identical and that is what's under
+# test; measured quality is reported in the in_exact_topk column).
+
+PQ_M = 8          # sub-spaces
+PQ_SUB = 8        # dims per sub-space (PQ_M * PQ_SUB = EMB_DIM)
+PQ_K = 16         # codes per sub-space codebook
+PQ_SHORTLIST = 100  # ADC candidates kept for exact re-ranking
+PQ_TOPK = 5
+PQ_Q_LO, PQ_Q_HI = 100, 110
+
+# decimal-valued dot product (no final double cast): summable exactly,
+# so multi-term ADC sums are order-independent across engines
+SPARK_DOT_DEC = (
+    "aggregate(sequence(1, size({a})), CAST(0 AS DECIMAL(38,12)),"
+    " (acc, i) -> CAST(acc + CAST(CAST(element_at({a}, i) AS DOUBLE)"
+    " * CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(38,12)) AS DECIMAL(38,12)))"
+)
+SQL_DOT_DEC = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+    " AS DECIMAL(38,12)))) AS DECIMAL(38,12))"
+)
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    parts = [
+        emb.select(
+            "vec_id",
+            F.lit(m).alias("m"),
+            F.expr(f"slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB})").alias("s"),
+        )
+        for m in range(PQ_M)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _pq_codebook(sub: DataFrame) -> DataFrame:
+    return sub.filter(F.col("vec_id") < PQ_K).select(
+        "m",
+        F.col("vec_id").alias("j"),
+        F.col("s").alias("c"),
+        F.expr(SPARK_DOT_DEC.format(a="s", b="s")).alias("cn2"),
+    )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, j, cn2) PQ encoding of the corpus, memoized — the
+    stored compressed index a production system persists at ingest.
+    argmin_j ||s - c_j||^2 = argmin_j (||c_j||^2 - 2<s, c_j>) in exact
+    decimals, ties to the smallest code id."""
+
+    def build() -> DataFrame:
+        emb = t(spark, sf_dir, "embeddings")
+        sub = _pq_subvectors(emb)
+        cb = _pq_codebook(sub)
+        dist_key = F.col("cn2") - F.lit(2) * F.expr(
+            SPARK_DOT_DEC.format(a="s", b="c")
+        )
+        w = Window.partitionBy("vec_id", "m").orderBy(dist_key.asc(), F.col("j").asc())
+        return (
+            sub.join(F.broadcast(cb), "m")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "m", "j", "cn2")
+        )
+
+    return memo_df(spark, sf_dir, "pq_codes", build)
+
+
+_PQ_SQL_COMMON = f"""b AS (
+      SELECT vec_id, embedding,
+        {SQL_DOT.format(a="embedding", b="embedding")} AS n2
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT e.vec_id, mm.m,
+        list_slice(e.embedding, mm.m * {PQ_SUB} + 1, mm.m * {PQ_SUB} + {PQ_SUB}) AS s
+      FROM embeddings e,
+           (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) mm
+    ),
+    cb AS (
+      SELECT m, vec_id AS j, s AS c, {SQL_DOT_DEC.format(a="s", b="s")} AS cn2
+      FROM sub WHERE vec_id < {PQ_K}
+    ),
+    enc AS (
+      SELECT vec_id, m, j, cn2 FROM (
+        SELECT sub.vec_id, sub.m, cb.j, cb.cn2,
+          row_number() OVER (
+            PARTITION BY sub.vec_id, sub.m
+            ORDER BY cb.cn2 - 2 * {SQL_DOT_DEC.format(a="sub.s", b="cb.c")}, cb.j
+          ) AS rn
+        FROM sub JOIN cb ON cb.m = sub.m
+      ) WHERE rn = 1
+    ),
+    qn AS (
+      SELECT vec_id AS qid, n2 AS qn2 FROM b
+      WHERE vec_id >= {PQ_Q_LO} AND vec_id < {PQ_Q_HI}
+    ),
+    lut AS (
+      SELECT q.vec_id AS qid, cb.m, cb.j,
+        {SQL_DOT_DEC.format(a="q.s", b="cb.c")} AS d
+      FROM sub q JOIN cb ON cb.m = q.m
+      WHERE q.vec_id >= {PQ_Q_LO} AND q.vec_id < {PQ_Q_HI}
+    ),
+    adc AS (
+      SELECT l.qid, e.vec_id AS cid, SUM(l.d) AS ip, SUM(e.cn2) AS rn2
+      FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.j
+      WHERE e.vec_id != l.qid
+      GROUP BY l.qid, e.vec_id
+    ),
+    scored AS (
+      SELECT a.qid, a.cid,
+        CAST(a.ip AS DOUBLE) / sqrt(qn.qn2 * CAST(a.rn2 AS DOUBLE)) AS approx_cos
+      FROM adc a JOIN qn ON qn.qid = a.qid
+    ),
+    shortlist AS (
+      SELECT qid, cid, approx_cos FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY approx_cos DESC, cid
+        ) AS arnk FROM scored
+      ) WHERE arnk <= {PQ_SHORTLIST}
+    ),
+    topk AS (
+      -- exact re-rank of the ADC shortlist: the two-stage shape every
+      -- production PQ system uses (compressed scan -> raw-vector
+      -- re-rank of a tiny candidate set)
+      SELECT qid, cid, approx_cos, rnk FROM (
+        SELECT sl.qid, sl.cid, sl.approx_cos,
+          row_number() OVER (
+            PARTITION BY sl.qid
+            ORDER BY {SQL_DOT.format(a="qe.embedding", b="v.embedding")}
+                     / sqrt(qn.qn2 * v.n2) DESC, sl.cid
+          ) AS rnk
+        FROM shortlist sl
+        JOIN qn ON qn.qid = sl.qid
+        JOIN b qe ON qe.vec_id = sl.qid
+        JOIN b v ON v.vec_id = sl.cid
+      ) WHERE rnk <= {PQ_TOPK}
+    ),
+    btop AS (
+      SELECT qid, cid FROM (
+        SELECT qn.qid, v.vec_id AS cid,
+          row_number() OVER (
+            PARTITION BY qn.qid
+            ORDER BY {SQL_DOT.format(a="qe.embedding", b="v.embedding")}
+                     / sqrt(qn.qn2 * v.n2) DESC, v.vec_id
+          ) AS brnk
+        FROM qn JOIN b qe ON qe.vec_id = qn.qid, b v
+        WHERE v.vec_id != qn.qid
+      ) WHERE brnk <= {PQ_TOPK}
+    )"""
+
+
+@register(
+    "ext_ann_pq_adc",
+    f"""
+    WITH {_PQ_SQL_COMMON}
+    SELECT t.qid, CAST(t.rnk AS INT) AS rank, t.cid,
+      {{approx}} AS approx_cos,
+      {{exact}} AS exact_cos,
+      (bt.cid IS NOT NULL) AS in_exact_topk
+    FROM topk t
+    JOIN b qe ON qe.vec_id = t.qid
+    JOIN b v ON v.vec_id = t.cid
+    JOIN qn ON qn.qid = t.qid
+    LEFT JOIN btop bt ON bt.qid = t.qid AND bt.cid = t.cid
+    ORDER BY t.qid, rank
+    """.format(
+        approx=sql_pround("t.approx_cos", 6),
+        exact=sql_pround(
+            f"{SQL_DOT.format(a='qe.embedding', b='v.embedding')}"
+            " / sqrt(qn.qn2 * v.n2)",
+            6,
+        ),
+    ),
+    doc="Product-quantization two-stage search: corpus compressed to 8 "
+    "sub-space code ids (8 B vs 256 B float32 per vector), queries "
+    "score the WHOLE corpus by summing 8 lookup-table entries per "
+    "candidate (no raw-vector reads), then the ADC top-50 shortlist "
+    "is re-ranked with exact cosine — the compressed-scan + re-rank "
+    "architecture of every production PQ system. Encoding and LUT "
+    "sums are exact decimal, so codes and ranks are engine-identical; "
+    "in_exact_topk reports end-to-end recall vs brute force.",
+)
+def ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.suite.common import pround
+
+    b = embedding_norms(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    enc = pq_codes(spark, sf_dir)
+    sub = _pq_subvectors(emb)
+    cb = _pq_codebook(sub)
+
+    q_sub = sub.filter(
+        (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
+    )
+    lut = q_sub.join(F.broadcast(cb), "m").select(
+        F.col("vec_id").alias("qid"),
+        "m",
+        "j",
+        F.expr(SPARK_DOT_DEC.format(a="s", b="c")).alias("d"),
+    )
+    qn = b.filter(
+        (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
+    ).select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
+
+    adc = (
+        enc.join(F.broadcast(lut), ["m", "j"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("d").alias("ip"), F.sum("cn2").alias("rn2"))
+    )
+    scored = adc.join(F.broadcast(qn), "qid").select(
+        "qid", "cid",
+        (
+            F.col("ip").cast("double")
+            / F.sqrt(F.col("qn2") * F.col("rn2").cast("double"))
+        ).alias("approx_cos"),
+    )
+    wk = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.asc("cid"))
+    shortlist = (
+        scored.withColumn("arnk", F.row_number().over(wk))
+        .filter(F.col("arnk") <= PQ_SHORTLIST)
+        .drop("arnk")
+    )
+
+    # brute-force ground truth over the same queries (the recall oracle)
+    qvec = b.filter(
+        (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = b.join(F.broadcast(qvec), F.col("vec_id") != F.col("qid"))
+    cos = F.expr(SPARK_DOT.format(a="qe", b="embedding")) / F.sqrt(
+        F.col("qn2") * F.col("n2")
+    )
+    wb = Window.partitionBy("qid").orderBy(F.desc(cos), F.asc("vec_id"))
+    btop = (
+        pairs.withColumn("brnk", F.row_number().over(wb))
+        .filter(F.col("brnk") <= PQ_TOPK)
+        .select("qid", F.col("vec_id").alias("cid"), F.lit(1).alias("hit"))
+    )
+
+    # exact re-rank of the ADC shortlist (two-stage: compressed scan
+    # -> raw-vector re-rank of PQ_SHORTLIST candidates per query)
+    wr = Window.partitionBy("qid").orderBy(F.desc("exact_cos"), F.asc("cid"))
+    ex = (
+        shortlist.join(
+            b.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ve"),
+                     F.col("n2").alias("vn2")),
+            "cid",
+        )
+        .join(F.broadcast(qvec), "qid")
+        .select(
+            "qid", "cid", "approx_cos",
+            (
+                F.expr(SPARK_DOT.format(a="qe", b="ve"))
+                / F.sqrt(F.col("qn2") * F.col("vn2"))
+            ).alias("exact_cos"),
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= PQ_TOPK)
+    )
+    return (
+        ex.join(F.broadcast(btop), ["qid", "cid"], "left")
+        .select(
+            "qid",
+            F.col("rnk").cast("int").alias("rank"),
+            "cid",
+            pround(F.col("approx_cos"), 6).alias("approx_cos"),
+            pround(F.col("exact_cos"), 6).alias("exact_cos"),
+            F.col("hit").isNotNull().alias("in_exact_topk"),
+        )
+        .orderBy("qid", "rank")
+    )
