@@ -627,6 +627,24 @@ def ext_ann_cosine_for_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized brute-force top-IVF_TOPK (qid, cid) for the shared ANN
+    query set (vec_id 100..110) — the recall baseline every ANN-quality
+    entry compares against. One full-corpus cosine pass per session,
+    not per entry."""
+
+    def build() -> DataFrame:
+        gt_scored = ext_ann_cosine_for_ivf_check(spark, sf_dir)
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+        return (
+            gt_scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= IVF_TOPK)
+            .select("qid", "cid")
+        )
+
+    return memo_df(spark, sf_dir, "ann_ground_truth", build)
+
+
 # --- ANN recall measurement ---------------------------------------------------
 
 @register(
@@ -669,13 +687,7 @@ def ext_ann_cosine_for_ivf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ext_ann_ivf(spark, sf_dir).select("qid", "cid", F.lit(1).alias("_hit"))
-    gt_scored = ext_ann_cosine_for_ivf_check(spark, sf_dir)
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-    gt = (
-        gt_scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= IVF_TOPK)
-        .select("qid", "cid")
-    )
+    gt = ann_ground_truth(spark, sf_dir)
     return (
         gt.join(ivf, ["qid", "cid"], "left")
         .groupBy("qid")
@@ -1454,7 +1466,8 @@ def ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("arnk")
     )
 
-    # brute-force ground truth over the same queries (the recall oracle)
+    # brute-force ground truth over the same queries (the recall
+    # oracle) — memoized and shared with ext_ann_recall
     qvec = b.filter(
         (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
     ).select(
@@ -1462,16 +1475,7 @@ def ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         F.col("n2").alias("qn2"),
     )
-    pairs = b.join(F.broadcast(qvec), F.col("vec_id") != F.col("qid"))
-    cos = F.expr(SPARK_DOT.format(a="qe", b="embedding")) / F.sqrt(
-        F.col("qn2") * F.col("n2")
-    )
-    wb = Window.partitionBy("qid").orderBy(F.desc(cos), F.asc("vec_id"))
-    btop = (
-        pairs.withColumn("brnk", F.row_number().over(wb))
-        .filter(F.col("brnk") <= PQ_TOPK)
-        .select("qid", F.col("vec_id").alias("cid"), F.lit(1).alias("hit"))
-    )
+    btop = ann_ground_truth(spark, sf_dir).withColumn("hit", F.lit(1))
 
     # exact re-rank of the ADC shortlist (two-stage: compressed scan
     # -> raw-vector re-rank of PQ_SHORTLIST candidates per query)
