@@ -1430,18 +1430,26 @@ def ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = embedding_norms(spark, sf_dir)
     emb = t(spark, sf_dir, "embeddings")
     enc = pq_codes(spark, sf_dir)
-    sub = _pq_subvectors(emb)
-    cb = _pq_codebook(sub)
 
-    q_sub = sub.filter(
-        (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
+    # codebook and per-query LUT are corpus/query-set-deterministic:
+    # memoized like the codes (at scale: persisted next to them)
+    cb = memo_df(
+        spark, sf_dir, "pq_codebook",
+        lambda: _pq_codebook(_pq_subvectors(emb)),
     )
-    lut = q_sub.join(F.broadcast(cb), "m").select(
-        F.col("vec_id").alias("qid"),
-        "m",
-        "j",
-        F.expr(SPARK_DOT_DEC.format(a="s", b="c")).alias("d"),
-    )
+
+    def build_lut() -> DataFrame:
+        q_sub = _pq_subvectors(emb).filter(
+            (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
+        )
+        return q_sub.join(F.broadcast(cb), "m").select(
+            F.col("vec_id").alias("qid"),
+            "m",
+            "j",
+            F.expr(SPARK_DOT_DEC.format(a="s", b="c")).alias("d"),
+        )
+
+    lut = memo_df(spark, sf_dir, "pq_lut", build_lut)
     qn = b.filter(
         (F.col("vec_id") >= PQ_Q_LO) & (F.col("vec_id") < PQ_Q_HI)
     ).select(F.col("vec_id").alias("qid"), F.col("n2").alias("qn2"))
