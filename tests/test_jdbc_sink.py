@@ -59,3 +59,34 @@ def test_jdbc_append_accumulates(spark, tmp_path):
         properties=PROPS,
     )
     assert spark.read.jdbc(url, "t_append", properties=PROPS).count() == 2
+
+
+def test_jdbc_partitioned_read(spark, tmp_path):
+    """read_jdbc with a partition column must split the table into
+    parallel range fetches (multiple RDD partitions) and return exactly
+    the written rows — the one-connection whole-table pull is the
+    scale anti-pattern the wrapper exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from marketing_etl_analytics_spark.sources.sinks import read_jdbc, write_jdbc
+
+    url = _url(tmp_path)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    write_jdbc(df, url, "t_part", properties=PROPS)
+
+    back = read_jdbc(
+        spark, url, "t_part", properties=PROPS,
+        partition_column="k", num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(r.k for r in back.collect()) == list(range(1000))
+
+    # bounds short-circuit: no probe query, same data
+    back2 = read_jdbc(
+        spark, url, "t_part", properties=PROPS,
+        partition_column="k", num_partitions=3, bounds=(0, 999),
+    )
+    assert back2.rdd.getNumPartitions() == 3
+    assert back2.count() == 1000
