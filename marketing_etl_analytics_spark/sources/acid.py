@@ -511,9 +511,12 @@ def _zorder_value(df: DataFrame, cols: list[str]) -> F.Column:
     if bad:
         raise ValueError(f"zorder_by supports numeric columns only, got: {bad}")
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    # one quantile probe for ALL columns — approxQuantile's multi-column
+    # form computes every boundary set in a single scan of the snapshot
+    all_cuts = df.stat.approxQuantile(list(cols), probs, 1.0 / (4 * n_buckets))
     z = F.lit(0).cast("bigint")
     for ci, c in enumerate(cols):
-        cuts = sorted(set(df.stat.approxQuantile(c, probs, 1.0 / (4 * n_buckets))))
+        cuts = sorted(set(all_cuts[ci]))
         # bucket id = #boundaries strictly below the value (NULL -> 0)
         arr = F.array(*[F.lit(float(b)) for b in cuts])
         bucket = F.aggregate(

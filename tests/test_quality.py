@@ -78,3 +78,14 @@ def test_single_scan_fusion(table):
     # the report plan reads the 1-row checkpoint, not the base table
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_empty_batch_reports_clean(spark):
+    """An empty ingest batch is routine; the gate must report zero
+    violations / passed=True, not NULL flags or a DIVIDE_BY_ZERO."""
+    empty = spark.createDataFrame([], "id long, name string")
+    rep = _report(empty, [Q.not_null("name"), Q.unique("id")])
+    for r in rep.values():
+        assert r.violations == 0 and r.total == 0
+        assert r.passed is True
+        assert r.metric is None  # 0/0 has no defined fraction
