@@ -63,3 +63,39 @@ def test_simhash_invariant_to_duplication(spark, words):
     )
     fp = {r.doc_id: r.simhash for r in simhash_fingerprints(df).collect()}
     assert fp[1] == fp[2]
+
+
+_zvals = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000) | st.none(),
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_zvals, lo=st.integers(-1000, 1000), hi=st.integers(-1000, 1000))
+def test_zorder_pruning_never_loses_rows(spark, tmp_path_factory, rows, lo, hi):
+    """Safety property of statistics-based skipping after Z-ORDER
+    compaction: for ANY data (nulls, constants, skew) and ANY range
+    predicate, reading only the pruned file set returns exactly the
+    rows a full scan's filter returns. Skipping may be ineffective;
+    it must never be wrong."""
+    from pyspark.sql import functions as F
+
+    from marketing_etl_analytics_spark.sources import acid
+
+    if lo > hi:
+        lo, hi = hi, lo
+    path = str(tmp_path_factory.mktemp("zprop") / "tbl")
+    df = spark.createDataFrame(rows, "x int, y int").repartition(4)
+    acid.create(spark, path, df, stats_cols=["x", "y"])
+    acid.compact(spark, path, target_files=4, zorder_by=["x", "y"])
+
+    pruned = acid.read_range(spark, path, "x", lo, hi)
+    full = acid.read(spark, path).filter(F.col("x").between(lo, hi))
+    got = sorted((r.x, r.y) for r in pruned.collect())
+    want = sorted((r.x, r.y) for r in full.collect())
+    assert got == want
