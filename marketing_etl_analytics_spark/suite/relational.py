@@ -674,3 +674,50 @@ def rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- salted skew JOIN (replicate-and-salt) -----------------------------------
+
+@register(
+    "rel_salted_join",
+    """
+    SELECT e.user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      CAST(MAX(c.c_nationkey) AS INT) AS nationkey
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.user_id < 200
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+    doc="Replicate-and-salt skew join: the fact side tags each row "
+    "with a content-derived salt (crc32(event_id) % 16) and the "
+    "build side is replicated across all 16 salt values, so one hot "
+    "join key spreads over 16 reducers instead of one straggler task. "
+    "Joining on (key, salt) is semantically identical to the plain "
+    "key join — the oracle IS the plain join. The authored fallback "
+    "for when the build side is too big to broadcast and AQE's "
+    "runtime skew split cannot apply (e.g. a non-shuffle operator "
+    "boundary).",
+)
+def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 16
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    salted_fact = ev.withColumn("salt", F.crc32(F.col("event_id").cast("string")) % n_salt)
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt")
+    replicated = cust.select("c_custkey", "c_nationkey", salts)
+    joined = salted_fact.join(
+        replicated,
+        (F.col("c_custkey") == F.col("user_id"))
+        & (salted_fact["salt"] == replicated["salt"]),
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+            F.max("c_nationkey").cast("int").alias("nationkey"),
+        )
+        .orderBy("user_id")
+    )
