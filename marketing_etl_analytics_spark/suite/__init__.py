@@ -44,7 +44,7 @@ from marketing_etl_analytics_spark.suite import funnels  # noqa: E402,F401
 # remaining single-operator rows, rotating next round) with code
 # unchanged; stream_sessionize is the contract-allowed rows-only entry,
 # ALSO pytest-verified equal to its batch twin in
-# tests/test_streaming.py::test_stream_sessionize_equals_batch. All 84
+# tests/test_streaming.py::test_stream_sessionize_equals_batch. All 85
 # stay covered by tests/test_suite_differential.py + tools/diffcheck.
 _PRIORITY = [
     # reference-parity core (q6 one-pass agg and q7 materialized

@@ -38,6 +38,7 @@ from marketing_etl_analytics_spark.suite.ext import (
     _TOKS,
     SQL_SHINGLES,
     shingle_rows,
+    sql_cap_lsh_buckets,
 )
 from marketing_etl_analytics_spark.suite.registry import register
 
@@ -572,4 +573,103 @@ def ext_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.select("doc_id", F.col("n_terms").cast("long"), "tf_total", "tf_min")
         .orderBy(F.desc("tf_total"), "doc_id")
         .limit(50)
+    )
+
+
+# --- asymmetric containment dedup (quote / subset detection) ----------------
+
+_CONT_THRESHOLD = 0.8
+_CONT_MIN_SHINGLES = 5
+
+@register(
+    "ext_dedup_containment",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS sh_str
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    capped AS (
+      {{capped}}
+    ),
+    sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+      FROM capped GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+        CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM capped a JOIN capped b
+        ON b.sh_str = a.sh_str AND b.doc_id != a.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.src_id, s.dst_id, sz.n_sh AS n_src, s.n_shared,
+      {sql_pround("CAST(s.n_shared AS DOUBLE) / sz.n_sh", 4)} AS containment
+    FROM shared s JOIN sizes sz ON sz.doc_id = s.src_id
+    WHERE sz.n_sh >= {_CONT_MIN_SHINGLES}
+      AND CAST(s.n_shared AS DOUBLE) / sz.n_sh >= {_CONT_THRESHOLD}
+    ORDER BY src_id, dst_id
+    """.format(
+        capped=sql_cap_lsh_buckets(
+            "SELECT doc_id, sh_str, COUNT(*) OVER (PARTITION BY sh_str) AS _bn "
+            "FROM sh",
+            "sh_str",
+        )
+    ),
+    doc="Asymmetric containment dedup: containment(A→B) = |S_A∩S_B| / "
+    "|S_A| over distinct 3-word shingles — detects a document QUOTED "
+    "or subsumed inside a larger one, which symmetric Jaccard misses "
+    "(a small doc inside a big one has low Jaccard but containment "
+    "1.0). Candidates come from shared-shingle buckets with the "
+    "standard spam-shingle cap (shingles in >128 docs dropped, both "
+    "engines identically), so pair generation is bucket-bounded, "
+    "never all-pairs.",
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.suite.common import memo_df, pround
+    from marketing_etl_analytics_spark.suite.ext import cap_lsh_buckets
+
+    docs = t(spark, sf_dir, "documents")
+
+    def build_capped():
+        sh = shingle_rows(docs).distinct()
+        return cap_lsh_buckets(sh, ["sh_str"])
+
+    capped = memo_df(spark, sf_dir, "containment_shingles", build_capped)
+    sizes = capped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("b.sh_str") == F.col("a.sh_str"))
+            & (F.col("b.doc_id") != F.col("a.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src_id"),
+            F.col("b.doc_id").alias("dst_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    cont = F.col("n_shared").cast("double") / F.col("n_sh")
+    return (
+        shared.join(
+            sizes.withColumnRenamed("doc_id", "src_id").withColumnRenamed(
+                "n_sh", "n_src"
+            ),
+            "src_id",
+        )
+        .filter(
+            (F.col("n_src") >= _CONT_MIN_SHINGLES)
+            & (F.col("n_shared").cast("double") / F.col("n_src") >= _CONT_THRESHOLD)
+        )
+        .select(
+            "src_id", "dst_id", "n_src", "n_shared",
+            pround(
+                F.col("n_shared").cast("double") / F.col("n_src"), 4
+            ).alias("containment"),
+        )
+        .orderBy("src_id", "dst_id")
     )
