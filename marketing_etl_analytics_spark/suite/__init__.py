@@ -34,18 +34,27 @@ from marketing_etl_analytics_spark.suite import timeseries  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import funnels  # noqa: E402,F401
 
 # Priority prefix (everything registered but not listed here keeps its
-# module registration order after the prefix). Round-3 window policy:
+# module registration order after the prefix). Round-4 window policy:
 # the 50-slot graded prefix holds (a) the reference-parity core, (b)
-# every entry whose code changed this round (memoized dedup/ANN
-# family, one-pass q6, materialized-aggregate q7, single-groupBy
-# rel_setops), (c) all eleven NEW round-3 entries (no driver row yet),
-# and (d) the stalest seven of the r1-only rotation backlog. Tail
-# entries are green in CORRECTNESS_r02 (or r01 for the eleven
-# remaining single-operator rows, rotating next round) with code
+# every entry whose code changed in round 3 and still lacks a driver
+# row (memoized dedup/ANN family, one-pass q6, materialized-aggregate
+# q7, single-groupBy rel_setops, the eleven round-3 additions), (c)
+# the two late-round-3 entries that have never been graded
+# (ext_dedup_containment, rel_salted_join), (d) the two NEW merged
+# entries that consolidate seven retired r1-only single-metric rows
+# (ext_text_profile <- ext_text_quality/ext_lang_id/ext_token_count/
+# ext_fingerprint; rel_scalar_funcs <- rel_string_funcs/rel_date_funcs
+# — the VERDICT r2 #2 consolidation), and (e) the three NEW round-4
+# operators. Tail entries are green in CORRECTNESS_r02 (or r01 for the
+# five remaining single-operator rows — ext_dedup_exact, rel_semi_anti,
+# rel_rank_family, rel_array_agg, rel_json_extract — plus the seven
+# rotated back out: rel_asof_join, rel_range_join, rel_salted_agg,
+# rel_window_topn, rel_percentiles, rel_pivot, rel_cube) with code
 # unchanged; stream_sessionize is the contract-allowed rows-only entry,
 # ALSO pytest-verified equal to its batch twin in
-# tests/test_streaming.py::test_stream_sessionize_equals_batch. All 85
-# stay covered by tests/test_suite_differential.py + tools/diffcheck.
+# tests/test_streaming.py::test_stream_sessionize_equals_batch. All
+# entries stay covered by tests/test_suite_differential.py +
+# tools/diffcheck.
 _PRIORITY = [
     # reference-parity core (q6 one-pass agg and q7 materialized
     # product aggregate CHANGED this round; rest r2-green)
@@ -72,20 +81,21 @@ _PRIORITY = [
     "rel_udtf", "ext_funnel", "ext_cohort_retention", "ext_rfm",
     # CHANGED r3: rewritten to a single groupBy
     "rel_setops",
-    # r1-green with no r2 row, unchanged — stalest of the rotation
-    # backlog; the remaining eleven single-operator rows (ext_dedup_exact,
-    # ext_text_quality, ext_lang_id, ext_token_count, ext_fingerprint,
-    # rel_semi_anti, rel_rank_family, rel_array_agg, rel_json_extract,
-    # rel_string_funcs, rel_date_funcs) rotate in next round and stay
-    # covered by tests/test_suite_differential.py meanwhile
+    # late-r3 entries with no driver row yet
+    "ext_dedup_containment", "rel_salted_join",
+    # NEW r4: merged consolidation entries (each one's green row is
+    # current evidence for the retired singles' expressions)
+    "ext_text_profile", "rel_scalar_funcs",
+    # NEW r4 operators
+    "ext_attribution_multitouch", "ext_dedup_paragraph", "ext_rolling_dau",
+    # --- 50-slot grading window ends here ---
+    # tail: r2-green (or r1-green + diffcheck for the singles noted in
+    # the header), code unchanged this round
     "rel_asof_join", "rel_range_join", "rel_salted_agg", "rel_window_topn",
     "rel_percentiles", "rel_pivot", "rel_cube",
-    # --- 50-slot grading window ends here ---
-    # tail: r2-green, code unchanged this round
-    "ext_dedup_exact", "ext_text_quality", "ext_lang_id",
-    "ext_token_count", "ext_fingerprint",
+    "ext_dedup_exact",
     "rel_semi_anti", "rel_rank_family", "rel_array_agg",
-    "rel_json_extract", "rel_string_funcs", "rel_date_funcs",
+    "rel_json_extract",
     "etl_merge_upsert",
     "ext_tfidf", "ext_ngram_topk", "ext_sessionize", "ext_curation_pipeline",
     "ext_decontaminate", "ext_sample_stratified", "ext_repetition_filter",

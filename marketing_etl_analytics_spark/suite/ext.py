@@ -601,53 +601,19 @@ def ext_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- text quality scoring ----------------------------------------------------
+# --- text profile (quality + language-ID + token counts + fingerprint) ------
+#
+# Round-4 consolidation: the four round-1 single-metric entries
+# (ext_text_quality, ext_lang_id, ext_token_count, ext_fingerprint)
+# are merged into ONE wide per-document profile so their semantics
+# share a single current driver-graded row (the VERDICT r2 #2
+# recommendation, same consolidation as rel_window_frames). The
+# expressions are unchanged from the retired entries; one scan
+# computes every doc-local feature, and only the fingerprint
+# (min-shingle aggregate) adds a shuffle.
 
 STOPWORDS = "'the', 'a', 'of', 'and', 'to', 'in'"
-
-@register(
-    "ext_text_quality",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, lang, source, n_chars,
-        string_split(lower(text), ' ') AS tokens,
-        len(string_split(lower(text), ' ')) AS n_tokens,
-        len(list_filter(string_split(lower(text), ' '),
-            w -> w IN ({STOPWORDS}))) AS n_stop
-      FROM documents
-    )
-    SELECT doc_id, lang, source,
-      CAST(n_tokens AS BIGINT) AS n_tokens,
-      {sql_ratio("n_chars - n_tokens + 1", "n_tokens", 4, "avg_token_len")},
-      {sql_ratio("n_stop", "n_tokens", 4, "stopword_ratio")},
-      CASE WHEN n_tokens < 5 THEN 'too_short'
-           WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.5 THEN 'low_content'
-           ELSE 'ok' END AS quality
-    FROM toks
-    """,
-    doc="Per-document quality features: token count, avg token length, "
-    "stopword ratio, CASE quality label — all JVM-side expressions.",
-)
-def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    tokens = F.split(F.lower("text"), " ")
-    n_tokens = F.size(tokens)
-    n_stop = F.size(
-        F.filter(tokens, lambda w: w.isin("the", "a", "of", "and", "to", "in"))
-    )
-    return docs.select(
-        "doc_id", "lang", "source",
-        n_tokens.cast("long").alias("n_tokens"),
-        ratio(F.col("n_chars") - n_tokens + 1, n_tokens, 4).alias("avg_token_len"),
-        ratio(n_stop, n_tokens, 4).alias("stopword_ratio"),
-        F.when(n_tokens < 5, "too_short")
-        .when(n_stop.cast("double") / n_tokens > 0.5, "low_content")
-        .otherwise("ok")
-        .alias("quality"),
-    )
-
-
-# --- language ID (stopword-hit heuristic) ------------------------------------
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 LANG_SETS = {
     "en": ("the", "a", "of"),
@@ -656,108 +622,104 @@ LANG_SETS = {
 }
 
 @register(
-    "ext_lang_id",
-    """
-    WITH toks AS (
-      SELECT doc_id, lang,
+    "ext_text_profile",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars, text,
         string_split(lower(text), ' ') AS tokens
       FROM documents
     ),
-    scores AS (
-      SELECT doc_id, lang,
+    scored AS (
+      SELECT doc_id, lang, source, n_chars, text,
+        len(tokens) AS n_tokens,
+        len(list_filter(tokens, w -> w IN ({STOPWORDS}))) AS n_stop,
         len(list_filter(tokens, w -> w IN ('the', 'a', 'of'))) AS s_en,
         len(list_filter(tokens, w -> w IN ('el', 'la', 'de'))) AS s_es,
         len(list_filter(tokens, w -> w IN ('der', 'die', 'und'))) AS s_de
-      FROM toks
+      FROM base
+    ),
+    fp AS (
+      SELECT doc_id, md5(lower(text)) AS full_hash, {{SQL_SHINGLES}} AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    fph AS (
+      SELECT doc_id, full_hash,
+        (SELECT MIN(md5(s.sh)) FROM unnest(shingles) AS s(sh)) AS min_shingle_hash
+      FROM fp
     )
-    SELECT doc_id, lang AS labeled_lang,
-      CAST(s_en AS BIGINT) AS s_en, CAST(s_es AS BIGINT) AS s_es,
-      CAST(s_de AS BIGINT) AS s_de,
-      CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
-           WHEN s_es >= s_de THEN 'es'
-           ELSE 'de' END AS detected_lang
-    FROM scores
-    """,
-    doc="n-gram/stopword language-ID heuristic with deterministic "
-    "argmax tie-break; compares against the labeled lang column.",
+    SELECT s.doc_id, s.lang AS labeled_lang, s.source,
+      CAST(s.n_chars AS BIGINT) AS n_chars,
+      CAST(s.n_tokens AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(lower(s.text), '{TOKEN_RE}')) AS BIGINT) AS re_tokens,
+      {{AVG_TOKEN_LEN}},
+      {{STOPWORD_RATIO}},
+      CASE WHEN s.n_tokens < 5 THEN 'too_short'
+           WHEN CAST(s.n_stop AS DOUBLE) / s.n_tokens > 0.5 THEN 'low_content'
+           ELSE 'ok' END AS quality,
+      CASE WHEN s.s_en >= s.s_es AND s.s_en >= s.s_de THEN 'en'
+           WHEN s.s_es >= s.s_de THEN 'es'
+           ELSE 'de' END AS detected_lang,
+      f.full_hash, f.min_shingle_hash
+    FROM scored s LEFT JOIN fph f ON s.doc_id = f.doc_id
+    ORDER BY s.doc_id
+    """.format(
+        SQL_SHINGLES=SQL_SHINGLES,
+        AVG_TOKEN_LEN=sql_ratio("s.n_chars - s.n_tokens + 1", "s.n_tokens", 4, "avg_token_len"),
+        STOPWORD_RATIO=sql_ratio("s.n_stop", "s.n_tokens", 4, "stopword_ratio"),
+    ),
+    doc="Per-document text profile: whitespace + BPE-ish regex token "
+    "counts, avg token length, stopword ratio, CASE quality label, "
+    "stopword-hit language-ID with deterministic argmax tie-break, "
+    "whole-text md5 and min-shingle-hash fingerprint (winnowing-lite). "
+    "Consolidates the four retired round-1 single-metric entries; all "
+    "doc-local features are one JVM-side projection, the fingerprint "
+    "is the only aggregation (explode + MIN with map-side combine).",
 )
-def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     tokens = F.split(F.lower("text"), " ")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(
+        F.filter(tokens, lambda w: w.isin("the", "a", "of", "and", "to", "in"))
+    )
 
     def score(words: tuple[str, ...]):
         return F.size(F.filter(tokens, lambda w: w.isin(*words))).cast("long")
 
     s_en, s_es, s_de = (score(LANG_SETS[k]) for k in ("en", "es", "de"))
-    return docs.select(
+    base = docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        s_en.alias("s_en"), s_es.alias("s_es"), s_de.alias("s_de"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("re_tokens"),
+        ratio(F.col("n_chars") - n_tokens + 1, n_tokens, 4).alias("avg_token_len"),
+        ratio(n_stop, n_tokens, 4).alias("stopword_ratio"),
+        F.when(n_tokens < 5, "too_short")
+        .when(n_stop.cast("double") / n_tokens > 0.5, "low_content")
+        .otherwise("ok")
+        .alias("quality"),
         F.when((s_en >= s_es) & (s_en >= s_de), "en")
         .when(s_es >= s_de, "es")
         .otherwise("de")
         .alias("detected_lang"),
     )
-
-
-# --- token counting (whitespace + BPE-ish regex) ------------------------------
-
-TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-
-@register(
-    "ext_token_count",
-    f"""
-    SELECT doc_id,
-      CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
-      CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS re_tokens,
-      CAST(n_chars AS BIGINT) AS n_chars
-    FROM documents
-    ORDER BY doc_id
-    """,
-    doc="Whitespace and BPE-ish regex token counts per document.",
-)
-def ext_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(F.split(F.lower("text"), " ")).cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).cast("long").alias("re_tokens"),
-        F.col("n_chars").cast("long").alias("n_chars"),
-    ).orderBy("doc_id")
-
-
-# --- document fingerprinting (full hash + winnowing-lite) ---------------------
-
-@register(
-    "ext_fingerprint",
-    f"""
-    WITH shingled AS (
-      SELECT doc_id, md5(lower(text)) AS full_hash, {SQL_SHINGLES} AS shingles
-      FROM documents
-      WHERE len(string_split(lower(text), ' ')) >= 3
-    )
-    SELECT doc_id, full_hash,
-      (SELECT MIN(md5(s.sh)) FROM unnest(shingles) AS s(sh)) AS min_shingle_hash
-    FROM shingled
-    ORDER BY doc_id
-    """,
-    doc="Document fingerprint: whole-text md5 + min shingle hash "
-    "(winnowing-lite rolling fingerprint).",
-)
-def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    # explode + MIN aggregate instead of a transform() lambda:
-    # higher-order functions run interpreted per element; the explode
-    # formulation stays in whole-stage codegen with map-side combine
+    # fingerprint: explode + MIN aggregate instead of a transform()
+    # lambda (higher-order functions run interpreted per element; the
+    # explode form stays in whole-stage codegen with map-side combine)
     with_fh = docs.select(
         "doc_id", F.md5(F.lower("text")).alias("full_hash"), "text"
     )
-    ex = shingle_rows(with_fh, "full_hash")
-    return (
-        ex.groupBy("doc_id", "full_hash")
+    fp = (
+        shingle_rows(with_fh, "full_hash")
+        .groupBy("doc_id", "full_hash")
         .agg(F.min(F.md5("sh_str")).alias("min_shingle_hash"))
-        .orderBy("doc_id")
     )
+    return base.join(fp, "doc_id", "left").orderBy("doc_id")
 
 
 # --- multimodal binary plumbing ----------------------------------------------

@@ -673,3 +673,129 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_id", "dst_id")
     )
+
+
+# --- paragraph-level (chunk) dedup: boilerplate scrubbing --------------------
+
+# The corpus-level twin of the doc-local repetition filter above:
+# RefinedWeb/Dolma-style removal of text spans that recur across many
+# documents (navigation chrome, license banners, templated footers).
+# The driver's documents are single-line word streams, so "paragraph"
+# here is a fixed window of consecutive words — the chunking is the
+# plumbing under test, not the boundary heuristic.
+_CHUNK_WORDS = 8
+_CHUNK_DOC_THRESHOLD = 3  # chunk in >= this many distinct docs = boilerplate
+
+
+@register(
+    "ext_dedup_paragraph",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, g.i AS chunk_id,
+        array_to_string(
+          list_slice(tk, g.i * {_CHUNK_WORDS} + 1, g.i * {_CHUNK_WORDS} + {_CHUNK_WORDS}),
+          ' ') AS chunk
+      FROM toks, LATERAL unnest(generate_series(0, (len(tk) - 1) // {_CHUNK_WORDS})) AS g(i)
+    ),
+    bad AS (
+      SELECT md5(chunk) AS ch
+      FROM chunks
+      GROUP BY md5(chunk)
+      HAVING COUNT(DISTINCT doc_id) >= {_CHUNK_DOC_THRESHOLD}
+    ),
+    kept AS (
+      SELECT c.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_kept,
+        md5(string_agg(c.chunk, ' ' ORDER BY c.chunk_id)) AS clean_hash
+      FROM chunks c ANTI JOIN bad b ON md5(c.chunk) = b.ch
+      GROUP BY c.doc_id
+    ),
+    totals AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM chunks GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks,
+      CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+      CAST(t.n_chunks - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+      COALESCE(k.clean_hash, md5('')) AS clean_hash
+    FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc="Cross-document paragraph dedup (RefinedWeb/Dolma line-dedup "
+    "shape): documents are chunked into fixed 8-word spans, a chunk "
+    "whose hash appears in >= 3 distinct documents is boilerplate, "
+    "and each document is reassembled from its surviving chunks in "
+    "order (reported as a hash plus kept/removed counts). The "
+    "boilerplate inventory is ONE aggregation over chunk hashes "
+    "(map-side combine collapses per-partition repeats); the scrub "
+    "is an anti join on the hash — the corpus never shuffles on "
+    "content, and reassembly shuffles once on doc_id. Chunking is "
+    "doc-local array arithmetic, no UDFs.",
+)
+def ext_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    n_chunks_expr = (F.size(tk) - 1) / F.lit(_CHUNK_WORDS)
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.floor(n_chunks_expr).cast("int"))
+            ).alias("chunk_id"),
+            tk.alias("tk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "tk",
+                    F.col("chunk_id") * _CHUNK_WORDS + 1,
+                    F.lit(_CHUNK_WORDS),
+                ),
+            ).alias("chunk"),
+        )
+    )
+    bad = (
+        chunks.groupBy(F.md5("chunk").alias("ch"))
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _CHUNK_DOC_THRESHOLD)
+        .select("ch")
+    )
+    kept = (
+        chunks.join(bad, F.md5(chunks.chunk) == bad.ch, "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_id", "chunk"))
+                        ),
+                        lambda s: s.chunk,
+                    ),
+                )
+            ).alias("clean_hash"),
+        )
+    )
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    return (
+        totals.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )

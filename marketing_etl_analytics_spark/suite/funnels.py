@@ -38,7 +38,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from marketing_etl_analytics_spark.suite.common import money, ratio, sql_ratio, t
+from marketing_etl_analytics_spark.suite.common import (
+    money,
+    pround,
+    ratio,
+    sql_pround,
+    sql_ratio,
+    t,
+)
 from marketing_etl_analytics_spark.suite.registry import register
 
 
@@ -295,3 +302,131 @@ def ext_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_score").cast("int"),
         seg.alias("segment"),
     ).orderBy("o_custkey")
+
+
+# --- multi-touch attribution -------------------------------------------------
+
+# Touch lookback window before each conversion, and the day width used
+# for the time-decay exponent. 7 days keeps the interval join's state
+# bounded (same bound the streaming attribution join uses).
+_ATTR_WINDOW_US = 7 * 86_400 * 1_000_000
+_DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "ext_attribution_multitouch",
+    f"""
+    WITH purch AS (
+      SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT event_id AS t_id, user_id, epoch_us(ts) AS t_us, event_type AS touch_type
+      FROM events WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    j AS (
+      SELECT p.p_id, p.value, t.t_id, t.t_us, t.touch_type,
+        (p.p_us - t.t_us) // {_DAY_US} AS days_back
+      FROM purch p JOIN touch t ON p.user_id = t.user_id
+      WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - {_ATTR_WINDOW_US}
+    ),
+    w AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_us, t_id) AS rn,
+        COUNT(*) OVER (PARTITION BY p_id) AS n,
+        POWER(0.5, days_back) AS wt,
+        SUM(POWER(0.5, days_back)) OVER (PARTITION BY p_id) AS sum_wt
+      FROM j
+    ),
+    credits AS (
+      SELECT touch_type,
+        {sql_pround("CAST(value AS DOUBLE) / n", 6)} AS c_linear,
+        {sql_pround(
+            "CAST(value AS DOUBLE) * (CASE WHEN n = 1 THEN 1.0"
+            " WHEN n = 2 THEN 0.5"
+            " WHEN rn = 1 OR rn = n THEN 0.4"
+            " ELSE 0.2 / (n - 2) END)", 6)} AS c_position,
+        {sql_pround("CAST(value AS DOUBLE) * wt / sum_wt", 6)} AS c_timedecay
+      FROM w
+    )
+    SELECT touch_type,
+      CAST(COUNT(*) AS BIGINT) AS n_touches,
+      CAST(ROUND(SUM(CAST(c_linear AS DECIMAL(28,6))), 2) AS DOUBLE) AS credit_linear,
+      CAST(ROUND(SUM(CAST(c_position AS DECIMAL(28,6))), 2) AS DOUBLE) AS credit_position,
+      CAST(ROUND(SUM(CAST(c_timedecay AS DECIMAL(28,6))), 2) AS DOUBLE) AS credit_timedecay
+    FROM credits
+    GROUP BY touch_type
+    """,
+    doc="Multi-touch attribution over the events stream: every "
+    "purchase distributes its value across the user's view/click/"
+    "signup touches in the prior 7 days under three models — linear "
+    "(equal split), U-shaped position (40/20/40; 100 for a single "
+    "touch, 50/50 for two), and time-decay (half-life of one day: "
+    "weight 2^-days_back, normalized per conversion). One bounded "
+    "interval join on user_id (the batch twin of the streaming "
+    "attribution join's watermark state), one window pass on the "
+    "conversion key, one final aggregation. Determinism: decay "
+    "weights are exact powers of two (their sums are exact in "
+    "binary, hence order-free); per-touch credits are portably "
+    "rounded to 6 dp then summed in the decimal domain.",
+)
+def ext_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        "value",
+    )
+    touch = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_type").alias("touch_type"),
+    )
+    j = (
+        purch.join(touch, "user_id")
+        .filter(
+            (F.col("t_us") < F.col("p_us"))
+            & (F.col("t_us") >= F.col("p_us") - F.lit(_ATTR_WINDOW_US))
+        )
+        .select(
+            "p_id", "value", "t_id", "t_us", "touch_type",
+            F.expr(f"(p_us - t_us) div {_DAY_US}").alias("days_back"),
+        )
+    )
+    by_p = Window.partitionBy("p_id")
+    w = j.select(
+        "*",
+        F.row_number().over(by_p.orderBy("t_us", "t_id")).alias("rn"),
+        F.count(F.lit(1)).over(by_p).alias("n"),
+        F.pow(F.lit(0.5), F.col("days_back")).alias("wt"),
+        F.sum(F.pow(F.lit(0.5), F.col("days_back"))).over(by_p).alias("sum_wt"),
+    )
+    v = F.col("value").cast("double")
+    pos_w = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credits = w.select(
+        "touch_type",
+        pround(v / F.col("n"), 6).alias("c_linear"),
+        pround(v * pos_w, 6).alias("c_position"),
+        pround(v * F.col("wt") / F.col("sum_wt"), 6).alias("c_timedecay"),
+    )
+
+    def dsum6(c: str, alias: str):
+        return (
+            F.round(F.sum(F.col(c).cast("decimal(28,6)")), 2)
+            .cast("double")
+            .alias(alias)
+        )
+
+    return credits.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        dsum6("c_linear", "credit_linear"),
+        dsum6("c_position", "credit_position"),
+        dsum6("c_timedecay", "credit_timedecay"),
+    )

@@ -400,77 +400,73 @@ def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- rollup aggregation (SURVEY §2.D absent-aggregates note) ----------------
 
-# --- scalar string functions (SURVEY §2.H absent-functions note) -------------
+# --- scalar string + date functions (SURVEY §2.H absent-functions note) ------
+#
+# Round-4 consolidation: the round-1 single-family entries
+# rel_string_funcs and rel_date_funcs are merged into one projection
+# over orders (o_orderkey <= 500) broadcast-joined to customer, so the
+# full scalar-function surface shares one current driver-graded row
+# (VERDICT r2 #2 recommendation). Expressions unchanged from the
+# retired entries; rel_json_extract stays separate (aggregate-shaped,
+# different grain).
 
 @register(
-    "rel_string_funcs",
+    "rel_scalar_funcs",
     """
-    SELECT c_custkey,
-      upper(c_name) AS name_upper,
-      lower(c_mktsegment) AS seg_lower,
-      substr(c_name, 1, 8) AS name_prefix,
-      concat(c_mktsegment, ':', c_name) AS tagged,
-      CAST(length(c_name) AS INT) AS name_len,
-      replace(c_name, 'Customer', 'Cust') AS name_short,
-      lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
-      CASE WHEN contains(c_name, '001') THEN 1 ELSE 0 END AS has_001
-    FROM customer
-    WHERE c_custkey <= 200
-    ORDER BY c_custkey
+    SELECT o.o_orderkey, c.c_custkey,
+      upper(c.c_name) AS name_upper,
+      lower(c.c_mktsegment) AS seg_lower,
+      substr(c.c_name, 1, 8) AS name_prefix,
+      concat(c.c_mktsegment, ':', c.c_name) AS tagged,
+      CAST(length(c.c_name) AS INT) AS name_len,
+      replace(c.c_name, 'Customer', 'Cust') AS name_short,
+      lpad(CAST(c.c_custkey AS VARCHAR), 10, '0') AS key_padded,
+      CASE WHEN contains(c.c_name, '001') THEN 1 ELSE 0 END AS has_001,
+      CAST(o.o_orderdate AS DATE) AS d,
+      CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE) AS month_start,
+      last_day(CAST(o.o_orderdate AS DATE)) AS month_end,
+      CAST(date_diff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) AS INT) AS days_since_95,
+      date_add(CAST(o.o_orderdate AS DATE), 30) AS due_date,
+      CAST(EXTRACT(DOW FROM CAST(o.o_orderdate AS DATE)) AS INT) AS dow,
+      strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS year_month
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey <= 500
+    ORDER BY o.o_orderkey
     """,
-    doc="String-function surface (upper/lower/substr/concat/length/"
-    "replace/lpad/contains) — absent from the reference (SURVEY §2.H) "
-    "but required engine capabilities; all JVM builtins, pushdown-safe.",
+    doc="Scalar-function surface (upper/lower/substr/concat/length/"
+    "replace/lpad/contains + trunc/last_day/datediff/date_add/"
+    "day-of-week (normalized to DuckDB's Sunday=0)/format) — absent "
+    "from the reference (SURVEY §2.H, H1-H3) but required engine "
+    "capabilities; all JVM builtins over one broadcast fact⋈dim "
+    "projection, pushdown-safe.",
 )
-def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
-    return c.select(
-        "c_custkey",
-        F.upper("c_name").alias("name_upper"),
-        F.lower("c_mktsegment").alias("seg_lower"),
-        F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
-        F.length("c_name").cast("int").alias("name_len"),
-        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
-        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
-        F.when(F.contains(F.col("c_name"), F.lit("001")), 1).otherwise(0).alias("has_001"),
-    ).orderBy("c_custkey")
-
-
-# --- scalar date functions (SURVEY §2.H H1-H3 extensions) --------------------
-
-@register(
-    "rel_date_funcs",
-    """
-    SELECT o_orderkey,
-      CAST(o_orderdate AS DATE) AS d,
-      CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
-      last_day(CAST(o_orderdate AS DATE)) AS month_end,
-      CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
-      date_add(CAST(o_orderdate AS DATE), 30) AS due_date,
-      CAST(EXTRACT(DOW FROM CAST(o_orderdate AS DATE)) AS INT) AS dow,
-      strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS year_month
-    FROM orders
-    WHERE o_orderkey <= 500
-    ORDER BY o_orderkey
-    """,
-    doc="Date-function surface: trunc/last_day/datediff/date_add/"
-    "day-of-week (normalized to DuckDB's Sunday=0)/format — extends "
-    "the reference's to_date/EXTRACT usage (SURVEY §2.H H1-H3).",
-)
-def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    c = t(spark, sf_dir, "customer")
     d = F.to_date("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        d.alias("d"),
-        F.date_trunc("month", d).cast("date").alias("month_start"),
-        F.last_day(d).alias("month_end"),
-        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
-        F.date_add(d, 30).alias("due_date"),
-        (F.dayofweek(d) - 1).cast("int").alias("dow"),
-        F.date_format(d, "yyyy-MM").alias("year_month"),
-    ).orderBy("o_orderkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.lower("c_mktsegment").alias("seg_lower"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("tagged"),
+            F.length("c_name").cast("int").alias("name_len"),
+            F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+            F.when(F.contains(F.col("c_name"), F.lit("001")), 1).otherwise(0).alias("has_001"),
+            d.alias("d"),
+            F.date_trunc("month", d).cast("date").alias("month_start"),
+            F.last_day(d).alias("month_end"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
+            F.date_add(d, 30).alias("due_date"),
+            (F.dayofweek(d) - 1).cast("int").alias("dow"),
+            F.date_format(d, "yyyy-MM").alias("year_month"),
+        )
+        .orderBy("o_orderkey")
+    )
 
 
 # --- salted two-stage aggregation (skew discipline) --------------------------

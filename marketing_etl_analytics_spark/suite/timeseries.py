@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from marketing_etl_analytics_spark.suite.common import money, sql_pround, t
+from marketing_etl_analytics_spark.suite.common import money, pround, sql_pround, t
 from marketing_etl_analytics_spark.suite.registry import register
 
 BUCKET_US = 6 * 3600 * 1_000_000  # 6-hour buckets
@@ -376,4 +376,87 @@ def ext_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("exact_intersect"),
         )
         .orderBy("type_a", "type_b")
+    )
+
+
+# --- rolling 7-day distinct users (DAU / trailing-WAU / stickiness) ----------
+
+@register(
+    "ext_rolling_dau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    bounds AS (SELECT MAX(d) AS mx FROM ud),
+    contrib AS (
+      SELECT DISTINCT user_id, date_add(d, CAST(g.i AS INT)) AS wday
+      FROM ud, LATERAL unnest(generate_series(0, 6)) AS g(i)
+    ),
+    wau AS (
+      SELECT wday, CAST(COUNT(*) AS BIGINT) AS wau7
+      FROM contrib, bounds
+      WHERE wday <= mx
+      GROUP BY wday
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    )
+    SELECT w.wday AS day,
+      CAST(COALESCE(a.dau, 0) AS BIGINT) AS dau,
+      w.wau7,
+      FLOOR(CAST(COALESCE(a.dau, 0) AS DOUBLE)
+            / NULLIF(CAST(w.wau7 AS DOUBLE), 0) * 10000.0 + 0.5) / 10000.0
+        AS stickiness
+    FROM wau w LEFT JOIN dau a ON a.d = w.wday
+    ORDER BY day
+    """,
+    doc="Rolling engagement: DAU, trailing-7-day distinct users "
+    "(WAU7), and the DAU/WAU7 stickiness ratio per day. COUNT "
+    "DISTINCT over a sliding window isn't a window function in any "
+    "engine, so the plan uses the contribute-to-window shape: each "
+    "active (user, day) pair is exploded to the <=7 window-end days "
+    "it supports, deduped, and counted — two shuffles, both on "
+    "bounded (user, day) keys with map-side combine, never a per-day "
+    "self-join of the fact table. At extreme scale the same query "
+    "drops the exactness and merges per-day HLL/KMV sketches over "
+    "the trailing window (cf. ext_sketch_kmv_setops); the exact "
+    "explode form is kept here because the oracle contract verifies "
+    "counts exactly.",
+)
+def ext_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    bounds = ud.agg(F.max("d").alias("mx"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("i")).alias("wday"))
+        .distinct()
+    )
+    wau = (
+        contrib.crossJoin(F.broadcast(bounds))
+        .filter(F.col("wday") <= F.col("mx"))
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau7"))
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return (
+        wau.join(dau, wau.wday == dau.d, "left")
+        .select(
+            F.col("wday").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            "wau7",
+            pround(
+                F.coalesce("dau", F.lit(0)).cast("double")
+                / F.nullif(F.col("wau7").cast("double"), F.lit(0.0)),
+                4,
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
     )

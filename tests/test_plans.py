@@ -60,7 +60,7 @@ def test_hot_paths_in_wholestage_codegen(spark):
     """AQE only materializes codegen stages at execution time, so run
     the query and assert the *final* adaptive plan has WholeStageCodegen
     spans (the '*(n)' stage markers)."""
-    for name in ("q0_pnl_summary", "ext_dedup_minhash_lsh", "ext_text_quality"):
+    for name in ("q0_pnl_summary", "ext_dedup_minhash_lsh", "ext_text_profile"):
         df = SUITE[name].fn(spark, SF_DIR)
         df.collect()
         final_plan = df._jdf.queryExecution().executedPlan().toString()
