@@ -32,6 +32,7 @@ from marketing_etl_analytics_spark.suite import ext_pipeline  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import udf  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import timeseries  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import funnels  # noqa: E402,F401
+from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 
 # Priority prefix (everything registered but not listed here keeps its
 # module registration order after the prefix). Round-4 window policy:
@@ -89,6 +90,10 @@ _PRIORITY = [
     # NEW r4 operators
     "ext_attribution_multitouch", "ext_dedup_paragraph", "ext_rolling_dau",
     # --- 50-slot grading window ends here ---
+    # NEW r4, deliberately just OUTSIDE the window (52 never-graded
+    # candidates for 50 slots): verified by tools/diffcheck.py at two
+    # SFs + the differential pytest; rotate into the window next round
+    "ext_graph_pagerank", "ext_bm25_search",
     # tail: r2-green (or r1-green + diffcheck for the singles noted in
     # the header), code unchanged this round
     "rel_asof_join", "rel_range_join", "rel_salted_agg", "rel_window_topn",

@@ -799,3 +799,119 @@ def ext_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- BM25 ranked retrieval over the inverted index ---------------------------
+
+# Rational-idf BM25 variant: idf = (N - df + 0.5) / (df + 0.5),
+# i.e. true BM25's idf WITHOUT the outer ln(). The log is a per-term
+# monotone transform whose libm implementations (JVM vs C) may differ
+# in the last ulp, which the oracle contract can't tolerate; the
+# rational form keeps every arithmetic step a deterministic IEEE op
+# on identical operands. Ranking quality is preserved in spirit
+# (rare terms still dominate), and swapping in F.ln for a production
+# deployment is a one-line change.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "ext_bm25_search",
+    f"""
+    WITH stats AS (
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(len(string_split(lower(text), ' '))) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks
+      WHERE term IN {str(tuple(_IDX_TERMS))}
+      GROUP BY term, doc_id
+    ),
+    termdf AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq FROM postings GROUP BY term
+    ),
+    scored AS (
+      SELECT p.doc_id,
+        {sql_pround(
+            "((s.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))"
+            f" * (p.tf * {_BM25_K1 + 1.0} / (p.tf + {_BM25_K1} *"
+            f" ({1.0 - _BM25_B} + {_BM25_B} * l.dl / s.avgdl)))", 9)} AS sc
+      FROM postings p
+      JOIN termdf d ON p.term = d.term
+      JOIN dl l ON p.doc_id = l.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_terms,
+      {sql_pround("CAST(SUM(CAST(sc AS DECIMAL(28,9))) AS DOUBLE)", 6)} AS score
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75, rational idf — see "
+    "module comment) over the same pruned postings as "
+    "ext_inverted_index: postings are built only for query terms "
+    "(filter below the aggregation), document-frequency and corpus "
+    "stats are 1-row/tiny broadcast sides, and the per-doc score is "
+    "one aggregation — the corpus shuffles once on (term, doc) and "
+    "once on doc, never on content. Top-k plans as "
+    "TakeOrderedAndProject. Per-term scores are portably rounded "
+    "then summed in the decimal domain so the oracle verifies the "
+    "RANKING exactly, not just the plumbing.",
+)
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.suite.common import pround
+
+    docs = t(spark, sf_dir, "documents")
+    dl_col = F.size(F.split(F.lower("text"), " "))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(dl_col.cast("long")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    dl = docs.select("doc_id", dl_col.alias("dl"))
+    postings = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .filter(F.col("term").isin(*_IDX_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    termdf = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("dfreq")
+    )
+    idf = (F.col("n_docs") - F.col("dfreq") + F.lit(0.5)) / (
+        F.col("dfreq") + F.lit(0.5)
+    )
+    tf_norm = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        postings.join(F.broadcast(termdf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", pround(idf * tf_norm, 9).alias("sc"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            pround(
+                F.sum(F.col("sc").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
