@@ -2,25 +2,32 @@
 
 The dedup family already runs one iterative graph algorithm
 (connected components, `ext_dedup_cluster`). This module adds
-centrality: PageRank over the rare-shingle co-occurrence graph —
-docs are linked when a 3-word shingle occurs in EXACTLY two distinct
-documents (a rare shared phrase is strong evidence of direct reuse;
-common shingles are noise and high-fanout, so df=2 is both the
-signal and the skew guard — bucket fanout is capped at one edge by
-construction).
+centrality: PageRank over the shared-shingle graph — two documents
+are linked when they share at least MIN_SHARED distinct 3-word
+shingles, each drawn from a small bucket (2..BUCKET_CAP docs).
+High-fanout shingles are stopword-ish noise, so the bucket cap is
+both the signal filter and the skew guard, exactly as in the
+MinHash-LSH candidate generation; requiring multiple shared rare
+shingles keeps the edge set sparse on vocabularies where single
+3-gram collisions are common.
 
-Scale shape: the edge build is ONE aggregation over shingle hashes
-(map-side combine collapses per-partition repeats); each PageRank
-iteration is edges⋈ranks (shuffle on node id, edge-partitioned —
-Pregel's shape) + one aggregation. Iterations are unrolled a fixed
-3 deep, so the whole computation is a static DAG that Catalyst/AQE
-optimizes end-to-end and a DuckDB oracle can mirror exactly.
+Scale shape: the shingle index is the SAME memoized corpus index the
+containment dedup builds (``containment_shingles`` — at cluster
+scale a persisted table, built once per corpus version); the 2..cap
+bucket filter is value-identical under the index's 128-doc spam cap
+because every bucket it keeps is far below that cap. Pair generation
+is a self-join on the shingle key with fanout bounded by the cap;
+each PageRank iteration is edges⋈ranks (shuffle on node id — the
+Pregel message-passing shape) plus one aggregation. Iterations are
+unrolled a fixed 3 deep, so the whole computation is a static DAG
+that Catalyst/AQE optimizes end-to-end and a DuckDB oracle mirrors
+exactly.
 
 Determinism (the usual discipline, see ``suite.common``): rank
-updates sum floating-point contributions, which is order-dependent
-— so every per-edge contribution is portably rounded to 12 dp,
-snapped to DECIMAL(38,12), summed exactly, and only then cast back
-to double. Both engines then apply identical IEEE ops.
+updates sum floating-point contributions, which is order-dependent —
+so every per-edge contribution is portably rounded to 12 dp, snapped
+to DECIMAL(38,12), summed exactly, and only then cast back to
+double. Both engines then apply identical IEEE ops.
 """
 
 from __future__ import annotations
@@ -28,12 +35,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from marketing_etl_analytics_spark.suite.common import pround, sql_pround, t
-from marketing_etl_analytics_spark.suite.ext import SQL_SHINGLES, shingle_rows
+from marketing_etl_analytics_spark.suite.common import memo_df, pround, sql_pround, t
+from marketing_etl_analytics_spark.suite.ext import SQL_SHINGLES, cap_lsh_buckets, shingle_rows
 from marketing_etl_analytics_spark.suite.registry import register
 
 DAMPING = 0.85
 N_ITER = 3
+# Shingle buckets larger than this are non-informative hot keys and
+# are dropped; a bucket contributes at most cap-1 join partners per
+# doc. Edges additionally need >= MIN_SHARED such co-occurrences —
+# one shared 3-gram is chance on a small vocabulary, three are reuse.
+BUCKET_CAP = 12
+MIN_SHARED = 3
+
+
+def _build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    shd = memo_df(
+        spark,
+        sf_dir,
+        "containment_shingles",  # shared with ext_dedup_containment
+        lambda: cap_lsh_buckets(shingle_rows(docs).distinct(), ["sh_str"]),
+    ).select("doc_id", "sh_str")
+    okh = (
+        shd.groupBy("sh_str")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= BUCKET_CAP))
+        .select("sh_str")
+    )
+    x = shd.join(okh, "sh_str")
+    y = x.select(F.col("sh_str").alias("sh2"), F.col("doc_id").alias("doc2"))
+    pairs = (
+        x.join(y, (x.sh_str == y.sh2) & (x.doc_id < y.doc2))
+        .groupBy(F.col("doc_id").alias("a"), F.col("doc2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED)
+        .select("a", "b")
+    )
+    return pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
 
 
 def _sql_iteration(prev: str, it: str) -> str:
@@ -57,19 +98,25 @@ def _sql_iteration(prev: str, it: str) -> str:
     "ext_graph_pagerank",
     f"""
     WITH sh AS (
-      SELECT d.doc_id, md5(s.sh) AS h
+      SELECT d.doc_id, s.sh
       FROM (
         SELECT doc_id, {SQL_SHINGLES} AS shingles
         FROM documents
         WHERE len(string_split(lower(text), ' ')) >= 3
       ) d, LATERAL unnest(d.shingles) AS s(sh)
     ),
-    pairs AS (
-      SELECT MIN(doc_id) AS a, MAX(doc_id) AS b
-      FROM sh GROUP BY h
-      HAVING COUNT(DISTINCT doc_id) = 2
+    ok_h AS (
+      SELECT sh FROM sh GROUP BY sh
+      HAVING COUNT(*) BETWEEN 2 AND {BUCKET_CAP}
     ),
-    e2 AS (SELECT DISTINCT a, b FROM pairs),
+    e2 AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM sh x
+      JOIN ok_h USING (sh)
+      JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+      HAVING COUNT(*) >= {MIN_SHARED}
+    ),
     edges AS (
       SELECT a AS src, b AS dst FROM e2
       UNION ALL
@@ -87,31 +134,26 @@ def _sql_iteration(prev: str, it: str) -> str:
     ORDER BY doc_id
     """,
     doc="PageRank (damping 0.85, 3 unrolled iterations) over the "
-    "rare-shingle co-occurrence graph: docs sharing a 3-word shingle "
-    "that occurs in exactly two documents are linked. Edge build is "
-    "one shingle-hash aggregation; each iteration is an edge⋈rank "
-    "join partitioned on node id plus a decimal-exact contribution "
-    "sum — the Pregel message-passing shape as a static DataFrame "
-    "DAG. Second iterative-algorithm entry beside the connected-"
-    "components dedup clusterer, and like it fully oracle-verified.",
+    "shared-shingle graph: docs are linked when they share >= 3 "
+    "distinct 3-word shingles, each occurring in 2..12 docs (the "
+    "MinHash family's bucket cap as skew guard + multi-shingle "
+    "evidence so chance collisions on a small vocabulary don't "
+    "densify the graph). The shingle index is the memoized corpus "
+    "index shared with the containment dedup; pair generation is a "
+    "capped self-join on the shingle key; each iteration is an "
+    "edge⋈rank join partitioned on node id plus a decimal-exact "
+    "contribution sum — the Pregel message-passing shape as a "
+    "static DataFrame DAG. Second iterative-algorithm entry beside "
+    "the connected-components dedup clusterer, and like it fully "
+    "oracle-verified.",
 )
 def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    sh = shingle_rows(docs).select("doc_id", F.md5("sh_str").alias("h"))
-    pairs = (
-        sh.groupBy("h")
-        .agg(
-            F.countDistinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("a"),
-            F.max("doc_id").alias("b"),
-        )
-        .filter(F.col("nd") == 2)
-        .select("a", "b")
-        .distinct()
-    )
-    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # materialized once per corpus version: every iteration (and the
+    # degree/count sides) would otherwise re-execute the whole
+    # shingle->bucket->pair subtree — at cluster scale this IS a
+    # persisted edge table, same as the dedup family's signature
+    # indexes (suite.common.memo_df)
+    edges = memo_df(spark, sf_dir, "pagerank_edges", lambda: _build_edges(spark, sf_dir))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "node")
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     ranks = deg.crossJoin(F.broadcast(nn)).select(
