@@ -306,6 +306,28 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     return _read_files(spark, read_manifest(path, v))
 
 
+def restore(path: str, version: int) -> int:
+    """Roll the table back to ``version`` as a NEW commit (Delta
+    RESTORE semantics): the restored state becomes the current
+    version, history is preserved, and the rollback itself is
+    visible in ``history()``/``changes()``. Pure manifest operation —
+    no data files move (the target version's immutable files are
+    re-referenced, which also keeps them safe from ``vacuum`` for as
+    long as the restore commit is retained)."""
+    target = read_manifest(path, version)
+    cur = current_version(path)
+    _commit(
+        path,
+        cur + 1,
+        target.files,
+        target.schema_json,
+        parent=cur,
+        stats=target.stats,
+        stats_cols=target.stats_cols,
+    )
+    return cur + 1
+
+
 def merge(
     spark: SparkSession,
     path: str,

@@ -88,9 +88,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Stateful exact dedup on event_id within the watermark horizon —
-    the streaming analog of ON CONFLICT DO NOTHING idempotency."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Stateful dedup on event_id within the watermark horizon — the
+    streaming analog of ON CONFLICT DO NOTHING idempotency.
+
+    Uses ``dropDuplicatesWithinWatermark``, not ``dropDuplicates``:
+    with a key subset that excludes the event-time column, plain
+    dropDuplicates NEVER evicts its state (the watermark only bounds
+    state when event time is part of the key), so on an unbounded
+    stream the dedup map grows with total distinct keys — the classic
+    silent OOM at cluster scale. The WithinWatermark variant evicts a
+    key once the watermark passes its first-seen timestamp, trading
+    "exact forever" for "exact within the deduplication horizon",
+    which is the contract replays actually need (a source that can
+    replay an event a day later needs a day's watermark, not an
+    unbounded map). Duplicate handling verified by
+    tests/test_streaming.py::test_dedup_within_watermark_drops_replays.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def attribution_join(

@@ -64,8 +64,13 @@ _PRIORITY = [
     "q6_category_performance", "q7_product_quadrant",
     "q8_spend_waste", "q9_retention",
     "q10_demographics", "q11_frequency_segments",
-    "etl_dim_date", "etl_dim_product", "etl_dim_campaign_parse",
+    # etl_dim_date rotates out this round (r2-green, unchanged since
+    # r1, golden-tested) to make room for stream_dedup, whose CODE
+    # changed (dropDuplicatesWithinWatermark) and therefore needs a
+    # current driver row
+    "etl_dim_product", "etl_dim_campaign_parse",
     "etl_fact_sales", "etl_upsert_dedup",
+    "stream_dedup",
     "v_channel_daily", "v_kpi_channel", "v_kpi_campaign",
     # CHANGED r3: dedup/ANN family reads memoized corpus indexes
     # (suite.common.memo_df); ext_ann_recall shares the memoized
@@ -106,7 +111,7 @@ _PRIORITY = [
     "ext_decontaminate", "ext_sample_stratified", "ext_repetition_filter",
     "ext_pii_redact", "ext_sketch_kmv",
     "ext_multimodal_meta", "ext_stream_daily_window",
-    "rel_pandas_udf", "rel_apply_in_pandas", "stream_dedup", "stream_sessionize",
+    "rel_pandas_udf", "rel_apply_in_pandas", "etl_dim_date", "stream_sessionize",
     "stream_attribution_join", "stream_enrich_join",
     "rel_scalar_subquery", "rel_window_frames", "rel_rollup_grouping_sets",
     "rel_time_rollup",

@@ -246,3 +246,33 @@ def test_transform_with_state_sessionizer_equals_group_state(spark):
     new = run(sessionize_tws, "tws_new_sessions")
     assert len(old) > 100
     assert new == old
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must swallow replayed events whose
+    duplicate arrives inside the watermark horizon (the bounded-state
+    dedup contract; plain dropDuplicates would too, but by holding
+    every key forever)."""
+    base = (
+        batch_events(spark, SF)
+        .limit(100)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    replays = base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 MINUTES"))
+    src = str(tmp_path / "dup_events")
+    base.unionAll(replays).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    deduped = dedup_events(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_replays")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS nd FROM dedup_replays"
+    ).collect()[0]
+    assert out.n == out.nd == 100

@@ -189,3 +189,28 @@ def test_merge_schema_evolution_appends_column(spark, table):
     got = {r.k: (r.v, r.score) for r in acid.read(spark, table).collect()}
     assert got[700] == ("X", None)
     assert v == 2
+
+
+def test_restore_rolls_back_as_new_commit(spark, table):
+    v1_rows = sorted(map(tuple, acid.read(spark, table).collect()))
+    acid.merge(spark, table, _df(spark, [(0, "CHANGED"), (200, "new")]), ["k"])
+    assert sorted(map(tuple, acid.read(spark, table).collect())) != v1_rows
+
+    v = acid.restore(table, 1)
+    assert v == 3  # rollback is itself a commit, not history rewriting
+    assert acid.current_version(table) == 3
+    assert sorted(map(tuple, acid.read(spark, table).collect())) == v1_rows
+    # the pre-restore state stays time-travelable
+    assert sorted(map(tuple, acid.read(spark, table, version=2).collect())) != v1_rows
+    assert acid.history(table) == [1, 2, 3]
+
+
+def test_restore_survives_vacuum_of_target(spark, table):
+    """After restoring v1 and vacuuming down to the last versions, the
+    restored commit still reads: its manifest re-references v1's files,
+    which vacuum must therefore retain."""
+    v1_rows = sorted(map(tuple, acid.read(spark, table).collect()))
+    acid.merge(spark, table, _df(spark, [(0, "CHANGED")]), ["k"])
+    acid.restore(table, 1)
+    acid.vacuum(table, keep_last=1)
+    assert sorted(map(tuple, acid.read(spark, table).collect())) == v1_rows
