@@ -460,3 +460,119 @@ def ext_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- rolling z-score anomaly detection ---------------------------------------
+
+# Trailing-history window: the 7 buckets before the current one (the
+# current bucket must not influence its own baseline).
+_Z_HIST = 7
+_Z_MIN_N = 4
+
+
+@register(
+    "ext_anomaly_zscore",
+    f"""
+    WITH b AS (
+      SELECT (epoch_us(ts) // {BUCKET_US}) * {BUCKET_US} AS bucket_us,
+        event_type,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS value_sum
+      FROM events
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT bucket_us, event_type, value_sum,
+        CAST(SUM(CAST(value_sum AS DECIMAL(28,6))) OVER hist AS DOUBLE) AS sx,
+        CAST(SUM(CAST({sql_pround("value_sum * value_sum", 6)} AS DECIMAL(38,6)))
+             OVER hist AS DOUBLE) AS sxx,
+        COUNT(*) OVER hist AS n
+      FROM b
+      WINDOW hist AS (
+        PARTITION BY event_type ORDER BY bucket_us
+        ROWS BETWEEN {_Z_HIST} PRECEDING AND 1 PRECEDING
+      )
+    ),
+    m AS (
+      SELECT *, sx / n AS mean FROM w WHERE n >= {_Z_MIN_N}
+    ),
+    v AS (
+      SELECT *,
+        sqrt(GREATEST(0.0, {sql_pround("sxx / n - mean * mean", 6)})) AS std
+      FROM m
+    )
+    SELECT make_timestamp(bucket_us) AS bucket, event_type, value_sum,
+      {sql_pround("mean", 4)} AS mean7,
+      {sql_pround("std", 4)} AS std7,
+      {sql_pround("(value_sum - mean) / NULLIF(std, 0.0)", 4)} AS z,
+      CASE WHEN ABS((value_sum - mean) / NULLIF(std, 0.0)) > 2.0
+           THEN 1 ELSE 0 END AS is_anomaly
+    FROM v
+    ORDER BY event_type, bucket
+    """,
+    doc="Rolling z-score anomaly detection on 6h revenue buckets per "
+    "event type: each bucket is scored against the mean/std of its "
+    "trailing 7 buckets (self-excluded). One shuffled aggregation "
+    "builds the buckets (map-side combine), then a bounded ROWS "
+    "window per type — state is O(history) per key, the same plan a "
+    "streaming job would run with a sliding watermark. Determinism: "
+    "sums and sums-of-squares snap to decimals (order-free), the "
+    "variance is portably rounded, and IEEE-754 sqrt is correctly "
+    "rounded on both engines, so z-scores and flags are oracle-exact "
+    "— no libm-divergence risk.",
+)
+def ext_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bucket_us = F.expr(f"unix_micros(ts) div {BUCKET_US} * {BUCKET_US}")
+    b = (
+        ev.select(bucket_us.alias("bucket_us"), "event_type", "value")
+        .groupBy("bucket_us", "event_type")
+        .agg(F.round(F.sum(money("value")), 2).cast("double").alias("value_sum"))
+    )
+    hist = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(-_Z_HIST, -1)
+    )
+    x = F.col("value_sum")
+    w = b.select(
+        "bucket_us",
+        "event_type",
+        "value_sum",
+        F.sum(x.cast("decimal(28,6)")).over(hist).cast("double").alias("sx"),
+        F.sum(pround(x * x, 6).cast("decimal(38,6)"))
+        .over(hist)
+        .cast("double")
+        .alias("sxx"),
+        F.count(F.lit(1)).over(hist).alias("n"),
+    ).filter(F.col("n") >= _Z_MIN_N)
+    m = w.withColumn("mean", F.col("sx") / F.col("n"))
+    v = m.withColumn(
+        "std",
+        F.sqrt(
+            F.greatest(
+                F.lit(0.0),
+                pround(F.col("sxx") / F.col("n") - F.col("mean") * F.col("mean"), 6),
+            )
+        ),
+    )
+    z = pround((x - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0)), 4)
+    return (
+        v.select(
+            F.timestamp_micros("bucket_us").alias("bucket"),
+            "event_type",
+            "value_sum",
+            pround(F.col("mean"), 4).alias("mean7"),
+            pround(F.col("std"), 4).alias("std7"),
+            z.alias("z"),
+            F.when(
+                F.abs(
+                    (x - F.col("mean")) / F.nullif(F.col("std"), F.lit(0.0))
+                )
+                > 2.0,
+                1,
+            )
+            .otherwise(0)
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "bucket")
+    )
