@@ -576,3 +576,74 @@ def ext_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --- native session windows --------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "ext_session_window_native",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+        -- strict > : session_window's end bound is INCLUSIVE (an
+        -- event at exactly last_ts + gap merges into the session;
+        -- pinned by test_session_window_boundary_is_inclusive), the
+        -- same rule as the gaps-and-islands twin
+        CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > {_SESSION_GAP_US}
+             THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+      MIN(ts) AS session_start,
+      MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    doc="Sessionization via Spark's NATIVE session_window grouping — "
+    "the idiomatic engine form of the 30-min-gap sessionizer (one "
+    "shuffled aggregation; Catalyst plans dynamic-gap session merge "
+    "directly, and the same expression works under Structured "
+    "Streaming with a watermark). The oracle mirrors the exact "
+    "semantics with gaps-and-islands: session end = last event + gap, "
+    "and the end bound is inclusive (boundary pinned by "
+    "tests/test_sessionize_unit.py::test_session_window_boundary_is_inclusive). "
+    "Complements ext_sessionize (authored islands form) and the "
+    "stateful streaming sessionizer.",
+)
+def ext_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

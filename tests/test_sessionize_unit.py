@@ -141,3 +141,33 @@ def test_timeout_flushes_open_session():
     assert len(out) == 1
     row = out[0].iloc[0]
     assert row["n_events"] == 4 and row["total_value"] == pytest.approx(8.0)
+
+
+def test_session_window_boundary_is_inclusive(spark):
+    """An event at exactly last_ts + gap MERGES into the session:
+    Spark's session_window end bound is inclusive (verified here, not
+    assumed from the docs). This pins the strict > rule the
+    ext_session_window_native oracle uses — the same rule as the
+    gaps-and-islands twin."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),       # == gap -> merges
+        (1, t0 + dt.timedelta(minutes=90)),       # > gap after prev -> new
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("w.start", "n")
+        .orderBy("start")
+        .collect()
+    )
+    assert [(r.start, r.n) for r in got] == [
+        (t0, 2),
+        (t0 + dt.timedelta(minutes=90), 1),
+    ]
