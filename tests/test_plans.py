@@ -207,3 +207,37 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bm25_plans_topk_and_broadcast_stats(spark):
+    """BM25: corpus stats and per-term df are broadcast (never a
+    shuffle of the postings on a stats key), the term filter is pushed
+    into the token pipeline, and the final top-20 plans as
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "ext_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_join_is_bounded_equi_join(spark):
+    """Multi-touch attribution: purchases x touches must join on
+    user_id with the 7-day range as a post-join predicate — an
+    equi-join (hash/merge), never a cartesian or pure theta join."""
+    plan = plan_of(spark, "ext_attribution_multitouch")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_session_window_is_single_aggregation(spark):
+    """Native session_window plans one aggregation over one events
+    scan — no self-join, no window-function pass."""
+    plan = plan_of(spark, "ext_session_window_native")
+    assert "SessionWindow" in plan or "session_window" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan.replace("SessionWindow", "").replace(
+        "session_window", ""
+    )  # no window-function pass, only the session-window aggregate
