@@ -717,3 +717,57 @@ def rel_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- RANGE (value-interval) window frames ------------------------------------
+
+@register(
+    "rel_window_range_interval",
+    """
+    SELECT o_orderkey, o_custkey, d,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER trail AS DOUBLE)
+        AS spend_7d,
+      CAST(COUNT(*) OVER trail AS BIGINT) AS n_orders_7d
+    FROM (
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+        date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS dnum,
+        o_totalprice
+      FROM orders WHERE o_custkey <= 200
+    )
+    WINDOW trail AS (
+      PARTITION BY o_custkey ORDER BY dnum
+      RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY o_custkey, d, o_orderkey
+    """,
+    doc="RANGE (value-interval) window frame: trailing-7-DAY spend "
+    "per customer — the frame is bounded by the ORDER BY value, not "
+    "a row count, so same-day peers aggregate together and sparse "
+    "histories window correctly (ROWS frames can't express this). "
+    "Completes the frame-type coverage next to rel_window_frames' "
+    "ROWS frames. Deterministic: RANGE includes all peers of a value "
+    "(no tie-order sensitivity) and the sum is decimal-exact.",
+)
+def rel_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    d = F.to_date("o_orderdate")
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        d.alias("d"),
+        F.datediff(d, F.lit("1990-01-01").cast("date")).alias("dnum"),
+        "o_totalprice",
+    )
+    trail = (
+        Window.partitionBy("o_custkey").orderBy("dnum").rangeBetween(-7, 0)
+    )
+    return (
+        base.select(
+            "o_orderkey",
+            "o_custkey",
+            "d",
+            F.sum(money("o_totalprice")).over(trail).cast("double").alias("spend_7d"),
+            F.count(F.lit(1)).over(trail).cast("long").alias("n_orders_7d"),
+        )
+        .orderBy("o_custkey", "d", "o_orderkey")
+    )
