@@ -915,3 +915,64 @@ def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+# --- fuzzy record linkage (edit-distance dedup with blocking) ----------------
+
+_FUZZY_MAX_DIST = 3
+
+
+@register(
+    "ext_fuzzy_linkage",
+    f"""
+    WITH names AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM part GROUP BY p_name
+    ),
+    blocked AS (
+      SELECT p_name, n_rows, split_part(p_name, ' ', 2) AS blk FROM names
+    )
+    SELECT a.blk AS block, a.p_name AS name_a, b.p_name AS name_b,
+      CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+      a.n_rows AS rows_a, b.n_rows AS rows_b
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}
+    ORDER BY block, name_a, name_b
+    """,
+    doc="Fuzzy record linkage: near-identical part names found by "
+    "edit distance <= 3 inside blocking buckets (the record-linkage "
+    "shape: canonicalize to DISTINCT values first — the same "
+    "corpus-collapse as exact dedup, so pair work scales with "
+    "distinct names, not rows — then block on a stable key and run "
+    "the expensive distance only within blocks; candidate "
+    "generation + targeted verify, exactly like the LSH families). "
+    "Levenshtein is integer-deterministic on both engines, so the "
+    "oracle verifies distances exactly.",
+)
+def ext_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    blocked = names.select(
+        "p_name", "n_rows", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(dist <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("a.blk").alias("block"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.cast("int").alias("dist"),
+            F.col("a.n_rows").alias("rows_a"),
+            F.col("b.n_rows").alias("rows_b"),
+        )
+        .orderBy("block", "name_a", "name_b")
+    )
