@@ -29,7 +29,7 @@ exactly; numeric discipline per ``suite.common``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marketing_etl_analytics_spark.suite.common import ratio, sql_pround, t
@@ -975,4 +975,72 @@ def ext_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n_rows").alias("rows_b"),
         )
         .orderBy("block", "name_a", "name_b")
+    )
+
+
+# --- BPE merge-pair counting (tokenizer-training primitive) ------------------
+
+_BPE_TOPK = 20
+
+
+@register(
+    "ext_bpe_merge_round",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM words WHERE len(w) >= 2 GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, i.i, 2) AS pair, freq
+      FROM wc, LATERAL unnest(generate_series(1, len(w) - 1)) AS i(i)
+    ),
+    agg AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+      CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+    FROM agg
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOPK}
+    """,
+    doc="One BPE training round's core computation: adjacent-symbol "
+    "pair frequencies over the corpus vocabulary, weighted by word "
+    "frequency — the candidate merge table (top pair = next merge). "
+    "The scale trick IS the word-count rollup: pair extraction runs "
+    "over the DISTINCT vocabulary weighted by counts (vocab is "
+    "~Heaps-law sublinear in corpus size), never over raw tokens, so "
+    "each merge iteration is two map-side-combined aggregations. "
+    "Full BPE training = this, iterated with re-segmentation; the "
+    "counting primitive is the part that must scale.",
+)
+def ext_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("n"))
+    return (
+        agg.select(
+            "pair",
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), "pair"))
+            .cast("int")
+            .alias("rank"),
+        )
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOPK)
     )
