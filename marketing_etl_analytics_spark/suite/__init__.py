@@ -100,7 +100,7 @@ _PRIORITY = [
     # SFs + the differential pytest; rotate into the window next round
     "ext_graph_pagerank", "ext_bm25_search", "ext_anomaly_zscore",
     "ext_session_window_native", "rel_window_range_interval",
-    "ext_fuzzy_linkage", "ext_bpe_merge_round",
+    "ext_fuzzy_linkage", "ext_bpe_merge_round", "ext_dedup_eval",
     # tail: r2-green (or r1-green + diffcheck for the singles noted in
     # the header), code unchanged this round
     "rel_asof_join", "rel_range_join", "rel_salted_agg", "rel_window_topn",

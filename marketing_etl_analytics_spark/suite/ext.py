@@ -779,3 +779,193 @@ def ext_stream_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "n_users", "total_value",
         )
     )
+
+
+# --- dedup quality evaluation: LSH candidates vs exact-Jaccard truth ---------
+#
+# The dedup twin of ext_ann_recall: quantifies the MinHash-LSH
+# candidate generator against exact-Jaccard ground truth. Exhaustive
+# all-pairs truth is impossible at corpus scale, so truth itself uses
+# the scale-correct shape: candidate pairs sharing >= 3 shingles from
+# informative (<= 128-doc) buckets, then EXACT per-pair verification
+# by set intersection of the two docs' full shingle arrays (doc-local
+# array op, no explosion). A true J >= 0.8 pair is missed only if
+# fewer than 3 of its shared shingles are informative — at J >= 0.8
+# the pair shares the vast majority of its ~O(doc) shingles, so the
+# miss requires essentially every shingle of the doc to be
+# corpus-spam. Everything is deterministic, so precision/recall
+# verify oracle-exact.
+
+_EVAL_J = 0.8
+_EVAL_MIN_SHARED = 3
+
+
+@register(
+    "ext_dedup_eval",
+    f"""
+    WITH shingled AS (
+      SELECT doc_id, {{SQL_SHINGLES}} AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    exploded AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(unnest(shingles)), 1, 12))::BIGINT % {{MH_PRIME}} AS h
+      FROM shingled
+    ),
+    hashed AS (
+      SELECT doc_id,
+             {{_SQL_MH_MINS}}
+      FROM exploded
+      GROUP BY doc_id
+    ),
+    bands0 AS (
+      SELECT doc_id, band,
+             CASE band {{_SQL_BAND_SIG}} END AS band_sig
+      FROM hashed, (SELECT unnest(generate_series(0, {{NB1}})) AS band)
+    ),
+    bands AS ({{CAPPED}}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    ),
+    ssh AS (
+      SELECT DISTINCT doc_id, s.sh
+      FROM shingled, LATERAL unnest(shingles) AS s(sh)
+    ),
+    okh AS (
+      SELECT sh FROM ssh GROUP BY sh HAVING COUNT(*) <= {{CAP}}
+    ),
+    tcand AS (
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM ssh x JOIN okh USING (sh)
+      JOIN ssh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+      HAVING COUNT(*) >= {_EVAL_MIN_SHARED}
+    ),
+    arrs AS (
+      SELECT doc_id, list(sh) AS hs, COUNT(*) AS ns FROM ssh GROUP BY doc_id
+    ),
+    truth AS (
+      SELECT t.a, t.b
+      FROM tcand t
+      JOIN arrs pa ON pa.doc_id = t.a
+      JOIN arrs pb ON pb.doc_id = t.b
+      WHERE CAST(len(list_filter(pa.hs, x -> list_contains(pb.hs, x))) AS DOUBLE)
+            / (pa.ns + pb.ns - len(list_filter(pa.hs, x -> list_contains(pb.hs, x))))
+            >= {_EVAL_J}
+    ),
+    hit AS (SELECT c.a, c.b FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b)
+    SELECT
+      CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+      CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_detected,
+      CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+      {{PRECISION}},
+      {{RECALL}}
+    """.format(
+        SQL_SHINGLES=SQL_SHINGLES,
+        MH_PRIME=MH_PRIME,
+        _SQL_MH_MINS=_SQL_MH_MINS,
+        _SQL_BAND_SIG=_SQL_BAND_SIG,
+        NB1=N_BANDS - 1,
+        CAP=LSH_BUCKET_CAP,
+        CAPPED=sql_cap_lsh_buckets("SELECT * FROM bands0", "band, band_sig"),
+        PRECISION=sql_ratio(
+            "(SELECT COUNT(*) FROM hit)", "(SELECT COUNT(*) FROM cand)", 4, "precision"
+        ),
+        RECALL=sql_ratio(
+            "(SELECT COUNT(*) FROM hit)", "(SELECT COUNT(*) FROM truth)", 4, "recall"
+        ),
+    ),
+    doc="Dedup-quality evaluation (the dedup family's ext_ann_recall "
+    "twin): MinHash-LSH candidate pairs vs exact-Jaccard ground truth "
+    "(J >= 0.8) — one row of counts + precision + recall, "
+    "oracle-exact because every hash is md5-deterministic. Truth uses "
+    "the scale-correct shape: >= 3 shared informative-bucket shingles "
+    "generate candidates (reusing the memoized containment index), "
+    "then each pair is verified EXACTLY by intersecting the two "
+    "docs' full shingle arrays — a doc-local array op, so no "
+    "all-pairs or hot-bucket explosion anywhere. Recall floor pinned "
+    "by tests/test_ext_library.py::test_dedup_eval_recall_floor.",
+)
+def ext_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = minhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    docs = t(spark, sf_dir, "documents")
+    # same memoized capped shingle index the containment dedup and
+    # pagerank edge build read (built once per corpus version)
+    capped = memo_df(
+        spark,
+        sf_dir,
+        "containment_shingles",
+        lambda: cap_lsh_buckets(shingle_rows(docs).distinct(), ["sh_str"]),
+    ).select("doc_id", "sh_str")
+    x, y = capped.alias("x"), capped.alias("y")
+    tcand = (
+        x.join(
+            y,
+            (F.col("x.sh_str") == F.col("y.sh_str"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("nsh"))
+        .filter(F.col("nsh") >= _EVAL_MIN_SHARED)
+        .select("a", "b")
+    )
+    # (doc -> full distinct shingle array) — the exact-verify index;
+    # memoized like the other per-corpus indexes
+    arrs = memo_df(
+        spark,
+        sf_dir,
+        "shingle_arrays",
+        lambda: shingle_rows(docs)
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("sh_str").alias("hs"),
+            F.count(F.lit(1)).alias("ns"),
+        ),
+    )
+    pa = arrs.select(
+        F.col("doc_id").alias("a"), F.col("hs").alias("ha"), F.col("ns").alias("na")
+    )
+    pb = arrs.select(
+        F.col("doc_id").alias("b"), F.col("hs").alias("hb"), F.col("ns").alias("nb")
+    )
+    ninter = F.size(F.array_intersect("ha", "hb"))
+    truth = (
+        tcand.join(pa, "a")
+        .join(pb, "b")
+        .filter(
+            ninter.cast("double") / (F.col("na") + F.col("nb") - ninter) >= _EVAL_J
+        )
+        .select("a", "b")
+    )
+    hit = cand.join(truth, ["a", "b"])
+    # single-row metric frame without driver-side collects: aggregate
+    # each side to one row and cross-join the broadcast scalars
+    ct = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    cc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_detected"))
+    ch = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        ct.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(ch))
+        .select(
+            "n_truth",
+            "n_detected",
+            "n_hit",
+            ratio(F.col("n_hit"), F.col("n_detected"), 4).alias("precision"),
+            ratio(F.col("n_hit"), F.col("n_truth"), 4).alias("recall"),
+        )
+    )

@@ -130,3 +130,17 @@ def test_multimodal_resize_and_frames(docs):
     assert len(frames) > 10
     assert all(r.frame_idx % 2 == 0 for r in frames)
     assert all(0 < len(bytes.fromhex(r.frame)) <= FRAME_BYTES for r in frames)
+
+
+def test_dedup_eval_recall_floor(spark):
+    """The LSH candidate generator must catch (nearly) every true
+    J >= 0.8 pair: with 4 bands x 4 rows the per-pair detection
+    probability is >= 0.87 at J = 0.8 and ~1 at the corpus's actual
+    near-dup similarity (~0.99). Floor at 0.9; also require the
+    metric to be non-degenerate (truth exists) and precision sane."""
+    from marketing_etl_analytics_spark.suite import SUITE
+
+    row = SUITE["ext_dedup_eval"].fn(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_truth > 0
+    assert row.recall is not None and row.recall >= 0.9
+    assert row.precision is not None and row.precision >= 0.3
