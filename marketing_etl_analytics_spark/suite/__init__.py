@@ -95,9 +95,10 @@ _PRIORITY = [
     # NEW r4 operators
     "ext_attribution_multitouch", "ext_dedup_paragraph", "ext_rolling_dau",
     # --- 50-slot grading window ends here ---
-    # NEW r4, deliberately just OUTSIDE the window (52 never-graded
-    # candidates for 50 slots): verified by tools/diffcheck.py at two
-    # SFs + the differential pytest; rotate into the window next round
+    # NEW r4, deliberately just OUTSIDE the window (more never-graded
+    # candidates than slots this round): each verified by
+    # tools/diffcheck.py at 2-3 SFs + the differential pytest; they
+    # rotate into the window next round, when the prefix frees up
     "ext_graph_pagerank", "ext_bm25_search", "ext_anomaly_zscore",
     "ext_session_window_native", "rel_window_range_interval",
     "ext_fuzzy_linkage", "ext_bpe_merge_round", "ext_dedup_eval",
