@@ -499,3 +499,31 @@ def sessionize_tws(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             timeMode="eventTime",
         )
     )
+
+
+def session_window_agg(
+    events: DataFrame, watermark: str = "1 hour", gap: str = "30 minutes"
+) -> DataFrame:
+    """Native session-window sessionization under Structured Streaming:
+    the SAME expression as the batch ext_session_window_native entry,
+    with a watermark bounding state. Append mode emits a session once
+    the watermark passes its end (last event + gap) — sessions closer
+    to the head of the stream stay in state (a later event could still
+    extend them), which the suite oracle mirrors explicitly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "total_value",
+        )
+    )

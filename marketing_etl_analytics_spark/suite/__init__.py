@@ -102,7 +102,7 @@ _PRIORITY = [
     "ext_graph_pagerank", "ext_bm25_search", "ext_anomaly_zscore",
     "ext_session_window_native", "rel_window_range_interval",
     "ext_fuzzy_linkage", "ext_bpe_merge_round", "ext_dedup_eval",
-    "v_channel_daily_incremental",
+    "v_channel_daily_incremental", "stream_session_window",
     # tail: r2-green (or r1-green + diffcheck for the singles noted in
     # the header), code unchanged this round
     "rel_asof_join", "rel_range_join", "rel_salted_agg", "rel_window_topn",

@@ -504,3 +504,95 @@ def rel_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(lit(1)).cast("long").alias("tf"))
         .orderBy("doc_id", "term")
     )
+
+
+# --- Structured Streaming native session windows (fully oracled) -------------
+
+@register(
+    "stream_session_window",
+    """
+    WITH wm AS (
+      SELECT (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR AS w
+    ),
+    ordered AS (
+      SELECT user_id, event_id, ts, value,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+        SUM(new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_no
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+      FROM numbered
+      GROUP BY user_id, session_no
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM sessions
+    WHERE session_end < (SELECT w FROM wm)
+    ORDER BY user_id, session_start
+    """,
+    doc="Native session_window sessionization under Structured "
+    "Streaming (append mode, 1h watermark, 30-min gap), run "
+    "end-to-end as an availableNow stream — the FULLY-ORACLED "
+    "streaming sessionizer, complementing the rows-only "
+    "applyInPandasWithState one. Both sides restrict to sessions "
+    "whose end the final watermark has strictly passed (the set the "
+    "stream has provably closed — late data can no longer change "
+    "them), so the comparison is exact regardless of the emission "
+    "boundary convention. State is per-(user, open-session) and "
+    "evicted at emission — bounded by the watermark horizon.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        read_events_stream,
+        session_window_agg,
+    )
+
+    name = f"sess_win_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_partitions(spark, sf_dir)),
+    )
+    try:
+        q = (
+            session_window_agg(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("wm")
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("session_end") < F.col("wm"))
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    )
