@@ -35,43 +35,50 @@ from marketing_etl_analytics_spark.suite import funnels  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 
 # Priority prefix (everything registered but not listed here keeps its
-# module registration order after the prefix). Round-4 window policy:
-# the 50-slot graded prefix holds (a) the reference-parity core, (b)
-# every entry whose code changed in round 3 and still lacks a driver
-# row (memoized dedup/ANN family, one-pass q6, materialized-aggregate
-# q7, single-groupBy rel_setops, the eleven round-3 additions), (c)
-# the two late-round-3 entries that have never been graded
-# (ext_dedup_containment, rel_salted_join), (d) the two NEW merged
-# entries that consolidate seven retired r1-only single-metric rows
-# (ext_text_profile <- ext_text_quality/ext_lang_id/ext_token_count/
-# ext_fingerprint; rel_scalar_funcs <- rel_string_funcs/rel_date_funcs
-# — the VERDICT r2 #2 consolidation), and (e) the three NEW round-4
-# operators. Tail entries are green in CORRECTNESS_r02 (or r01 for the
-# five remaining single-operator rows — ext_dedup_exact, rel_semi_anti,
-# rel_rank_family, rel_array_agg, rel_json_extract — plus the seven
-# rotated back out: rel_asof_join, rel_range_join, rel_salted_agg,
-# rel_window_topn, rel_percentiles, rel_pivot, rel_cube) with code
-# unchanged; stream_sessionize is the contract-allowed rows-only entry,
-# ALSO pytest-verified equal to its batch twin in
-# tests/test_streaming.py::test_stream_sessionize_equals_batch. All
-# entries stay covered by tests/test_suite_differential.py +
-# tools/diffcheck.
+# module registration order after the prefix). Round-4 window policy —
+# the 50-slot graded prefix prioritizes, in order: (a) entries whose
+# CODE changed since their last driver row (the r3 memoized dedup/ANN
+# family, one-pass q6, materialized-aggregate q7, single-groupBy
+# rel_setops, stream_dedup's dropDuplicatesWithinWatermark switch),
+# (b) entries that have NEVER been graded (the eleven r3 additions,
+# late-r3 ext_dedup_containment / rel_salted_join, the r4 merged
+# consolidation entries ext_text_profile / rel_scalar_funcs — VERDICT
+# r2 #2 — and six of the r4 operators, including the flagship
+# ext_dedup_eval / ext_graph_pagerank / stream_session_window), then
+# (c) the stable reference-parity core. Four core rows (q2_top_profit,
+# etl_dim_date, etl_dim_campaign_parse, v_kpi_campaign — r2-green,
+# unchanged, and independently golden-tested on the reference's own
+# CSVs) rotate out to fund (a)/(b). Tail entries are r2-green (or
+# r1-green + diffcheck for ext_dedup_exact, rel_semi_anti,
+# rel_rank_family, rel_array_agg, rel_json_extract and the seven
+# rotated relational rows) with code unchanged; the remaining
+# never-graded r4 entries sit at positions 51+ with 2-3-SF diffcheck
+# evidence and rotate in next round. stream_sessionize is the
+# contract-allowed rows-only entry, pytest-verified equal to its batch
+# twin AND now complemented by the fully-oracled
+# stream_session_window. All entries stay covered by
+# tests/test_suite_differential.py + tools/diffcheck.
 _PRIORITY = [
     # reference-parity core (q6 one-pass agg and q7 materialized
     # product aggregate CHANGED this round; rest r2-green)
-    "q0_pnl_summary", "q1_top_sellers", "q2_top_profit", "q3_margin_having",
+    # Four stable core entries (q2_top_profit, etl_dim_date,
+    # etl_dim_campaign_parse, v_kpi_campaign — all r2-green, unchanged
+    # since r1/r2, and independently golden-tested against the
+    # reference's own CSVs) rotate out this round so the window can
+    # grade code that actually changed: stream_dedup
+    # (dropDuplicatesWithinWatermark), and the flagship round-4
+    # additions ext_dedup_eval, ext_graph_pagerank,
+    # stream_session_window
+    "q0_pnl_summary", "q1_top_sellers", "q3_margin_having",
     "q4_channel_kpis", "q5_repeat_drivers",
     "q6_category_performance", "q7_product_quadrant",
     "q8_spend_waste", "q9_retention",
     "q10_demographics", "q11_frequency_segments",
-    # etl_dim_date rotates out this round (r2-green, unchanged since
-    # r1, golden-tested) to make room for stream_dedup, whose CODE
-    # changed (dropDuplicatesWithinWatermark) and therefore needs a
-    # current driver row
-    "etl_dim_product", "etl_dim_campaign_parse",
+    "etl_dim_product",
     "etl_fact_sales", "etl_upsert_dedup",
-    "stream_dedup",
-    "v_channel_daily", "v_kpi_channel", "v_kpi_campaign",
+    "stream_dedup", "ext_dedup_eval", "ext_graph_pagerank",
+    "stream_session_window",
+    "v_channel_daily", "v_kpi_channel",
     # CHANGED r3: dedup/ANN family reads memoized corpus indexes
     # (suite.common.memo_df); ext_ann_recall shares the memoized
     # brute-force ground truth with the new PQ entry
@@ -99,10 +106,13 @@ _PRIORITY = [
     # candidates than slots this round): each verified by
     # tools/diffcheck.py at 2-3 SFs + the differential pytest; they
     # rotate into the window next round, when the prefix frees up
-    "ext_graph_pagerank", "ext_bm25_search", "ext_anomaly_zscore",
+    "ext_bm25_search", "ext_anomaly_zscore",
     "ext_session_window_native", "rel_window_range_interval",
-    "ext_fuzzy_linkage", "ext_bpe_merge_round", "ext_dedup_eval",
-    "v_channel_daily_incremental", "stream_session_window",
+    "ext_fuzzy_linkage", "ext_bpe_merge_round",
+    "v_channel_daily_incremental",
+    # rotated-out stable core (r2-green + golden-tested; see header)
+    "q2_top_profit", "etl_dim_date", "etl_dim_campaign_parse",
+    "v_kpi_campaign",
     # tail: r2-green (or r1-green + diffcheck for the singles noted in
     # the header), code unchanged this round
     "rel_asof_join", "rel_range_join", "rel_salted_agg", "rel_window_topn",
@@ -115,7 +125,7 @@ _PRIORITY = [
     "ext_decontaminate", "ext_sample_stratified", "ext_repetition_filter",
     "ext_pii_redact", "ext_sketch_kmv",
     "ext_multimodal_meta", "ext_stream_daily_window",
-    "rel_pandas_udf", "rel_apply_in_pandas", "etl_dim_date", "stream_sessionize",
+    "rel_pandas_udf", "rel_apply_in_pandas", "stream_sessionize",
     "stream_attribution_join", "stream_enrich_join",
     "rel_scalar_subquery", "rel_window_frames", "rel_rollup_grouping_sets",
     "rel_time_rollup",
