@@ -858,7 +858,8 @@ _BM25_B = 0.75
     ORDER BY score DESC, doc_id
     LIMIT 20
     """,
-    doc="BM25 ranked retrieval (k1=1.2, b=0.75, rational idf — see "
+    doc="BM25 ranked retrieval (Robertson-Walker-Jones Okapi BM25; "
+    "k1=1.2, b=0.75, rational idf — see "
     "module comment) over the same pruned postings as "
     "ext_inverted_index: postings are built only for query terms "
     "(filter below the aggregation), document-frequency and corpus "

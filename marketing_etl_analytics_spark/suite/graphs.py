@@ -133,7 +133,8 @@ def _sql_iteration(prev: str, it: str) -> str:
     FROM r3
     ORDER BY doc_id
     """,
-    doc="PageRank (damping 0.85, 3 unrolled iterations) over the "
+    doc="PageRank (Page/Brin/Motwani/Winograd 1999, damping 0.85, 3 "
+    "unrolled iterations) over the "
     "shared-shingle graph: docs are linked when they share >= 3 "
     "distinct 3-word shingles, each occurring in 2..12 docs (the "
     "MinHash family's bucket cap as skew guard + multi-shingle "
