@@ -276,3 +276,124 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
         "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS nd FROM dedup_replays"
     ).collect()[0]
     assert out.n == out.nd == 100
+
+
+def test_stream_session_window_multibatch(spark, tmp_path):
+    """Sessions must merge ACROSS micro-batches: events are split into
+    four time-range files processed one per trigger
+    (maxFilesPerTrigger=1), so sessions spanning a file boundary only
+    come out right if the session-window state carries between
+    batches. The closed-session set (end strictly before the final
+    watermark) must equal the batch gaps-and-islands computation."""
+    import os
+    import time as _time
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        session_window_agg,
+    )
+    from marketing_etl_analytics_spark.suite.ext_scale import sessionize_batch
+
+    ev = batch_events(spark, SF).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 4
+    src = str(tmp_path / "ev_parts")
+    os.makedirs(src)
+    for i in range(4):
+        a = lo + i * span
+        b = hi if i == 3 else lo + (i + 1) * span
+        cond = (F.col("ts") >= F.lit(a)) & (
+            (F.col("ts") <= F.lit(b)) if i == 3 else (F.col("ts") < F.lit(b))
+        )
+        part_dir = str(tmp_path / f"part_{i}")
+        ev.filter(cond).coalesce(1).write.parquet(part_dir)
+        pq = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        os.rename(os.path.join(part_dir, pq), dst)
+        # FileStreamSource orders new files by modification time;
+        # spaced mtimes pin the intended batch order deterministically
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        session_window_agg(stream)
+        .writeStream.format("memory")
+        .queryName("sess_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    wm = hi - __import__("datetime").timedelta(hours=1)
+    got = sorted(
+        map(
+            tuple,
+            spark.sql("SELECT * FROM sess_multibatch")
+            .filter(F.col("session_end") < F.lit(wm))
+            .select("user_id", "session_start", "n_events")
+            .collect(),
+        )
+    )
+    expected = sorted(
+        map(
+            tuple,
+            sessionize_batch(ev)
+            .withColumn(
+                "session_end_w",
+                F.col("session_end") + F.expr("INTERVAL 30 MINUTES"),
+            )
+            .filter(F.col("session_end_w") < F.lit(wm))
+            .select("user_id", "session_start", "n_events")
+            .collect(),
+        )
+    )
+    assert len(expected) > 50
+    assert got == expected
+
+
+def test_dedup_within_watermark_drops_cross_batch_replays(spark, tmp_path):
+    """A replay that arrives in a LATER micro-batch (still inside the
+    watermark horizon) must be dropped — the dedup state has to carry
+    across batches, not just within one."""
+    import os
+
+    base = (
+        batch_events(spark, SF)
+        .limit(50)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    replays = base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    src = str(tmp_path / "dup_parts")
+    os.makedirs(src)
+    for i, part in enumerate((base, replays)):
+        part_dir = str(tmp_path / f"dpart_{i}")
+        part.coalesce(1).write.parquet(part_dir)
+        pq = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        os.rename(os.path.join(part_dir, pq), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_events(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_xbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS nd FROM dedup_xbatch"
+    ).collect()[0]
+    assert out.n == out.nd == 50
