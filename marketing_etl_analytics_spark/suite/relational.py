@@ -771,3 +771,49 @@ def rel_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "d", "o_orderkey")
     )
+
+
+# --- null-safe equality join (<=> / IS NOT DISTINCT FROM) --------------------
+
+@register(
+    "rel_null_safe_join",
+    """
+    WITH o AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS prio
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    c AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio,
+        CAST(COUNT(*) AS BIGINT) AS n_class
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, o.prio, c.n_class
+    FROM o JOIN c ON o.prio IS NOT DISTINCT FROM c.prio
+    ORDER BY o.o_orderkey
+    """,
+    doc="Null-safe equality join: NULL keys MATCH each other (Spark "
+    "<=> / eqNullSafe, SQL IS NOT DISTINCT FROM) — standard equi-joins "
+    "silently drop NULL-keyed rows, which corrupts dimension lookups "
+    "on optional attributes. The NULLIF-derived key puts real NULLs "
+    "on both sides, so the row count proves NULL=NULL matched. Plans "
+    "as a hash join on the null-safe key (Spark supports <=> as an "
+    "equi-join key), not a nested loop.",
+)
+def rel_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio"),
+    )
+    c = (
+        orders.select(
+            F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("cprio")
+        )
+        .groupBy("cprio")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_class"))
+    )
+    return (
+        o.join(F.broadcast(c), o.prio.eqNullSafe(c.cprio))
+        .select("o_orderkey", "prio", "n_class")
+        .orderBy("o_orderkey")
+    )
