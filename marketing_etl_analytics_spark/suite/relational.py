@@ -817,3 +817,67 @@ def rel_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "prio", "n_class")
         .orderBy("o_orderkey")
     )
+
+
+# --- multiset set operations (INTERSECT ALL / EXCEPT ALL) --------------------
+
+@register(
+    "rel_setops_all",
+    """
+    WITH a AS (
+      SELECT o_orderpriority AS prio FROM orders WHERE o_orderkey <= 3000
+    ),
+    b AS (
+      SELECT o_orderpriority AS prio FROM orders
+      WHERE o_orderkey BETWEEN 1500 AND 4500
+    ),
+    ia AS (
+      SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_intersect_all
+      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY prio
+    ),
+    ea AS (
+      SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_except_all
+      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY prio
+    )
+    SELECT COALESCE(ia.prio, ea.prio) AS prio,
+      CAST(COALESCE(ia.n_intersect_all, 0) AS BIGINT) AS n_intersect_all,
+      CAST(COALESCE(ea.n_except_all, 0) AS BIGINT) AS n_except_all
+    FROM ia FULL OUTER JOIN ea ON ia.prio = ea.prio
+    ORDER BY prio
+    """,
+    doc="Multiset (bag) set operations: INTERSECT ALL keeps "
+    "min(countA, countB) copies per value, EXCEPT ALL keeps "
+    "countA - countB — duplicate-preserving semantics the DISTINCT "
+    "forms in rel_setops can't express. Exercises Spark's "
+    "intersectAll/exceptAll operators (planned as count-compare "
+    "aggregations, one shuffle each — never a join fan-out), "
+    "aggregated per value so the oracle compares exact multiplicity "
+    "counts.",
+)
+def rel_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") <= 3000).select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    b = o.filter(F.col("o_orderkey").between(1500, 4500)).select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_intersect_all"))
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_except_all"))
+    )
+    return (
+        ia.join(ea.withColumnRenamed("prio", "eprio"), ia.prio == F.col("eprio"), "full_outer")
+        .select(
+            F.coalesce("prio", "eprio").alias("prio"),
+            F.coalesce("n_intersect_all", F.lit(0)).cast("long").alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).cast("long").alias("n_except_all"),
+        )
+        .orderBy("prio")
+    )
