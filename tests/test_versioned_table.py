@@ -214,3 +214,19 @@ def test_restore_survives_vacuum_of_target(spark, table):
     acid.restore(table, 1)
     acid.vacuum(table, keep_last=1)
     assert sorted(map(tuple, acid.read(spark, table).collect())) == v1_rows
+
+
+def test_changes_feed_across_restore_shows_rollback(spark, table):
+    """The CDC feed across a restore must describe the rollback itself:
+    reading changes(pre_restore -> restored) yields the inverse of the
+    rolled-back merge (the changed row back at its old value, the
+    inserted row deleted)."""
+    acid.merge(spark, table, _df(spark, [(0, "CHANGED"), (200, "new")]), ["k"])
+    v_restore = acid.restore(table, 1)
+    feed = {
+        (r.k, r._change_type): r.v
+        for r in acid.changes(spark, table, 2, v_restore, ["k"]).collect()
+    }
+    assert feed.get((0, "update")) == "a0"  # back to the v1 value
+    assert (200, "delete") in feed
+    assert not any(k == 1 for k, _ in feed)  # untouched rows stay silent
