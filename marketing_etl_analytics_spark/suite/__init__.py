@@ -110,6 +110,7 @@ _PRIORITY = [
     "ext_session_window_native", "rel_window_range_interval",
     "ext_fuzzy_linkage", "ext_bpe_merge_round",
     "v_channel_daily_incremental", "rel_null_safe_join", "rel_setops_all",
+    "rel_unpivot",
     # rotated-out stable core (r2-green + golden-tested; see header)
     "q2_top_profit", "etl_dim_date", "etl_dim_campaign_parse",
     "v_kpi_campaign",

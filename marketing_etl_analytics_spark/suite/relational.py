@@ -881,3 +881,47 @@ def rel_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+# --- unpivot / melt (wide -> long, the inverse of rel_pivot) -----------------
+
+@register(
+    "rel_unpivot",
+    """
+    WITH wide AS (
+      SELECT c_nationkey,
+        CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS automobile,
+        CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS BIGINT) AS building,
+        CAST(COUNT(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS BIGINT) AS machinery
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, segment, n_customers
+    FROM wide
+    UNPIVOT (n_customers FOR segment IN (automobile, building, machinery))
+    ORDER BY c_nationkey, segment
+    """,
+    doc="UNPIVOT (melt): a wide per-nation segment-count table folded "
+    "back to long (segment, value) rows — the inverse transform of "
+    "rel_pivot, needed whenever wide marts feed long-format consumers. "
+    "Spark's DataFrame.unpivot compiles to a single Expand node (no "
+    "join, no explode shuffle); DuckDB's UNPIVOT clause is the oracle "
+    "twin. DuckDB emits unpivoted VALUES of bigint columns as-is and "
+    "keeps rows with zeros (no implicit NULL drop on either side).",
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    seg = lambda s: F.count(F.when(F.col("c_mktsegment") == s, 1)).cast("long")  # noqa: E731
+    wide = c.groupBy("c_nationkey").agg(
+        seg("AUTOMOBILE").alias("automobile"),
+        seg("BUILDING").alias("building"),
+        seg("MACHINERY").alias("machinery"),
+    )
+    return (
+        wide.unpivot(
+            ["c_nationkey"],
+            ["automobile", "building", "machinery"],
+            "segment",
+            "n_customers",
+        )
+        .orderBy("c_nationkey", "segment")
+    )
