@@ -1045,3 +1045,130 @@ def ext_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+# --- context-window chunking ------------------------------------------------
+#
+# Fixed-size token-window chunking with overlap — the step that turns
+# curated documents into training sequences (e.g. 2048-token windows,
+# 25% overlap; scaled-down 64/48 here so every SF exercises multi-chunk
+# docs). One generated-sequence explode per doc: chunk starts are
+# 1, 1+stride, 1+2*stride, ... <= n_tokens; each chunk is a slice of
+# the token array re-joined and content-addressed (md5). No shuffle at
+# all — chunking is embarrassingly row-local, the explode multiplies
+# rows ~n/stride-fold, and the content hash gives downstream exact
+# dedup its key for free. At 100 TB this is a mapInPandas-free
+# codegen-only pipeline stage.
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "ext_chunk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tok, len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n, s.start,
+        (s.start - 1) // {CHUNK_STRIDE} + 1 AS chunk_ord,
+        array_to_string(list_slice(tok, s.start, s.start + {CHUNK_TOKENS} - 1), ' ') AS chunk_text
+      FROM toks, LATERAL unnest(generate_series(1, n, {CHUNK_STRIDE})) AS s(start)
+    )
+    SELECT doc_id, CAST(chunk_ord AS BIGINT) AS chunk_ord,
+      CAST(LEAST({CHUNK_TOKENS}, n - start + 1) AS BIGINT) AS n_chunk_tokens,
+      md5(chunk_text) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_ord
+    """,
+    doc="Context-window chunking: 64-token windows, stride 48 (25% "
+    "overlap), per-chunk token counts and content-address (md5) — the "
+    "document->training-sequence step of an LLM data pipeline as a "
+    "pure codegen plan: sequence+explode+slice+concat, zero shuffle, "
+    "filters/projections still push down past it.",
+)
+def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("tok"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        "tok",
+        "n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            (F.expr(f"(start - 1) div {CHUNK_STRIDE}") + 1).cast("long").alias("chunk_ord"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1
+            ).cast("long").alias("n_chunk_tokens"),
+            F.md5(
+                F.concat_ws(" ", F.slice("tok", F.col("start"), F.lit(CHUNK_TOKENS)))
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_ord")
+    )
+
+
+# --- domain balancing -------------------------------------------------------
+#
+# Source/domain balancing (the Common-Crawl "don't let one domain be
+# half the corpus" rule): every source is capped at 2x the smallest
+# source's document count; which docs survive is decided by a
+# deterministic content-addressed rank (md5 of doc_id, tie-broken by
+# doc_id), so the selection is reproducible across engines, runs, and
+# partitionings. Plan: one count aggregation (tiny, per-source), the
+# cap broadcast back, one window rank per source — the fact table
+# shuffles once on source. Output is the SELECTED DOCUMENT SET (not
+# just counts), so the oracle pins the actual sampling decision.
+
+@register(
+    "ext_domain_balance",
+    """
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    cap AS (SELECT 2 * MIN(n) AS cap FROM counts),
+    ranked AS (
+      SELECT doc_id, source,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS sample_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.sample_rank AS BIGINT) AS sample_rank
+    FROM ranked r CROSS JOIN cap
+    WHERE r.sample_rank <= cap.cap
+    ORDER BY r.source, r.sample_rank
+    """,
+    doc="Domain balancing: cap every source at 2x the smallest "
+    "source's count, selecting survivors by deterministic "
+    "content-addressed rank (md5, doc_id tie-break). One tiny count "
+    "agg broadcast back + one per-source window; emits the selected "
+    "document set itself so the sampling decision is oracle-pinned.",
+)
+def ext_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    cap = counts.agg((F.lit(2) * F.min("n")).alias("cap"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("sample_rank") <= F.col("cap"))
+        .select("doc_id", "source", F.col("sample_rank").cast("long"))
+        .orderBy("source", "sample_rank")
+    )

@@ -94,10 +94,11 @@ def _sql_iteration(prev: str, it: str) -> str:
     )"""
 
 
-@register(
-    "ext_graph_pagerank",
-    f"""
-    WITH sh AS (
+# Shared oracle-side derivation of the shingle-graph edge set —
+# identical text in the PageRank and triangle-count oracles (the
+# Spark side shares the memoized `pagerank_edges` table the same way).
+_SQL_EDGE_BLOCK = f"""
+    sh AS (
       SELECT d.doc_id, s.sh
       FROM (
         SELECT doc_id, {SQL_SHINGLES} AS shingles
@@ -121,7 +122,13 @@ def _sql_iteration(prev: str, it: str) -> str:
       SELECT a AS src, b AS dst FROM e2
       UNION ALL
       SELECT b AS src, a AS dst FROM e2
-    ),
+    )"""
+
+
+@register(
+    "ext_graph_pagerank",
+    f"""
+    WITH {_SQL_EDGE_BLOCK},
     deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
     nn AS (SELECT COUNT(*) AS n FROM deg),
     r0 AS (SELECT node, deg, nn.n, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
@@ -186,3 +193,102 @@ def ext_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("long").alias("degree"),
         pround(F.col("r"), 8).alias("pagerank"),
     ).orderBy("doc_id")
+
+
+# --- triangle counting ------------------------------------------------------
+
+@register(
+    "ext_graph_triangles",
+    f"""
+    WITH {_SQL_EDGE_BLOCK},
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    oriented AS (
+      -- orient each undirected edge low-degree -> high-degree (tie:
+      -- lower id first): every node's out-degree is O(sqrt(|E|))
+      SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+             CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v
+      FROM e2 e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b
+    ),
+    tri AS (
+      SELECT p.u AS x, p.v AS y, q.v AS z
+      FROM oriented p
+      JOIN oriented q ON q.u = p.v
+      JOIN oriented r ON r.u = p.u AND r.v = q.v
+    ),
+    per_node AS (
+      SELECT n.node, COUNT(t.node) AS n_tri FROM deg n
+      LEFT JOIN (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) t ON t.node = n.node
+      GROUP BY n.node
+    )
+    SELECT p.node AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+      CAST(p.n_tri AS BIGINT) AS n_triangles,
+      {sql_pround("CASE WHEN d.deg >= 2 THEN 2.0 * p.n_tri / (d.deg * (d.deg - 1)) ELSE 0.0 END", 6)}
+        AS clustering_coeff
+    FROM per_node p JOIN deg d ON d.node = p.node
+    ORDER BY doc_id
+    """,
+    doc="Exact triangle counting + local clustering coefficient over "
+    "the shared-shingle graph, via degree-ordered edge orientation "
+    "(Latapy 2008 / Suri-Vassilvitskii 'Counting triangles and the "
+    "curse of the last reducer', WWW 2011): each undirected edge is "
+    "directed low-degree->high-degree, bounding every node's "
+    "out-degree by O(sqrt(|E|)), so the path self-join that "
+    "enumerates wedges never explodes on hubs — the standard "
+    "MapReduce/Spark mitigation for the quadratic-hub problem. Two "
+    "equi-joins on node id (wedge build + closure probe), all "
+    "integer arithmetic; reuses the memoized pagerank_edges corpus "
+    "index.",
+)
+def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = memo_df(spark, sf_dir, "pagerank_edges", lambda: _build_edges(spark, sf_dir))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("src", "node")
+    e2 = edges.filter(F.col("src") < F.col("dst"))
+    da = deg.select(F.col("node").alias("a_n"), F.col("deg").alias("a_deg"))
+    db = deg.select(F.col("node").alias("b_n"), F.col("deg").alias("b_deg"))
+    ab = (
+        e2.join(da, e2.src == da.a_n)
+        .join(db, e2.dst == db.b_n)
+        .select("src", "dst", "a_deg", "b_deg")
+    )
+    fwd = (F.struct("a_deg", "src") < F.struct("b_deg", "dst"))
+    oriented = ab.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    )
+    p = oriented.select(F.col("u").alias("p_u"), F.col("v").alias("p_v"))
+    q = oriented.select(F.col("u").alias("q_u"), F.col("v").alias("q_v"))
+    wedges = p.join(q, p.p_v == q.q_u)
+    tri = wedges.join(
+        oriented, (wedges.p_u == oriented.u) & (wedges.q_v == oriented.v)
+    ).select(F.col("p_u").alias("x"), F.col("p_v").alias("y"), F.col("q_v").alias("z"))
+    members = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(members, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+            pround(
+                F.when(
+                    F.col("deg") >= 2,
+                    F.lit(2.0)
+                    * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("doc_id")
+    )

@@ -647,3 +647,254 @@ def ext_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --- HyperLogLog distinct sketch --------------------------------------------
+#
+# HLL (Flajolet/Fusy/Gandouet/Meunier, AofA 2007) with m=64 registers
+# over the same md5-derived 48-bit hashes as the KMV sketch, so — like
+# KMV and unlike a production HLL with engine-private hashing — the
+# registers and therefore the ESTIMATES are bit-reproducible and the
+# DuckDB oracle verifies them exactly. Register index = hash % m; rank
+# = leading-zero count of the remaining 42 bits + 1 (both engines
+# compute it as 43 - length(bin(w)), identical no-leading-zeros bin()
+# semantics, probed). The harmonic-mean denominator sum(2^-M_j) is
+# order-dependent in doubles, so it is computed EXACTLY as the BIGINT
+# sum(2^(43-M_j)) (max 64 terms of <= 2^43 — no overflow) and divided
+# once: E = alpha_m * m^2 * 2^43 / S. The small-range linear-counting
+# correction (E <= 2.5m and empty registers exist: E = m*ln(m/V))
+# needs ln(), which is NOT guaranteed bit-identical across libm
+# implementations — but V ranges over 1..63 only, so both engines use
+# the same 63-entry table of Python-formatted double literals
+# (identical shortest-repr parse -> identical doubles). The '(all)'
+# row is the MERGED sketch (register-wise max across groups) — the
+# mergeability that makes HLL the standard distributed distinct
+# estimator. Scale: one shuffle to (group, register), 64 rows per
+# group thereafter; the merge is a 64-row-per-group re-aggregation.
+
+HLL_M = 64
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # alpha_64 per the paper
+_HLL_NUMER = repr(_HLL_ALPHA * HLL_M * HLL_M * float(1 << 43))
+_HLL_LC = {z: repr(HLL_M * __import__("math").log(HLL_M / z)) for z in range(1, HLL_M)}
+
+
+def _hll_lc_case(zcol: str) -> str:
+    """m*ln(m/zeros) as a literal lookup — engine-independent."""
+    arms = " ".join(f"WHEN {z} THEN {lit}" for z, lit in _HLL_LC.items())
+    return f"CASE {zcol} {arms} ELSE 0.0 END"
+
+
+def _hll_finish_sql(src: str) -> str:
+    """Registers (grp, idx, m) -> (grp, n_zero_registers, hll_estimate)."""
+    return f"""
+      SELECT grp,
+        CAST({HLL_M} - COUNT(*) AS BIGINT) AS n_zero_registers,
+        CAST(FLOOR(
+          CASE WHEN {_HLL_NUMER} / CAST(SUM(1::BIGINT << (43 - m))
+                 + ({HLL_M} - COUNT(*)) * (1::BIGINT << 43) AS DOUBLE)
+                 <= {2.5 * HLL_M}
+                AND COUNT(*) < {HLL_M}
+            THEN {_hll_lc_case(f"({HLL_M} - COUNT(*))")}
+            ELSE {_HLL_NUMER} / CAST(SUM(1::BIGINT << (43 - m))
+                 + ({HLL_M} - COUNT(*)) * (1::BIGINT << 43) AS DOUBLE)
+          END + 0.5) AS BIGINT) AS hll_estimate
+      FROM {src} GROUP BY grp
+    """
+
+
+@register(
+    "ext_sketch_hll",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv % {HLL_M} AS idx,
+        CASE WHEN hv // {HLL_M} = 0 THEN 43
+             ELSE 43 - length(bin(hv // {HLL_M})) END AS rank
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type AS grp, idx, MAX(rank) AS m
+      FROM ranked GROUP BY 1, 2
+    ),
+    regs_all AS (
+      SELECT '(all)' AS grp, idx, MAX(m) AS m FROM regs GROUP BY 1, 2
+    ),
+    est AS ({_hll_finish_sql("regs")}),
+    est_all AS ({_hll_finish_sql("regs_all")}),
+    ex AS (
+      SELECT event_type AS grp, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT '(all)', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    ),
+    unioned AS (SELECT * FROM est UNION ALL SELECT * FROM est_all)
+    SELECT u.grp AS grp, ex.n_exact, u.hll_estimate, u.n_zero_registers
+    FROM unioned u JOIN ex USING (grp)
+    ORDER BY grp
+    """,
+    doc="HyperLogLog distinct-count sketch (m=64) with register-wise "
+    "merge ('(all)' row) and the linear-counting small-range "
+    "correction via a 63-entry shared-literal ln table. md5-derived "
+    "hashes make registers — hence estimates — bit-reproducible, so "
+    "the oracle verifies estimates exactly. Integer-exact harmonic "
+    "sum: sum(2^(43-M_j)) as BIGINT, one double division at the end.",
+)
+def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = F.expr(f"hv div {HLL_M}")
+    ranked = h.select(
+        F.col("event_type").alias("grp"),
+        (F.col("hv") % HLL_M).alias("idx"),
+        F.when(w == 0, F.lit(43)).otherwise(43 - F.length(F.bin(w))).alias("rank"),
+    )
+    regs = ranked.groupBy("grp", "idx").agg(F.max("rank").alias("m"))
+    regs_all = regs.groupBy("idx").agg(F.max("m").alias("m")).select(
+        F.lit("(all)").alias("grp"), "idx", "m"
+    )
+
+    def finish(r: DataFrame) -> DataFrame:
+        agg = r.groupBy("grp").agg(
+            (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("n_zero_registers"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 43 - m)")).alias("s_present"),
+        )
+        s = (
+            F.col("s_present")
+            + F.col("n_zero_registers") * F.lit(1 << 43).cast("long")
+        ).cast("double")
+        raw = F.lit(float(_HLL_NUMER)) / s
+        lc_arms = F.lit(0.0)
+        # build CASE zeros -> 64*ln(64/zeros) from the shared literals
+        expr = "CASE n_zero_registers " + " ".join(
+            f"WHEN {z} THEN CAST({lit} AS DOUBLE)" for z, lit in _HLL_LC.items()
+        ) + " ELSE 0.0 END"
+        lc_arms = F.expr(expr)
+        est = F.when(
+            (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_registers") > 0), lc_arms
+        ).otherwise(raw)
+        return agg.select(
+            "grp",
+            "n_zero_registers",
+            F.floor(est + F.lit(0.5)).cast("long").alias("hll_estimate"),
+        )
+
+    est = finish(regs).unionAll(finish(regs_all))
+    ex = (
+        ev.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
+        .unionAll(
+            ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact")).select(
+                F.lit("(all)").alias("grp"), "n_exact"
+            )
+        )
+    )
+    return (
+        est.join(ex, "grp")
+        .select("grp", "n_exact", "hll_estimate", "n_zero_registers")
+        .orderBy("grp")
+    )
+
+
+# --- Count-Min frequency sketch ---------------------------------------------
+#
+# Count-Min (Cormode/Muthukrishnan, J.Algorithms 2005): d=4 hash rows x
+# w=512 counters; point estimate = min over rows of the hit counter,
+# guaranteed >= the true count. Deterministic md5 row-salted hashing
+# makes counters — hence estimates — engine-reproducible, so the
+# oracle verifies the estimates AND the overestimate error exactly.
+# Scale shape: counters are built from the TOKEN FREQUENCY TABLE
+# (groupBy token first), not the raw token stream — the d-fold
+# expansion touches |vocab| rows, not |corpus| rows, and the sketch
+# itself is d*w = 2048 rows total regardless of corpus size. Queries
+# probe the top-k exact tokens (deterministic tie-break) through the
+# same hash family.
+
+CM_D = 4
+CM_W = 512
+CM_TOPK = 20
+
+
+@register(
+    "ext_sketch_countmin",
+    f"""
+    WITH freq AS (
+      SELECT t.tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents d, LATERAL unnest(string_split(lower(d.text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+      GROUP BY t.tok
+    ),
+    expanded AS (
+      SELECT f.tok, f.n, j.j,
+        ('0x' || substr(md5(j.j || ':' || f.tok), 1, 12))::BIGINT % {CM_W} AS bucket
+      FROM freq f, LATERAL unnest(generate_series(0, {CM_D - 1})) AS j(j)
+    ),
+    counters AS (
+      SELECT j, bucket, SUM(n) AS c FROM expanded GROUP BY j, bucket
+    ),
+    top AS (
+      SELECT tok, n FROM freq ORDER BY n DESC, tok LIMIT {CM_TOPK}
+    ),
+    probes AS (
+      SELECT t.tok, t.n, j.j,
+        ('0x' || substr(md5(j.j || ':' || t.tok), 1, 12))::BIGINT % {CM_W} AS bucket
+      FROM top t, LATERAL unnest(generate_series(0, {CM_D - 1})) AS j(j)
+    )
+    SELECT p.tok AS token, p.n AS n_exact,
+      CAST(MIN(c.c) AS BIGINT) AS cm_estimate,
+      CAST(MIN(c.c) - p.n AS BIGINT) AS overestimate
+    FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.tok, p.n
+    ORDER BY n_exact DESC, token
+    """,
+    doc="Count-Min sketch (d=4, w=512) over the corpus token stream "
+    "with deterministic row-salted md5 hashing — estimates and their "
+    "one-sided overestimate error verified exactly by the oracle. "
+    "Counters build from the token frequency table (|vocab| rows, not "
+    "|corpus|); the sketch is 2048 counters regardless of data size; "
+    "probes are a broadcast-scale top-k join.",
+)
+def ext_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j"), F.col("tok"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_W
+    )
+    expanded = freq.select(
+        "tok", "n", F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("j")
+    ).withColumn("bucket", bucket)
+    counters = expanded.groupBy("j", "bucket").agg(F.sum("n").alias("c"))
+    top = freq.orderBy(F.desc("n"), "tok").limit(CM_TOPK)
+    probes = top.select(
+        "tok", "n", F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("j")
+    ).withColumn("bucket", bucket)
+    return (
+        probes.join(counters, ["j", "bucket"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").cast("long").alias("cm_estimate"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("n").alias("n_exact"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("n_exact"), "token")
+    )

@@ -42,3 +42,32 @@ def test_hll_sketch_mergeable(spark):
     )
     exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_ext_sketch_hll_estimate_quality(spark):
+    """Our md5-deterministic HLL (m=64) stays within ~4x the paper's
+    1.04/sqrt(m) = 13% standard error on every group, and the merged
+    '(all)' row estimates the global distinct count (mergeability)."""
+    from marketing_etl_analytics_spark.suite.timeseries import ext_sketch_hll
+
+    rows = ext_sketch_hll(spark, SF_DIR).collect()
+    grps = {r["grp"] for r in rows}
+    assert "(all)" in grps and len(grps) >= 2
+    for r in rows:
+        assert r["hll_estimate"] > 0
+        rel = abs(r["hll_estimate"] - r["n_exact"]) / max(r["n_exact"], 1)
+        assert rel < 0.52, (r["grp"], r["n_exact"], r["hll_estimate"])
+
+
+def test_ext_sketch_countmin_one_sided(spark):
+    """Count-Min never underestimates, and with w=512 >> heavy-hitter
+    collisions the top-20 estimates are near-exact."""
+    from marketing_etl_analytics_spark.suite.timeseries import ext_sketch_countmin
+
+    rows = ext_sketch_countmin(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["overestimate"] >= 0
+        assert r["cm_estimate"] >= r["n_exact"]
+        # heavy hitters dwarf the expected collision mass e*N/w
+        assert r["overestimate"] <= 0.5 * r["n_exact"], r
