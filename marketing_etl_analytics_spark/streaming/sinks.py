@@ -52,3 +52,68 @@ def stream_merge_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cdc_apply_sink(
+    change_stream: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Apply a CDC feed to a versioned table with LAST-WRITE-WINS
+    semantics under arbitrary micro-batch ordering.
+
+    ``stream_merge_sink`` replaces keyed rows with whatever the newest
+    batch carries — correct only if batches arrive in change order. A
+    CDC feed makes no such promise (late partitions, replays, backfill
+    files), so each batch here is reduced to its per-key winner by
+    ``order_cols`` and then reconciled against the CURRENT table rows
+    for the touched keys: winner = max(order_cols) over (existing row
+    ∪ batch rows). The reconcile join is delta-sized (semi-join on the
+    batch's keys) — the table is never rewritten beyond the files the
+    MERGE touches, so cost scales with the change volume, not the
+    table. Delete markers are retained as ordinary rows (tombstones,
+    the compacted-log design); readers filter them, and
+    ``acid.delete_where`` physically drops them at compaction time.
+
+    Replayed batches are idempotent: re-reconciling an already-applied
+    change picks the same winner.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def winners(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    cols = change_stream.columns
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bw = winners(batch_df).select(*cols)
+        try:
+            acid.current_version(table_path)
+        except FileNotFoundError:
+            acid.create(spark, table_path, bw)
+            return
+        cur = acid.read(spark, table_path).select(*cols)
+        touched = cur.join(bw.select(*key_cols).distinct(), key_cols, "semi")
+        merged = winners(touched.unionByName(bw))
+        acid.merge(spark, table_path, merged, key_cols)
+
+    writer = (
+        change_stream.writeStream.outputMode("update")
+        .foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

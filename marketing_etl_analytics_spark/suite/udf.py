@@ -596,3 +596,80 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "n_events", "total_value")
         .orderBy("user_id", "session_start")
     )
+
+
+# --- Structured Streaming CDC apply -> versioned table -----------------------
+
+@register(
+    "stream_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type, value,
+        row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type AS last_event_type, ts AS last_ts,
+      CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+    doc="CDC feed applied to a versioned ACID table as a Structured "
+    "Streaming query (streaming/sinks.py::cdc_apply_sink): each "
+    "micro-batch is reduced to per-key winners by (ts, event_id) and "
+    "reconciled against the current table rows for the touched keys, "
+    "so last-write-wins holds under ANY batch arrival order and "
+    "replays are idempotent. 'error' events act as tombstone markers "
+    "— retained in the table (compacted-log design), filtered at "
+    "read, physically dropped by delete_where at compaction. The "
+    "oracle is the batch argmax per key over the full feed.",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from marketing_etl_analytics_spark.sources import acid
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+    from marketing_etl_analytics_spark.streaming.sinks import cdc_apply_sink
+
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix=f"cdc_apply_{run}_")
+    table = f"{base}/table"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_stream_state_partitions(spark, sf_dir)),
+    )
+    try:
+        feed = read_events_stream(spark, sf_dir).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+        q = cdc_apply_sink(
+            feed,
+            table,
+            key_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            checkpoint_dir=f"{base}/ckpt",
+        )
+        q.awaitTermination(300)
+        out = (
+            acid.read(spark, table)
+            .filter(F.col("event_type") != "error")  # tombstones out
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_event_type"),
+                F.col("ts").alias("last_ts"),
+                F.col("value").cast("decimal(18,2)").cast("double").alias("last_value"),
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(base, ignore_errors=True)
+    return out

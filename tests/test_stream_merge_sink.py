@@ -56,3 +56,48 @@ def test_streaming_upsert_across_restarts(spark, tmp_path):
     m = acid.read_manifest(table, v)
     assert len(m.files) == 1
     assert {r.k: r.v for r in acid.read(spark, table).collect()} == before
+
+
+def test_cdc_apply_out_of_order_batches(spark, tmp_path):
+    """cdc_apply_sink keeps last-write-wins even when a LATER
+    micro-batch carries OLDER changes (late partition / backfill) —
+    the failure mode stream_merge_sink's replace-by-key cannot
+    survive — and replaying the feed into the same table is
+    idempotent."""
+    from pyspark.sql.types import TimestampType
+    import datetime as dt
+
+    from marketing_etl_analytics_spark.streaming.sinks import cdc_apply_sink
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("seq", LongType()),
+            StructField("v", StringType()),
+        ]
+    )
+    in_dir = str(tmp_path / "in")
+    table = str(tmp_path / "tbl")
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(in_dir)
+        q = cdc_apply_sink(stream, table, ["k"], ["seq"], ckpt)
+        q.awaitTermination()
+
+    # file 1: NEW changes (seq 10); file 2 arrives later with OLD ones
+    spark.createDataFrame([(1, 10, "new1"), (2, 10, "new2")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [(1, 5, "stale1"), (2, 5, "stale2"), (3, 5, "only3")], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run(str(tmp_path / "ckpt1"))
+    got = {r.k: (r.seq, r.v) for r in acid.read(spark, table).collect()}
+    assert got == {1: (10, "new1"), 2: (10, "new2"), 3: (5, "only3")}
+
+    # full replay with a FRESH checkpoint into the SAME table: no change
+    run(str(tmp_path / "ckpt2"))
+    got = {r.k: (r.seq, r.v) for r in acid.read(spark, table).collect()}
+    assert got == {1: (10, "new1"), 2: (10, "new2"), 3: (5, "only3")}
