@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from marketing_etl_analytics_spark.suite.common import ratio, sql_pround, t
+from marketing_etl_analytics_spark.suite.common import pround, ratio, sql_pround, t
 from marketing_etl_analytics_spark.suite.ext import (
     _SHINGLE_ZIP,
     _TOKS,
@@ -1135,40 +1135,114 @@ def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_domain_balance",
     """
     WITH counts AS (
-      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
     ),
     cap AS (SELECT 2 * MIN(n) AS cap FROM counts),
     ranked AS (
-      SELECT doc_id, source,
+      SELECT doc_id, lang,
         row_number() OVER (
-          PARTITION BY source
+          PARTITION BY lang
           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
         ) AS sample_rank
       FROM documents
     )
-    SELECT r.doc_id, r.source, CAST(r.sample_rank AS BIGINT) AS sample_rank
+    SELECT r.doc_id, r.lang AS stratum, CAST(r.sample_rank AS BIGINT) AS sample_rank
     FROM ranked r CROSS JOIN cap
     WHERE r.sample_rank <= cap.cap
-    ORDER BY r.source, r.sample_rank
+    ORDER BY stratum, r.sample_rank
     """,
-    doc="Domain balancing: cap every source at 2x the smallest "
-    "source's count, selecting survivors by deterministic "
+    doc="Domain balancing: cap every stratum (lang) at 2x the smallest "
+    "stratum's count, selecting survivors by deterministic "
     "content-addressed rank (md5, doc_id tie-break). One tiny count "
     "agg broadcast back + one per-source window; emits the selected "
     "document set itself so the sampling decision is oracle-pinned.",
 )
 def ext_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stratum = lang: the synthetic sources are uniform (25 docs each)
+    # so capping on source would be a no-op; languages are skewed
+    # (en ~4.4x fr at sf0.01), making the cap actually select
     docs = t(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     cap = counts.agg((F.lit(2) * F.min("n")).alias("cap"))
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
     return (
-        docs.select("doc_id", "source")
-        .withColumn("sample_rank", F.row_number().over(w))
+        docs.select("doc_id", F.col("lang").alias("stratum"))
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(
+                Window.partitionBy("stratum").orderBy(
+                    F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+                )
+            ),
+        )
         .crossJoin(F.broadcast(cap))
         .filter(F.col("sample_rank") <= F.col("cap"))
-        .select("doc_id", "source", F.col("sample_rank").cast("long"))
-        .orderBy("source", "sample_rank")
+        .select("doc_id", "stratum", F.col("sample_rank").cast("long"))
+        .orderBy("stratum", "sample_rank")
+    )
+
+
+# --- temperature-based mixture sampling -------------------------------------
+#
+# Temperature sampling (the multilingual/multi-source re-weighting of
+# mBERT/XLM-R/mT5: p_s ∝ (n_s/N)^alpha): with alpha=0.5 the per-doc
+# keep rate is sqrt(n_min/n_s) — the smallest source keeps everything,
+# a source 100x larger keeps 10% — smoothing the mixture without the
+# hard truncation of ext_domain_balance. alpha=0.5 is chosen
+# deliberately: the rate is then one sqrt of a ratio of exact BIGINTs,
+# and IEEE-754 sqrt/divide are correctly rounded in both engines, so
+# the keep decision (u < rate on a content-addressed uniform) is
+# bit-deterministic with NO rounding shims — a fractional alpha would
+# need pow(), which carries no cross-libm exactness guarantee.
+# Inverse-probability weights make downstream stats unbiased. Plan:
+# per-source counts (tiny) broadcast back onto the corpus; the keep
+# decision is a pushed-down filter, zero shuffle of the fact side.
+
+@register(
+    "ext_sample_temperature",
+    f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    mn AS (SELECT MIN(n) AS n_min FROM counts),
+    rated AS (
+      SELECT d.doc_id, d.lang AS stratum,
+        sqrt(CAST(mn.n_min AS DOUBLE) / c.n) AS rate,
+        {_SQL_U} AS u
+      FROM documents d JOIN counts c USING (lang) CROSS JOIN mn
+    )
+    SELECT doc_id, stratum,
+      {sql_pround("rate", 6)} AS rate,
+      {sql_pround("1.0 / rate", 6)} AS weight
+    FROM rated
+    WHERE u < rate
+    ORDER BY doc_id
+    """,
+    doc="Temperature mixture sampling, alpha=0.5 (p_s ∝ sqrt(n_s/N), "
+    "the mBERT/XLM-R multilingual re-weighting): per-doc keep rate "
+    "sqrt(n_min/n_s) from broadcast per-source counts, decided by a "
+    "content-addressed uniform — deterministic because sqrt and "
+    "divide are correctly-rounded IEEE ops on identical operands. "
+    "Emits the kept set with inverse-probability weights; the filter "
+    "pushes down, the corpus never shuffles.",
+)
+def ext_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stratum = lang (see ext_domain_balance: sources are uniform in
+    # the synthetic corpus, languages carry the real skew)
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mn = counts.agg(F.min("n").alias("n_min"))
+    rate = F.sqrt(F.col("n_min").cast("double") / F.col("n"))
+    return (
+        docs.select("doc_id", "lang", F.expr(_SPARK_U).alias("u"))
+        .join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+        .withColumn("rate", rate)
+        .filter(F.col("u") < F.col("rate"))
+        .select(
+            "doc_id",
+            F.col("lang").alias("stratum"),
+            pround(F.col("rate"), 6).alias("rate"),
+            pround(F.lit(1.0) / F.col("rate"), 6).alias("weight"),
+        )
+        .orderBy("doc_id")
     )

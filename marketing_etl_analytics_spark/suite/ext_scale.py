@@ -1527,3 +1527,127 @@ def ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rank")
     )
+
+
+# --- semantic deduplication (SemDeDup) ---------------------------------------
+#
+# SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+# space, then look for near-duplicate PAIRS ONLY WITHIN each cluster —
+# the clustering turns an O(n^2) corpus problem into sum(c_i^2) with
+# c_i bounded, the same candidate-generation-then-verify shape as the
+# LSH dedup family but driven by learned geometry instead of hashes.
+# Clusters here are the IVF seed assignment (argmax cosine to the
+# first N_CENTROIDS vectors — broadcast centroids, map-side assign,
+# no shuffle of the corpus side); within-cluster pairs above the
+# cosine threshold mark the higher vec_id as a duplicate of the
+# lower ("keep lowest id" — deterministic, unlike the paper's random
+# representative). At corpus scale oversized clusters are re-split
+# (recursive k-means / the emb-bucket refine trick) before the
+# pairwise step, keeping c_i bounded; the synthetic corpus's clusters
+# are far below any cap, so no refine stage is plumbed here.
+SEM_DEDUP_T = 0.35  # production text near-dup ~0.95; synthetic corpus
+# has no true dups (max in-cluster cosine ~0.43), so the threshold is
+# set where the decision is non-trivial in BOTH directions
+
+
+@register(
+    "ext_semantic_dedup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+        {SQL_DOT.format(a="embedding", b="embedding")} AS n2
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cent_id, embedding AS ce, n2 AS cn2
+      FROM b WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cluster FROM (
+        SELECT v.vec_id, c.cent_id,
+          row_number() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {SQL_DOT.format(a="v.embedding", b="c.ce")}
+                     / sqrt(v.n2 * c.cn2) DESC, c.cent_id
+          ) AS crn
+        FROM b v, cent c
+      ) WHERE crn = 1
+    ),
+    pairs AS (
+      SELECT au.cluster, u.vec_id AS u, v.vec_id AS v
+      FROM assign au
+      JOIN assign av ON au.cluster = av.cluster AND au.vec_id < av.vec_id
+      JOIN b u ON u.vec_id = au.vec_id
+      JOIN b v ON v.vec_id = av.vec_id
+      WHERE {SQL_DOT.format(a="u.embedding", b="v.embedding")}
+            / sqrt(u.n2 * v.n2) >= {SEM_DEDUP_T}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+      CAST(COALESCE(p.nd, 0) AS BIGINT) AS n_dups_to_lower,
+      (COALESCE(p.nd, 0) = 0) AS is_kept
+    FROM assign a
+    LEFT JOIN (
+      SELECT v AS vec_id, COUNT(*) AS nd FROM pairs GROUP BY v
+    ) p USING (vec_id)
+    ORDER BY vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): assign every embedding to its "
+    "nearest seed centroid (broadcast argmax — the corpus side never "
+    "shuffles for assignment), then flag within-cluster pairs with "
+    "cosine >= threshold, keeping the lowest vec_id per duplicate "
+    "relation (deterministic representative). Pairwise work is "
+    "sum(c_i^2) within clusters, never corpus-quadratic; exact-"
+    "decimal dot products make the decisions oracle-verifiable.",
+)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = embedding_norms(spark, sf_dir)
+    cent = b.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("n2").alias("cn2"),
+    )
+    cos_c = (
+        F.expr(SPARK_DOT.format(a="embedding", b="ce"))
+        / F.sqrt(F.col("n2") * F.col("cn2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc(cos_c), F.asc("cent_id"))
+    assign = (
+        b.crossJoin(F.broadcast(cent))
+        .withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster"))
+    )
+    m = assign.join(b, "vec_id")
+    mu = m.select(
+        "cluster",
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("ue"),
+        F.col("n2").alias("un2"),
+    )
+    mv = m.select(
+        F.col("cluster").alias("cluster_v"),
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("ve"),
+        F.col("n2").alias("vn2"),
+    )
+    cos_p = (
+        F.expr(SPARK_DOT.format(a="ue", b="ve"))
+        / F.sqrt(F.col("un2") * F.col("vn2"))
+    )
+    dups = (
+        mu.join(mv, (mu.cluster == mv.cluster_v) & (mu.u < mv.v))
+        .filter(cos_p >= SEM_DEDUP_T)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .withColumnRenamed("v", "vec_id")
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce("nd", F.lit(0)).cast("long").alias("n_dups_to_lower"),
+            (F.coalesce("nd", F.lit(0)) == 0).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
