@@ -702,6 +702,51 @@ def _hll_finish_sql(src: str) -> str:
     """
 
 
+def _hll_rank_expr():
+    """(hv) -> (idx, rank) projection columns for the register build."""
+    w = F.expr(f"hv div {HLL_M}")
+    return (
+        (F.col("hv") % HLL_M).alias("idx"),
+        F.when(w == 0, F.lit(43)).otherwise(43 - F.length(F.bin(w))).alias("rank"),
+    )
+
+
+def _hll_hv(col: str = "user_id") -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def _hll_finish(r: DataFrame) -> DataFrame:
+    """Registers (grp, idx, m) -> (grp, n_zero_registers, hll_estimate);
+    Spark twin of ``_hll_finish_sql``."""
+    agg = r.groupBy("grp").agg(
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("n_zero_registers"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 43 - m)")).alias("s_present"),
+    )
+    s = (
+        F.col("s_present")
+        + F.col("n_zero_registers") * F.lit(1 << 43).cast("long")
+    ).cast("double")
+    raw = F.lit(float(_HLL_NUMER)) / s
+    # CASE zeros -> 64*ln(64/zeros) from the shared literals
+    lc_arms = F.expr(
+        "CASE n_zero_registers "
+        + " ".join(
+            f"WHEN {z} THEN CAST({lit} AS DOUBLE)" for z, lit in _HLL_LC.items()
+        )
+        + " ELSE 0.0 END"
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_registers") > 0), lc_arms
+    ).otherwise(raw)
+    return agg.select(
+        "grp",
+        "n_zero_registers",
+        F.floor(est + F.lit(0.5)).cast("long").alias("hll_estimate"),
+    )
+
+
 @register(
     "ext_sketch_hll",
     f"""
@@ -745,47 +790,13 @@ def _hll_finish_sql(src: str) -> str:
 )
 def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    hv = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
-    ).cast("long")
-    h = ev.select("event_type", hv.alias("hv")).distinct()
-    w = F.expr(f"hv div {HLL_M}")
-    ranked = h.select(
-        F.col("event_type").alias("grp"),
-        (F.col("hv") % HLL_M).alias("idx"),
-        F.when(w == 0, F.lit(43)).otherwise(43 - F.length(F.bin(w))).alias("rank"),
-    )
+    h = ev.select("event_type", _hll_hv().alias("hv")).distinct()
+    ranked = h.select(F.col("event_type").alias("grp"), *_hll_rank_expr())
     regs = ranked.groupBy("grp", "idx").agg(F.max("rank").alias("m"))
     regs_all = regs.groupBy("idx").agg(F.max("m").alias("m")).select(
         F.lit("(all)").alias("grp"), "idx", "m"
     )
-
-    def finish(r: DataFrame) -> DataFrame:
-        agg = r.groupBy("grp").agg(
-            (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("n_zero_registers"),
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 43 - m)")).alias("s_present"),
-        )
-        s = (
-            F.col("s_present")
-            + F.col("n_zero_registers") * F.lit(1 << 43).cast("long")
-        ).cast("double")
-        raw = F.lit(float(_HLL_NUMER)) / s
-        lc_arms = F.lit(0.0)
-        # build CASE zeros -> 64*ln(64/zeros) from the shared literals
-        expr = "CASE n_zero_registers " + " ".join(
-            f"WHEN {z} THEN CAST({lit} AS DOUBLE)" for z, lit in _HLL_LC.items()
-        ) + " ELSE 0.0 END"
-        lc_arms = F.expr(expr)
-        est = F.when(
-            (raw <= F.lit(2.5 * HLL_M)) & (F.col("n_zero_registers") > 0), lc_arms
-        ).otherwise(raw)
-        return agg.select(
-            "grp",
-            "n_zero_registers",
-            F.floor(est + F.lit(0.5)).cast("long").alias("hll_estimate"),
-        )
-
-    est = finish(regs).unionAll(finish(regs_all))
+    est = _hll_finish(regs).unionAll(_hll_finish(regs_all))
     ex = (
         ev.groupBy(F.col("event_type").alias("grp"))
         .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
@@ -898,3 +909,103 @@ def ext_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_exact"), "token")
     )
+
+
+# --- streaming HLL maintenance ----------------------------------------------
+#
+# The property that makes HLL the distributed/streaming distinct
+# estimator is register-wise mergeability: max() is associative,
+# commutative, and idempotent, so per-micro-batch partial registers
+# merge into a running sketch in ANY order, under replays, and with no
+# per-key state — the sketch table is m rows forever. This entry runs
+# that loop for real: a Structured Streaming query over the events
+# feed computes each micro-batch's 64 registers in foreachBatch and
+# appends them to a register log (at cluster scale: the sketch store);
+# the post-stream merge is one 64-group max. The final estimate MUST
+# equal the batch sketch's '(all)' row — which is exactly what the
+# oracle computes — because max-merge over any partition of the input
+# is lossless. Batch-count independence is the tested invariant.
+
+@register(
+    "stream_sketch_hll",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT hv % {HLL_M} AS idx,
+        CASE WHEN hv // {HLL_M} = 0 THEN 43
+             ELSE 43 - length(bin(hv // {HLL_M})) END AS rank
+      FROM h
+    ),
+    regs AS (
+      SELECT '(all)' AS grp, idx, MAX(rank) AS m FROM ranked GROUP BY 1, 2
+    ),
+    est AS ({_hll_finish_sql("regs")}),
+    ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+    SELECT est.grp, ex.n_exact, est.hll_estimate, est.n_zero_registers
+    FROM est CROSS JOIN ex
+    """,
+    doc="HLL sketch maintained UNDER STRUCTURED STREAMING: each "
+    "micro-batch's partial registers (64 rows, constant size) are "
+    "appended to a register log in foreachBatch; the merged sketch is "
+    "one 64-group max. Because register max-merge is associative, "
+    "commutative, and idempotent, the streamed estimate is "
+    "bit-identical to the batch sketch regardless of batch count or "
+    "order — the invariant the oracle (batch HLL over the full feed) "
+    "verifies exactly.",
+)
+def stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"hll_stream_{uuid.uuid4().hex[:8]}_")
+    reg_dir = f"{base}/registers"
+
+    def batch_registers(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(_hll_hv().alias("hv"))
+            .distinct()
+            .select(*_hll_rank_expr())
+            .groupBy("idx")
+            .agg(F.max("rank").alias("m"))
+            .write.mode("append")
+            .parquet(reg_dir)
+        )
+
+    try:
+        q = (
+            read_events_stream(spark, sf_dir)
+            .select("user_id")
+            .writeStream.outputMode("append")
+            .foreachBatch(batch_registers)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        merged = (
+            spark.read.parquet(reg_dir)
+            .groupBy("idx")
+            .agg(F.max("m").alias("m"))
+            .select(F.lit("(all)").alias("grp"), "idx", "m")
+        )
+        ex = t(spark, sf_dir, "events").agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact")
+        )
+        out = (
+            _hll_finish(merged)
+            .crossJoin(F.broadcast(ex))
+            .select("grp", "n_exact", "hll_estimate", "n_zero_registers")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

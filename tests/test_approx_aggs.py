@@ -71,3 +71,69 @@ def test_ext_sketch_countmin_one_sided(spark):
         assert r["cm_estimate"] >= r["n_exact"]
         # heavy hitters dwarf the expected collision mass e*N/w
         assert r["overestimate"] <= 0.5 * r["n_exact"], r
+
+
+def test_stream_hll_batch_count_invariance(spark, tmp_path):
+    """Register max-merge is associative/commutative/idempotent, so the
+    merged sketch over N micro-batches equals the single-pass sketch —
+    including under a replayed batch. Three files, one per trigger,
+    with overlapping keys + a verbatim replay file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from marketing_etl_analytics_spark.suite.timeseries import (
+        _hll_finish,
+        _hll_hv,
+        _hll_rank_expr,
+    )
+
+    schema = StructType([StructField("user_id", LongType())])
+    in_dir = str(tmp_path / "in")
+    rows1 = [(i,) for i in range(0, 400)]
+    rows2 = [(i,) for i in range(300, 700)]  # overlaps rows1
+    for rows in (rows1, rows2, rows1):  # third file replays the first
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    reg_dir = str(tmp_path / "regs")
+
+    def batch_registers(batch_df, batch_id):
+        (
+            batch_df.select(_hll_hv().alias("hv"))
+            .distinct()
+            .select(*_hll_rank_expr())
+            .groupBy("idx")
+            .agg(F.max("rank").alias("m"))
+            .write.mode("append")
+            .parquet(reg_dir)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(batch_registers)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def finish(regs):
+        return _hll_finish(
+            regs.groupBy("idx")
+            .agg(F.max("rank").alias("m") if "rank" in regs.columns else F.max("m").alias("m"))
+            .select(F.lit("(all)").alias("grp"), "idx", "m")
+        ).collect()[0]
+
+    streamed = finish(spark.read.parquet(reg_dir))
+    batch = finish(
+        spark.createDataFrame(rows1 + rows2, schema)
+        .select(_hll_hv().alias("hv"))
+        .distinct()
+        .select(*_hll_rank_expr())
+    )
+    assert streamed["hll_estimate"] == batch["hll_estimate"]
+    assert streamed["n_zero_registers"] == batch["n_zero_registers"]
