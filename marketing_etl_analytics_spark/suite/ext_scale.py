@@ -1533,21 +1533,29 @@ def ext_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
 # space, then look for near-duplicate PAIRS ONLY WITHIN each cluster —
-# the clustering turns an O(n^2) corpus problem into sum(c_i^2) with
-# c_i bounded, the same candidate-generation-then-verify shape as the
-# LSH dedup family but driven by learned geometry instead of hashes.
-# Clusters here are the IVF seed assignment (argmax cosine to the
-# first N_CENTROIDS vectors — broadcast centroids, map-side assign,
-# no shuffle of the corpus side); within-cluster pairs above the
-# cosine threshold mark the higher vec_id as a duplicate of the
-# lower ("keep lowest id" — deterministic, unlike the paper's random
-# representative). At corpus scale oversized clusters are re-split
-# (recursive k-means / the emb-bucket refine trick) before the
-# pairwise step, keeping c_i bounded; the synthetic corpus's clusters
-# are far below any cap, so no refine stage is plumbed here.
+# the clustering turns an O(n^2) corpus problem into sum(c_i^2), the
+# same candidate-generation-then-verify shape as the LSH dedup family
+# but driven by learned geometry instead of hashes. Two scale guards
+# keep c_i bounded, both mirrored exactly by the oracle:
+#
+# 1. k ~ sqrt(n) seed centroids (the paper's regime; 32 here), so the
+#    EXPECTED cluster is sqrt(n)-sized, and assignment stays a
+#    broadcast argmax — the corpus side never shuffles.
+# 2. clusters that still exceed SEM_CLUSTER_CAP members re-split on 8
+#    further hyperplane sign bits (the embedding-dedup refine trick,
+#    dims 9..16) before the pairwise step — expected 256x occupancy
+#    drop on hot clusters; pairs across sub-splits of a hot cluster
+#    are forgone, which is the approximation SemDeDup already makes
+#    at the cluster boundary.
+#
+# Within each (refined) cluster, pairs with cosine >= threshold mark
+# the higher vec_id as a duplicate of the lower ("keep lowest id" —
+# deterministic, unlike the paper's random representative).
 SEM_DEDUP_T = 0.35  # production text near-dup ~0.95; synthetic corpus
 # has no true dups (max in-cluster cosine ~0.43), so the threshold is
 # set where the decision is non-trivial in BOTH directions
+SEM_CENTROIDS = 32
+SEM_CLUSTER_CAP = 128
 
 
 @register(
@@ -1555,16 +1563,17 @@ SEM_DEDUP_T = 0.35  # production text near-dup ~0.95; synthetic corpus
     f"""
     WITH b AS (
       SELECT vec_id, embedding,
-        {SQL_DOT.format(a="embedding", b="embedding")} AS n2
+        {SQL_DOT.format(a="embedding", b="embedding")} AS n2,
+        {_SQL_SUBBUCKET} AS sub
       FROM embeddings
     ),
     cent AS (
       SELECT vec_id AS cent_id, embedding AS ce, n2 AS cn2
-      FROM b WHERE vec_id < {N_CENTROIDS}
+      FROM b WHERE vec_id < {SEM_CENTROIDS}
     ),
     assign AS (
-      SELECT vec_id, cent_id AS cluster FROM (
-        SELECT v.vec_id, c.cent_id,
+      SELECT vec_id, cent_id AS cluster, sub FROM (
+        SELECT v.vec_id, c.cent_id, v.sub,
           row_number() OVER (
             PARTITION BY v.vec_id
             ORDER BY {SQL_DOT.format(a="v.embedding", b="c.ce")}
@@ -1573,12 +1582,19 @@ SEM_DEDUP_T = 0.35  # production text near-dup ~0.95; synthetic corpus
         FROM b v, cent c
       ) WHERE crn = 1
     ),
+    keyed AS (
+      SELECT vec_id, cluster,
+        CASE WHEN COUNT(*) OVER (PARTITION BY cluster) > {SEM_CLUSTER_CAP}
+          THEN concat_ws(':', cluster, sub)
+          ELSE CAST(cluster AS VARCHAR) END AS ckey
+      FROM assign
+    ),
     pairs AS (
-      SELECT au.cluster, u.vec_id AS u, v.vec_id AS v
-      FROM assign au
-      JOIN assign av ON au.cluster = av.cluster AND au.vec_id < av.vec_id
-      JOIN b u ON u.vec_id = au.vec_id
-      JOIN b v ON v.vec_id = av.vec_id
+      SELECT ku.ckey, u.vec_id AS u, v.vec_id AS v
+      FROM keyed ku
+      JOIN keyed kv ON ku.ckey = kv.ckey AND ku.vec_id < kv.vec_id
+      JOIN b u ON u.vec_id = ku.vec_id
+      JOIN b v ON v.vec_id = kv.vec_id
       WHERE {SQL_DOT.format(a="u.embedding", b="v.embedding")}
             / sqrt(u.n2 * v.n2) >= {SEM_DEDUP_T}
     )
@@ -1591,41 +1607,68 @@ SEM_DEDUP_T = 0.35  # production text near-dup ~0.95; synthetic corpus
     ) p USING (vec_id)
     ORDER BY vec_id
     """,
-    doc="SemDeDup (Abbas et al. 2023): assign every embedding to its "
-    "nearest seed centroid (broadcast argmax — the corpus side never "
-    "shuffles for assignment), then flag within-cluster pairs with "
-    "cosine >= threshold, keeping the lowest vec_id per duplicate "
-    "relation (deterministic representative). Pairwise work is "
-    "sum(c_i^2) within clusters, never corpus-quadratic; exact-"
-    "decimal dot products make the decisions oracle-verifiable.",
+    doc="SemDeDup (Abbas et al. 2023): broadcast argmax assignment to "
+    "k~sqrt(n) seed centroids, within-cluster cosine pairs, lowest-id "
+    "representative. Clusters over the cap re-split on 8 hyperplane "
+    "sign bits before the pairwise step (the embedding-dedup refine "
+    "guard), so candidate work is sum(c_i^2) with c_i bounded — "
+    "never corpus-quadratic. The assignment is a memoized corpus "
+    "index (built once, shared by the output and both pair sides); "
+    "exact-decimal dot products keep every decision oracle-exact.",
 )
 def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build_assign() -> DataFrame:
+        b = embedding_norms(spark, sf_dir)
+        cent = b.filter(F.col("vec_id") < SEM_CENTROIDS).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("ce"),
+            F.col("n2").alias("cn2"),
+        )
+        cos_c = (
+            F.expr(SPARK_DOT.format(a="embedding", b="ce"))
+            / F.sqrt(F.col("n2") * F.col("cn2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc(cos_c), F.asc("cent_id"))
+        assign = (
+            b.withColumn("sub", F.expr(_SPARK_SUBBUCKET))
+            .crossJoin(F.broadcast(cent))
+            .withColumn("crn", F.row_number().over(w))
+            .filter(F.col("crn") == 1)
+            .select("vec_id", F.col("cent_id").alias("cluster"), "sub")
+        )
+        # hot-cluster refine: <= SEM_CENTROIDS rows -> broadcast
+        hot = (
+            assign.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("_cn"))
+            .filter(F.col("_cn") > SEM_CLUSTER_CAP)
+            .select("cluster", F.lit(True).alias("_hot"))
+        )
+        return assign.join(F.broadcast(hot), "cluster", "left").select(
+            "vec_id",
+            "cluster",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.concat_ws(
+                    ":", F.col("cluster").cast("string"), F.col("sub").cast("string")
+                ),
+            )
+            .otherwise(F.col("cluster").cast("string"))
+            .alias("ckey"),
+        )
+
+    # per-corpus index (argmax assignment + refined key), built once
+    # and read by the output row set AND both sides of the pair join
+    assign = memo_df(spark, sf_dir, "sem_assign", build_assign)
     b = embedding_norms(spark, sf_dir)
-    cent = b.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("ce"),
-        F.col("n2").alias("cn2"),
-    )
-    cos_c = (
-        F.expr(SPARK_DOT.format(a="embedding", b="ce"))
-        / F.sqrt(F.col("n2") * F.col("cn2"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc(cos_c), F.asc("cent_id"))
-    assign = (
-        b.crossJoin(F.broadcast(cent))
-        .withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cluster"))
-    )
     m = assign.join(b, "vec_id")
     mu = m.select(
-        "cluster",
+        "ckey",
         F.col("vec_id").alias("u"),
         F.col("embedding").alias("ue"),
         F.col("n2").alias("un2"),
     )
     mv = m.select(
-        F.col("cluster").alias("cluster_v"),
+        F.col("ckey").alias("ckey_v"),
         F.col("vec_id").alias("v"),
         F.col("embedding").alias("ve"),
         F.col("n2").alias("vn2"),
@@ -1635,7 +1678,7 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt(F.col("un2") * F.col("vn2"))
     )
     dups = (
-        mu.join(mv, (mu.cluster == mv.cluster_v) & (mu.u < mv.v))
+        mu.join(mv, (mu.ckey == mv.ckey_v) & (mu.u < mv.v))
         .filter(cos_p >= SEM_DEDUP_T)
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("nd"))
