@@ -241,3 +241,69 @@ def test_session_window_is_single_aggregation(spark):
     assert "Window" not in plan.replace("SessionWindow", "").replace(
         "session_window", ""
     )  # no window-function pass, only the session-window aggregate
+
+
+def test_chunking_is_zero_shuffle(spark):
+    """Context-window chunking is row-local: no Exchange anywhere
+    except the final presentation sort (rangepartitioning). At 100 TB
+    the chunker must stream map-side — a shuffle would move the whole
+    corpus."""
+    plan = plan_of(spark, "ext_chunk_documents")
+    # formatted explain separates operator and Arguments lines: every
+    # Exchange must be the presentation rangepartitioning or the
+    # single-row-group spread round-robin (absent on healthy input) —
+    # no hashpartitioning anywhere
+    n_ex = sum(1 for l in plan.splitlines() if l.lstrip().startswith("(") and " Exchange" in l)
+    allowed = sum(
+        1 for l in plan.splitlines()
+        if "Arguments: rangepartitioning" in l or "Arguments: RoundRobinPartitioning" in l
+    )
+    assert "hashpartitioning" not in plan
+    assert n_ex == allowed, plan
+
+
+def test_scd2_single_fold_exchange(spark):
+    """All three SCD2 windows (lag collapse, lead close, versioning)
+    share one custkey hash Exchange — aliasing before the first window
+    keeps Catalyst's partitioning reuse."""
+    plan = plan_of(spark, "etl_scd2")
+    hash_ex = [l for l in plan.splitlines() if "Arguments: hashpartitioning" in l]
+    assert len(hash_ex) == 1, hash_ex
+
+
+def test_domain_balance_broadcasts_cap(spark):
+    """The per-stratum cap (a 1-row aggregate) must broadcast — the
+    corpus side shuffles only for the per-stratum window rank."""
+    plan = plan_of(spark, "ext_domain_balance")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_countmin_counters_from_vocab_not_corpus(spark):
+    """The d-fold expansion must sit ABOVE the token-frequency
+    aggregate (|vocab| rows), not on the raw token stream — the
+    Generate(explode(sequence...)) operator consumes the aggregated
+    side."""
+    import re
+
+    plan = plan_of(spark, "ext_sketch_countmin")
+    # formatted-plan operator ids increase bottom-up. The token explode
+    # (Generate over split(text)) must have a LOWER id than some
+    # HashAggregate which in turn is lower than the d-row explode
+    # (Generate emitting [j#...], the folded 0..3 sequence) — i.e. the
+    # frequency aggregate sits between the two explodes.
+    tok_gen, j_gen, aggs = None, None, []
+    op = None
+    for l in plan.splitlines():
+        m = re.match(r"\((\d+)\) (\w+)", l.strip())
+        if m:
+            op = (int(m.group(1)), m.group(2))
+            if op[1] == "HashAggregate":
+                aggs.append(op[0])
+            continue
+        if op and op[1] == "Generate" and l.strip().startswith("Arguments:"):
+            if "split(lower(text" in l:
+                tok_gen = op[0] if tok_gen is None else tok_gen
+            if re.search(r"\[j#\d+\]", l):
+                j_gen = op[0] if j_gen is None else j_gen
+    assert tok_gen is not None and j_gen is not None, plan
+    assert any(tok_gen < a < j_gen for a in aggs), (tok_gen, aggs, j_gen)
