@@ -26,6 +26,19 @@ from marketing_etl_analytics_spark.ext.multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
 )
+from marketing_etl_analytics_spark.ext.curation import (  # noqa: F401
+    chunk_documents,
+    domain_balance,
+    semantic_dedup,
+    temperature_sample,
+)
+from marketing_etl_analytics_spark.ext.sketches import (  # noqa: F401
+    countmin_counters,
+    countmin_query,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
 
 # frame-level scale-path operators (implemented beside their graded
 # suite entries; re-exported here as the one-stop API)

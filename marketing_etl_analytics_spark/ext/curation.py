@@ -1,0 +1,198 @@
+"""Corpus-curation operators, column-parameterized.
+
+Library form of the suite's round-5 curation entries
+(`ext_chunk_documents`, `ext_domain_balance`, `ext_sample_temperature`,
+`ext_semantic_dedup`): the document→training-sequence chunker, the two
+mixture-shaping samplers, and SemDeDup-style semantic deduplication.
+Every decision is content-addressed (md5) or exact-decimal, so the
+operators are deterministic under any partitioning — reproducible
+corpus builds, idempotent reruns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token-window chunks with overlap: (key, chunk_ord,
+    n_chunk_tokens, chunk_text, chunk_hash).
+
+    Row-local (zero shuffle): sequence+explode+slice+concat, all
+    codegen builtins. The content hash feeds downstream exact dedup.
+    """
+    toks = df.select(
+        F.col(key),
+        F.split(F.col(text), " ").alias("_tok"),
+        F.size(F.split(F.col(text), " ")).alias("_n"),
+    )
+    return toks.select(
+        key,
+        "_tok",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.col("_n"), F.lit(stride))).alias("_s"),
+    ).select(
+        key,
+        (F.expr(f"(_s - 1) div {stride}") + 1).cast("long").alias("chunk_ord"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_s") + 1)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice("_tok", F.col("_s"), F.lit(chunk_tokens))).alias(
+            "chunk_text"
+        ),
+        F.md5(
+            F.concat_ws(" ", F.slice("_tok", F.col("_s"), F.lit(chunk_tokens)))
+        ).alias("chunk_hash"),
+    )
+
+
+def domain_balance(
+    df: DataFrame, key: str = "doc_id", stratum: str = "lang", cap_factor: int = 2
+) -> DataFrame:
+    """Cap every stratum at ``cap_factor`` x the smallest stratum's
+    count; survivors chosen by deterministic md5 rank. Returns the
+    selected rows as (key, stratum, sample_rank)."""
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("n"))
+    cap = counts.agg((F.lit(cap_factor) * F.min("n")).alias("_cap"))
+    w = Window.partitionBy(stratum).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.select(key, stratum)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("sample_rank") <= F.col("_cap"))
+        .drop("_cap")
+    )
+
+
+def temperature_sample(
+    df: DataFrame, key: str = "doc_id", stratum: str = "lang"
+) -> DataFrame:
+    """Temperature mixture sampling at alpha=0.5 (keep rate
+    sqrt(n_min/n_s)); alpha is fixed at 0.5 because the rate is then
+    a single correctly-rounded IEEE sqrt — bit-deterministic across
+    engines, which a fractional pow() cannot guarantee. Returns kept
+    rows with the rate and inverse-probability weight."""
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("_n"))
+    mn = counts.agg(F.min("_n").alias("_n_min"))
+    u = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.select(key, stratum, u.alias("_u"))
+        .join(F.broadcast(counts), stratum)
+        .crossJoin(F.broadcast(mn))
+        .withColumn("rate", F.sqrt(F.col("_n_min").cast("double") / F.col("_n")))
+        .filter(F.col("_u") < F.col("rate"))
+        .select(key, stratum, "rate", (F.lit(1.0) / F.col("rate")).alias("weight"))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    n_centroids: int = 32,
+    cluster_cap: int = 128,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup: nearest-seed-centroid clusters (broadcast argmax),
+    hot clusters re-split on 8 hyperplane sign bits, within-cluster
+    cosine pairs >= threshold flag the higher key as a duplicate of
+    the lower. Returns (key, cluster, n_dups_to_lower, is_kept).
+
+    Choose n_centroids ~ sqrt(n) (the SemDeDup regime); the cap
+    bounds pairwise work at sum(c_i^2) regardless of corpus size.
+    Seeds are the ``n_centroids`` lowest keys — swap for k-means||
+    centroids at scale without changing the downstream shape.
+    """
+    dot = (
+        "CAST(aggregate(sequence(1, size({a})), CAST(0 AS DECIMAL(38,12)),"
+        " (acc, i) -> CAST(acc + CAST(CAST(element_at({a}, i) AS DOUBLE)"
+        " * CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(38,12))"
+        " AS DECIMAL(38,12))) AS DOUBLE)"
+    )
+    sub = (
+        "CAST(aggregate(sequence(9, 16), CAST(0 AS BIGINT),"
+        f" (acc, i) -> acc + CASE WHEN CAST(element_at({vec}, i) AS DOUBLE) > 0"
+        " THEN CAST(pow(2, i - 9) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+    )
+    b = df.select(
+        F.col(key),
+        F.col(vec),
+        F.expr(dot.format(a=vec, b=vec)).alias("_n2"),
+        F.expr(sub).alias("_sub"),
+    )
+    cent = (
+        b.orderBy(key)
+        .limit(n_centroids)
+        .select(
+            F.col(key).alias("_cid"),
+            F.col(vec).alias("_ce"),
+            F.col("_n2").alias("_cn2"),
+        )
+    )
+    cos_c = F.expr(dot.format(a=vec, b="_ce")) / F.sqrt(F.col("_n2") * F.col("_cn2"))
+    w = Window.partitionBy(key).orderBy(F.desc(cos_c), F.asc("_cid"))
+    assign = (
+        b.crossJoin(F.broadcast(cent))
+        .withColumn("_crn", F.row_number().over(w))
+        .filter(F.col("_crn") == 1)
+        .select(key, F.col("_cid").alias("cluster"), "_sub")
+    )
+    hot = (
+        assign.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_cn"))
+        .filter(F.col("_cn") > cluster_cap)
+        .select("cluster", F.lit(True).alias("_hot"))
+    )
+    keyed = assign.join(F.broadcast(hot), "cluster", "left").select(
+        key,
+        "cluster",
+        F.when(
+            F.col("_hot").isNotNull(),
+            F.concat_ws(":", F.col("cluster").cast("string"), F.col("_sub").cast("string")),
+        )
+        .otherwise(F.col("cluster").cast("string"))
+        .alias("_ckey"),
+    )
+    m = keyed.join(b.select(key, vec, "_n2"), key)
+    mu = m.select(
+        "_ckey",
+        F.col(key).alias("_u"),
+        F.col(vec).alias("_ue"),
+        F.col("_n2").alias("_un2"),
+    )
+    mv = m.select(
+        F.col("_ckey").alias("_ckey_v"),
+        F.col(key).alias("_v"),
+        F.col(vec).alias("_ve"),
+        F.col("_n2").alias("_vn2"),
+    )
+    cos_p = F.expr(dot.format(a="_ue", b="_ve")) / F.sqrt(
+        F.col("_un2") * F.col("_vn2")
+    )
+    dups = (
+        mu.join(mv, (mu._ckey == mv._ckey_v) & (mu._u < mv._v))
+        .filter(cos_p >= threshold)
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .withColumnRenamed("_v", key)
+    )
+    return keyed.join(dups, key, "left").select(
+        key,
+        F.col("cluster").cast("long").alias("cluster"),
+        F.coalesce("_nd", F.lit(0)).cast("long").alias("n_dups_to_lower"),
+        (F.coalesce("_nd", F.lit(0)) == 0).alias("is_kept"),
+    )
