@@ -93,7 +93,7 @@ _PRIORITY = [
     # never-driver-graded entries deliberately outside (more candidates
     # than slots again): diffcheck at 2-3 SFs + differential pytest;
     # first in line next round
-    "stream_sketch_hll",
+    "stream_sketch_hll", "ext_graph_label_propagation", "stream_topk_trending",
     "rel_window_range_interval", "rel_null_safe_join", "rel_setops_all",
     "rel_unpivot", "ext_bpe_merge_round",
     # rotated-out stable core: every row r2 hash-exact with unchanged

@@ -32,7 +32,7 @@ double. Both engines then apply identical IEEE ops.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marketing_etl_analytics_spark.suite.common import memo_df, pround, sql_pround, t
@@ -289,6 +289,82 @@ def ext_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("clustering_coeff"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- label propagation (community detection) --------------------------------
+
+LPA_ROUNDS = 2
+
+
+def _sql_lpa_round(prev: str, out: str) -> str:
+    """One synchronous LPA round: each node adopts its neighbors'
+    most frequent label, ties to the smallest label (deterministic)."""
+    return f"""
+    r_{out} AS (
+      SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+      FROM edges e JOIN {prev} l ON e.src = l.node
+      GROUP BY 1, 2
+    ),
+    {out} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+          row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM r_{out}
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "ext_graph_label_propagation",
+    f"""
+    WITH {_SQL_EDGE_BLOCK},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    {_sql_lpa_round("l0", "l1")},
+    {_sql_lpa_round("l1", "l2")},
+    sizes AS (SELECT lbl, COUNT(*) AS community_size FROM l2 GROUP BY lbl)
+    SELECT l2.node AS doc_id, CAST(l2.lbl AS BIGINT) AS community,
+      CAST(s.community_size AS BIGINT) AS community_size
+    FROM l2 JOIN sizes s ON s.lbl = l2.lbl
+    ORDER BY doc_id
+    """,
+    doc="Label-propagation community detection (Raghavan et al. 2007), "
+    "2 synchronous unrolled rounds with deterministic most-frequent/"
+    "smallest-label adoption, over the shared-shingle graph. Each "
+    "round is one edges⋈labels join shuffled on node id plus a "
+    "count-argmax — the Pregel message shape again, as a static DAG "
+    "the oracle mirrors. Completes the graph family: centrality "
+    "(PageRank), cohesion (triangles), equivalence (connected "
+    "components in the dedup clusterer), and now communities — all "
+    "on the same memoized edge index.",
+)
+def ext_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = memo_df(spark, sf_dir, "pagerank_edges", lambda: _build_edges(spark, sf_dir))
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node2").orderBy(F.desc("c"), F.asc("lbl"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("node2").alias("node"), "lbl")
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lbl").cast("long").alias("community"),
+            F.col("community_size").cast("long"),
         )
         .orderBy("doc_id")
     )
