@@ -480,7 +480,12 @@ def rel_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="term: string")
+    # Arrow-batched evaluation (ArrowEvalPythonUDTF, Spark 4) — the
+    # default plans row-at-a-time BatchEvalPython, the serialization
+    # tier the whole UDF surface avoids; tests/test_plan_lint.py
+    # enforces this suite-wide. Passed explicitly: the decorator
+    # resolves the session conf at decoration time, not call time.
+    @udtf(returnType="term: string", useArrow=True)
     class LongTerms:
         def eval(self, text: str, min_len: int):
             if text:
