@@ -42,10 +42,12 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 # q7, stream_dedup's dropDuplicatesWithinWatermark switch, the
 # memoized dedup/ANN family, single-groupBy rel_setops, the pagerank
 # oracle's shared edge-CTE refactor), and (b) every entry added since
-# r2 that fits — the r3/r4 operators plus this round's nine additions
+# r2 that fits — the r3/r4 operators plus this round's additions
 # (HLL + Count-Min sketches, triangle counting, chunking, domain
 # balance, temperature sampling, semantic dedup, SCD2, streaming CDC
-# apply). To fund (b), the ENTIRE unchanged r2-green reference-parity
+# apply; the four late-round additions — streaming HLL, label
+# propagation, streaming top-k, rolling median — sit first in the
+# next-round rotation line). To fund (b), the ENTIRE unchanged r2-green reference-parity
 # core rotates to the tail this round: every rotated row is r2
 # hash-exact, code-unchanged (registration order is the only diff),
 # and independently pinned by the golden tests against the
@@ -94,6 +96,7 @@ _PRIORITY = [
     # than slots again): diffcheck at 2-3 SFs + differential pytest;
     # first in line next round
     "stream_sketch_hll", "ext_graph_label_propagation", "stream_topk_trending",
+    "ext_rolling_median",
     "rel_window_range_interval", "rel_null_safe_join", "rel_setops_all",
     "rel_unpivot", "ext_bpe_merge_round",
     # rotated-out stable core: every row r2 hash-exact with unchanged

@@ -1009,3 +1009,89 @@ def stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+# --- rolling median (windowed order statistics) ------------------------------
+#
+# Robust rolling statistics: the trailing-7-bucket exact MEDIAN of 6h
+# revenue, the outlier-resistant twin of ext_anomaly_zscore's rolling
+# mean/std. Exact order statistics inside a BOUNDED window are
+# scale-safe (each window holds <= 7 values — collect, sort, index is
+# O(1) per row); it is the UNBOUNDED/global median that needs the
+# percentile_approx sketch path. Median of an even count averages the
+# two middles on exact decimals, so both engines compute identical
+# values. One shuffle on event_type; the rollup is bucket-grained
+# (tiny) before the window ever runs.
+
+MED_WIN = 7  # trailing buckets (inclusive of current)
+
+
+@register(
+    "ext_rolling_median",
+    f"""
+    WITH b AS (
+      SELECT (epoch_us(ts) // {BUCKET_US}) * {BUCKET_US} AS bucket_us,
+        event_type,
+        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT bucket_us, event_type, v,
+        list(v) OVER (
+          PARTITION BY event_type ORDER BY bucket_us
+          ROWS BETWEEN {MED_WIN - 1} PRECEDING AND CURRENT ROW
+        ) AS vals
+      FROM b
+    )
+    SELECT make_timestamp(bucket_us) AS bucket, event_type,
+      CAST(v AS DOUBLE) AS value_sum,
+      CAST(CASE WHEN len(vals) % 2 = 1
+        THEN list_sort(vals)[(len(vals) + 1) // 2]
+        ELSE (list_sort(vals)[len(vals) // 2]
+              + list_sort(vals)[len(vals) // 2 + 1]) / 2
+      END AS DOUBLE) AS rolling_median
+    FROM w
+    ORDER BY event_type, bucket
+    """,
+    doc="Trailing-7-bucket exact rolling MEDIAN of 6h revenue per "
+    "event type — order statistics inside a bounded frame (collect/"
+    "sort/index, O(window) per row: scale-safe precisely because the "
+    "frame is bounded; global medians take the sketch path instead). "
+    "Even-count medians average two exact decimals, so values are "
+    "oracle-exact. The robust twin of the z-score entry's rolling "
+    "mean/std.",
+)
+def ext_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bucket_us = F.expr(f"unix_micros(ts) div {BUCKET_US} * {BUCKET_US}")
+    b = (
+        ev.select(bucket_us.alias("bucket_us"), "event_type", "value")
+        .groupBy("bucket_us", "event_type")
+        .agg(F.round(F.sum(money("value")), 2).cast("decimal(18,2)").alias("v"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(-(MED_WIN - 1), Window.currentRow)
+    )
+    vals = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(vals)
+    med = F.when(
+        n % 2 == 1,
+        F.element_at(vals, ((n + 1) / F.lit(2)).cast("int")).cast("decimal(18,2)"),
+    ).otherwise(
+        (
+            F.element_at(vals, (n / F.lit(2)).cast("int"))
+            + F.element_at(vals, (n / F.lit(2)).cast("int") + 1)
+        )
+        / F.lit(2)
+    )
+    return (
+        b.select(
+            F.timestamp_micros("bucket_us").alias("bucket"),
+            "event_type",
+            F.col("v").cast("double").alias("value_sum"),
+            med.cast("double").alias("rolling_median"),
+        )
+        .orderBy("event_type", "bucket")
+    )
