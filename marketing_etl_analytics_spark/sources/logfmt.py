@@ -1,0 +1,229 @@
+"""Custom connector: a `logfmt` reader via the Python Data Source API.
+
+Spark has no native reader for logfmt (`key=value key2="quoted val"`
+lines — the ops-log format popularized by Heroku). This implements one
+through the public Spark 4 Python Data Source API
+(``pyspark.sql.datasource``), demonstrating the three things a real
+connector must get right at scale:
+
+1. **Partition planning** (``partitions``): one input partition per
+   file, so a directory of N log files parses on N tasks; at cluster
+   scale this is the split-enumeration step (extendable to byte-range
+   splits since logfmt is line-delimited).
+2. **Filter pushdown** (``pushFilters``, Spark 4.1): EqualTo /
+   IsNotNull / StringStartsWith predicates on schema columns are
+   accepted and applied DURING parsing — rows are dropped before they
+   are materialized into Arrow batches, which is where a Python
+   source pays its cost. Unsupported filters are handed back to Spark
+   (which re-applies everything anyway — pushdown is a fast path,
+   never a correctness dependency).
+3. **Schema contract**: honors a user-supplied schema (string, long,
+   double, boolean fields); without one, infers an all-string schema
+   from the first line of the lexically-first file (cheap, bounded).
+
+Usage::
+
+    spark.dataSource.register(LogfmtDataSource)
+    df = (spark.read.format("logfmt")
+          .schema("ts string, level string, msg string, dur_ms long")
+          .load("/var/log/app"))
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    IsNotNull,
+    SimpleDataSourceStreamReader,
+    StringStartsWith,
+)
+from pyspark.sql.types import StructType
+
+_PAIR = re.compile(r'([A-Za-z0-9_.-]+)=("(?:[^"\\]|\\.)*"|\S*)')
+
+
+def parse_logfmt_line(line: str) -> dict[str, str]:
+    """One logfmt line -> {key: raw string value} (quotes stripped,
+    escapes unescaped). Malformed segments are simply not matched —
+    logfmt is a best-effort format by design."""
+    out: dict[str, str] = {}
+    for k, v in _PAIR.findall(line):
+        if v.startswith('"') and v.endswith('"') and len(v) >= 2:
+            v = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        out[k] = v
+    return out
+
+
+def _files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            glob.glob(os.path.join(path, "*.log"))
+            + glob.glob(os.path.join(path, "*.logfmt"))
+            + glob.glob(os.path.join(path, "*.txt"))
+        )
+    return sorted(glob.glob(path))
+
+
+def _cast(raw: str | None, spark_type: str):
+    if raw is None or raw == "":
+        return None
+    try:
+        if spark_type in ("bigint", "int", "long", "integer", "smallint"):
+            return int(raw)
+        if spark_type in ("double", "float"):
+            return float(raw)
+        if spark_type == "boolean":
+            return raw.lower() in ("true", "1", "t", "yes")
+        return raw
+    except ValueError:
+        return None  # permissive: unparseable cell -> NULL, row survives
+
+
+class LogfmtReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        path = options.get("path")
+        if not path:
+            raise ValueError("logfmt source requires a path")
+        self.paths = _files(path)
+        self.applied: list[Filter] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        names = {f.name for f in self.schema.fields}
+        for f in filters:
+            # single-segment column paths on schema fields only
+            if (
+                isinstance(f, (EqualTo, IsNotNull, StringStartsWith))
+                and len(f.attribute) == 1
+                and f.attribute[0] in names
+            ):
+                self.applied.append(f)
+            else:
+                yield f  # unsupported -> Spark keeps it
+
+    def partitions(self) -> list[InputPartition]:
+        # one split per file; logfmt is line-delimited so byte-range
+        # splits are possible for huge single files — file granularity
+        # is the right default for log directories
+        return [InputPartition(p) for p in self.paths]
+
+    def _keep(self, row: dict) -> bool:
+        for f in self.applied:
+            v = row.get(f.attribute[0])
+            if isinstance(f, EqualTo):
+                if v != f.value:
+                    return False
+            elif isinstance(f, IsNotNull):
+                if v is None:
+                    return False
+            elif isinstance(f, StringStartsWith):
+                if v is None or not str(v).startswith(f.value):
+                    return False
+        return True
+
+    def read(self, partition: InputPartition):
+        fields = [(f.name, f.dataType.simpleString()) for f in self.schema.fields]
+        with open(partition.value, "r", encoding="utf-8", errors="replace") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                raw = parse_logfmt_line(line)
+                row = {n: _cast(raw.get(n), t) for n, t in fields}
+                if self._keep(row):
+                    yield tuple(row[n] for n, _ in fields)
+
+
+class LogfmtDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "logfmt"
+
+    def schema(self):
+        # no user schema: infer all-string fields from the first line
+        # of the first file (bounded, one line of IO)
+        paths = _files(self.options.get("path", ""))
+        if not paths:
+            raise ValueError("logfmt source requires a non-empty path")
+        with open(paths[0], "r", encoding="utf-8", errors="replace") as fh:
+            first = fh.readline()
+        keys = list(parse_logfmt_line(first))
+        if not keys:
+            raise ValueError("could not infer a logfmt schema from the first line")
+        return ", ".join(f"{k} string" for k in keys)
+
+    def reader(self, schema: StructType) -> LogfmtReader:
+        return LogfmtReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> "LogfmtStreamReader":
+        return LogfmtStreamReader(schema, dict(self.options))
+
+
+# --- streaming: tail a logfmt directory --------------------------------------
+
+
+class LogfmtStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch tail of a logfmt directory.
+
+    Offsets are ``{file: lines_consumed}`` — a replayable cursor, so
+    a restarted query resumes exactly where the checkpoint left off
+    and ``readBetweenOffsets`` can replay any past batch for
+    recovery. New files and appended lines both advance the offset.
+    The simple-reader API executes reads on the driver and is the
+    right tier for control-plane-sized streams (log tailing,
+    config/CDC feeds); the partitioned ``DataSourceStreamReader`` is
+    the data-plane tier.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("logfmt stream requires a path")
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def _snapshot(self) -> dict:
+        out = {}
+        for p in _files(self.path):
+            with open(p, "r", encoding="utf-8", errors="replace") as fh:
+                out[p] = sum(1 for _ in fh)
+        return out
+
+    def _lines(self, start: dict, end: dict):
+        fields = [(f.name, f.dataType.simpleString()) for f in self.schema.fields]
+        for p, hi in sorted(end.items()):
+            lo = start.get(p, 0)
+            if hi <= lo:
+                continue
+            with open(p, "r", encoding="utf-8", errors="replace") as fh:
+                for i, line in enumerate(fh):
+                    if i >= hi:
+                        break
+                    if i < lo or not line.strip():
+                        continue
+                    raw = parse_logfmt_line(line.strip())
+                    yield tuple(_cast(raw.get(n), t) for n, t in fields)
+
+    def read(self, start: dict):
+        end = self._snapshot()
+        # carry forward files that vanished so offsets never regress
+        for p, n in start.items():
+            end.setdefault(p, n)
+        # materialized, not a generator: the simple-reader API pickles
+        # the batch for prefetch/replay; fine at this tier — a
+        # micro-batch of a tailed log is bounded by arrival rate
+        return list(self._lines(start, end)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._lines(start, end))

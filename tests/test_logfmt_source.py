@@ -1,0 +1,144 @@
+"""Custom logfmt connector (Spark 4 Python Data Source API):
+partition planning, schema contract, inference, and filter pushdown."""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import EqualTo, GreaterThan, IsNotNull, StringStartsWith
+
+from marketing_etl_analytics_spark.sources.logfmt import (
+    LogfmtDataSource,
+    LogfmtReader,
+    parse_logfmt_line,
+)
+
+LINES_A = [
+    'ts=2026-01-01T00:00:00Z level=info msg="service started" dur_ms=12',
+    'ts=2026-01-01T00:00:01Z level=error msg="db timeout \\"primary\\"" dur_ms=5000',
+    "",
+    'ts=2026-01-01T00:00:02Z level=info msg=ok dur_ms=3',
+]
+LINES_B = [
+    'ts=2026-01-01T00:01:00Z level=warn msg="disk 90%" dur_ms=7',
+    'ts=2026-01-01T00:01:01Z level=error msg=oom dur_ms=notanumber',
+]
+
+
+def _write(tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("\n".join(LINES_A))
+    (d / "b.log").write_text("\n".join(LINES_B))
+    return str(d)
+
+
+def test_parse_line_quotes_and_escapes():
+    row = parse_logfmt_line(LINES_A[1])
+    assert row["msg"] == 'db timeout "primary"'
+    assert row["dur_ms"] == "5000"
+
+
+def test_read_with_schema_and_partition_per_file(spark, tmp_path):
+    path = _write(tmp_path)
+    spark.dataSource.register(LogfmtDataSource)
+    df = (
+        spark.read.format("logfmt")
+        .schema("ts string, level string, msg string, dur_ms long")
+        .load(path)
+    )
+    assert df.rdd.getNumPartitions() == 2  # one split per file
+    rows = {r["ts"]: r for r in df.collect()}
+    assert len(rows) == 5  # blank line skipped
+    assert rows["2026-01-01T00:00:01Z"]["msg"] == 'db timeout "primary"'
+    assert rows["2026-01-01T00:00:01Z"]["dur_ms"] == 5000
+    assert rows["2026-01-01T00:01:01Z"]["dur_ms"] is None  # permissive cast
+
+
+def test_schema_inference_all_strings(spark, tmp_path):
+    path = _write(tmp_path)
+    spark.dataSource.register(LogfmtDataSource)
+    df = spark.read.format("logfmt").load(path)
+    assert [f.name for f in df.schema.fields] == ["ts", "level", "msg", "dur_ms"]
+    assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+    assert df.count() == 5
+
+
+def test_filtered_query_end_to_end(spark, tmp_path):
+    path = _write(tmp_path)
+    spark.dataSource.register(LogfmtDataSource)
+    df = (
+        spark.read.format("logfmt")
+        .schema("ts string, level string, msg string, dur_ms long")
+        .load(path)
+        .filter("level = 'error'")
+    )
+    assert sorted(r["ts"] for r in df.collect()) == [
+        "2026-01-01T00:00:01Z",
+        "2026-01-01T00:01:01Z",
+    ]
+
+
+def test_push_filters_split_and_applied(spark, tmp_path):
+    """Supported predicates are retained and applied during parsing;
+    unsupported ones are handed back to Spark."""
+    from pyspark.sql.types import StructType
+
+    path = _write(tmp_path)
+    schema = StructType.fromDDL("ts string, level string, msg string, dur_ms long")
+    reader = LogfmtReader(schema, {"path": path})
+    unsupported = list(
+        reader.pushFilters(
+            [
+                EqualTo(("level",), "error"),
+                IsNotNull(("msg",)),
+                StringStartsWith(("ts",), "2026-01-01T00:00"),
+                GreaterThan(("dur_ms",), 10),  # not supported -> returned
+                EqualTo(("nosuchcol",), 1),  # not in schema -> returned
+            ]
+        )
+    )
+    assert {type(f).__name__ for f in unsupported} == {"GreaterThan", "EqualTo"}
+    assert len(reader.applied) == 3
+    parts = reader.partitions()
+    got = [row for p in parts for row in reader.read(p)]
+    # only the file-A error row survives all three applied predicates
+    assert got == [
+        ("2026-01-01T00:00:01Z", "error", 'db timeout "primary"', 5000)
+    ]
+
+
+def test_stream_tails_appended_lines(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: the second run sees
+    ONLY lines appended after the first (file-offset cursor resume)."""
+    d = tmp_path / "slogs"
+    d.mkdir()
+    f = d / "app.log"
+    f.write_text("\n".join(LINES_A) + "\n")
+    spark.dataSource.register(LogfmtDataSource)
+    ckpt = str(tmp_path / "ckpt")
+
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("logfmt")
+            .schema("ts string, level string, msg string, dur_ms long")
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 3  # blank line skipped
+
+    with open(f, "a") as fh:
+        fh.write("\n".join(LINES_B) + "\n")
+    run()
+    rows = spark.read.parquet(out).collect()
+    got = {r["ts"] for r in rows}
+    assert len(rows) == 5 and len(got) == 5  # 3 + 2 appended, no re-reads
+    assert "2026-01-01T00:01:00Z" in got
