@@ -9,7 +9,7 @@ under sampling at scale and costs an extra pass over 100 TB of input.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 
 def read_csv(
@@ -29,3 +29,47 @@ def read_csv(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.csv(path)
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    quarantine_path: str | None = None,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-enforced CSV read that QUARANTINES malformed rows
+    instead of nulling them silently (PERMISSIVE default), dropping
+    them (DROPMALFORMED), or failing the whole 100 TB job (FAILFAST).
+
+    Returns ``(valid, quarantined)``: valid rows with the declared
+    schema, and the raw text of every row that failed to parse
+    (wrong column count / uncastable cell), optionally persisted to
+    ``quarantine_path`` for replay after the upstream fix — the
+    bad-records pattern every production ingest needs. The parsed
+    frame is cached before the corrupt-column split: Spark disallows
+    filtering on the internal corrupt-record column of a lazy scan
+    (it would require re-parsing with different semantics), and the
+    cache also makes the two output frames consistent with each
+    other under concurrent input changes.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    corrupt_col = "_corrupt_record"
+    schema_q = StructType(schema.fields + [StructField(corrupt_col, StringType())])
+    parsed = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(schema_q)
+        .csv(path)
+        .cache()
+    )
+    valid = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = parsed.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    if quarantine_path is not None:
+        quarantined.write.mode("append").parquet(quarantine_path)
+    return valid, quarantined

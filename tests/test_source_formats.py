@@ -89,3 +89,36 @@ def test_columnar_formats_prune_columns(spark, format_copies):
         for line in scan_lines:
             assert "o_totalprice" not in line  # pruned
         assert "PushedFilters" in plan
+
+
+def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
+    """Malformed CSV rows land in the quarantine frame with their raw
+    text; valid rows parse with the declared schema. Neither silent
+    nulling (PERMISSIVE default) nor whole-job failure (FAILFAST)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from marketing_etl_analytics_spark.sources.csv import read_csv_with_quarantine
+
+    f = tmp_path / "in.csv"
+    f.write_text(
+        "id,name,qty\n"
+        "1,alpha,10\n"
+        "2,beta,notanumber\n"   # uncastable cell
+        "3,gamma,30\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("qty", LongType()),
+        ]
+    )
+    qdir = str(tmp_path / "quarantine")
+    valid, quarantined = read_csv_with_quarantine(
+        spark, str(f), schema, quarantine_path=qdir
+    )
+    assert sorted(r["id"] for r in valid.collect()) == [1, 3]
+    bad = [r["raw_record"] for r in quarantined.collect()]
+    assert bad == ["2,beta,notanumber"]
+    # persisted for replay
+    assert spark.read.parquet(qdir).count() == 1
