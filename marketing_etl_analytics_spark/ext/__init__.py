@@ -22,6 +22,8 @@ from marketing_etl_analytics_spark.ext.text import (  # noqa: F401
 )
 from marketing_etl_analytics_spark.ext.multimodal import (  # noqa: F401
     attach_payload,
+    audio_near_dups,
+    dhash_near_dups,
     extract_features,
     resize_images,
     sample_frames,

@@ -160,3 +160,31 @@ def wav_features(samples: np.ndarray, rate: int) -> list[float]:
         float(np.max(np.abs(mono))),
         zc,
     ]
+
+
+def audio_fingerprint(samples: np.ndarray, rate: int, n_frames: int = 65) -> int:
+    """64-bit energy-envelope difference fingerprint of an audio clip.
+
+    The audio analog of ``dhash``: frame the mono signal into
+    ``n_frames`` equal windows, take per-frame RMS energy, and emit
+    bit i = 1 iff energy[i] > energy[i+1]. Difference coding makes
+    the fingerprint invariant to overall gain (a volume-scaled copy
+    keeps every inequality) and robust to codec-level noise —
+    re-encoded or re-leveled copies of a clip collide, unrelated
+    audio does not. Deterministic pure-numpy arithmetic.
+    """
+    mono = samples.astype(np.float64)
+    if mono.ndim == 2:
+        mono = mono.mean(axis=1)
+    if len(mono) < n_frames:
+        mono = np.pad(mono, (0, n_frames - len(mono)))
+    # equal-size frames via truncation (tail samples beyond an exact
+    # multiple are dropped — stable across equal-length near-dups)
+    per = len(mono) // n_frames
+    framed = mono[: per * n_frames].reshape(n_frames, per)
+    energy = np.sqrt(np.mean(framed**2, axis=1))
+    bits = energy[:-1] > energy[1:]  # n_frames-1 = 64 bits
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    return h

@@ -306,3 +306,70 @@ def dhash_near_dups(
         )
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# --- audio fingerprint near-dup (the WAV twin of the dHash bridge) -----------
+
+
+def audio_fp(df: DataFrame) -> DataFrame:
+    """(doc_id, afp): 64-bit energy-envelope difference fingerprint
+    per WAV payload, Arrow-batched (ext/codecs.audio_fingerprint over
+    the decoded samples)."""
+    from marketing_etl_analytics_spark.ext import codecs
+
+    def one(p) -> int | None:
+        if p is None:
+            return None
+        samples, rate = codecs.decode_wav(bytes(p))
+        h = codecs.audio_fingerprint(samples, rate)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "afp": pd.array(
+                        [one(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, "doc_id long, afp long"
+    )
+
+
+def audio_near_dups(
+    df: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate audio pairs by banded energy-envelope
+    fingerprints — the identical candidate-generation shape as
+    ``dhash_near_dups`` (4x16-bit bands, capped hot buckets, exact
+    Hamming verify), applied to the WAV column family. Gain-scaled
+    or lightly-noised copies of a clip pair up; unrelated clips
+    don't."""
+    from marketing_etl_analytics_spark.suite.ext import cap_lsh_buckets
+
+    h = audio_fp(df).filter(F.col("afp").isNotNull())
+    banded = h.select(
+        "doc_id",
+        "afp",
+        F.explode(F.sequence(F.lit(0), F.lit(DHASH_BANDS - 1))).alias("band"),
+    ).withColumn("band_val", F.expr("shiftrightunsigned(afp, band * 16) & 65535"))
+    banded = cap_lsh_buckets(banded, ["band", "band_val"])
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_bands"),
+            F.min(F.expr("bit_count(a.afp ^ b.afp)")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -75,3 +75,36 @@ def test_dhash_null_payloads_skipped(spark):
     by_id = {r.doc_id: r.dhash for r in out}
     assert by_id[1] is not None and by_id[2] is None
     assert dhash_near_dups(df).collect() == []
+
+
+def test_audio_near_dups_finds_releveled_copy(spark):
+    """A gain-scaled, lightly-noised re-encode of a clip pairs with
+    its original via the energy-envelope fingerprint; an unrelated
+    clip doesn't. Difference coding makes the fingerprint invariant
+    to volume scaling."""
+    import numpy as np
+
+    from marketing_etl_analytics_spark.ext.codecs import encode_wav
+    from marketing_etl_analytics_spark.ext.multimodal import audio_near_dups
+
+    rng = np.random.default_rng(7)
+    t = np.arange(16_000 * 2)  # 2 s at 16 kHz
+    # speech-ish: amplitude-modulated tone bursts
+    envelope = np.abs(np.sin(2 * np.pi * t / 16_000 * 1.3)) ** 2
+    base = (8000 * envelope * np.sin(2 * np.pi * 440 * t / 16_000)).astype(np.int16)
+    relevel = (base.astype(np.float64) * 0.62 + rng.normal(0, 12, len(t))).astype(
+        np.int16
+    )
+    other = (
+        6000 * np.sin(2 * np.pi * 220 * t / 16_000) * (0.2 + 0.8 * (t % 16000 < 4000))
+    ).astype(np.int16)
+
+    rows = [
+        (1, bytearray(encode_wav(base))),
+        (2, bytearray(encode_wav(relevel))),
+        (3, bytearray(encode_wav(other))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in audio_near_dups(df).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
