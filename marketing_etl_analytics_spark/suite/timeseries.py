@@ -1095,3 +1095,136 @@ def ext_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --- streaming Count-Min maintenance ----------------------------------------
+#
+# The additive twin of stream_sketch_hll: Count-Min counters are
+# SUMS, and sum-merge is associative and commutative, so per-micro-
+# batch partial counter tables (d*w rows each, constant size)
+# appended in foreachBatch merge to exactly the single-pass sketch —
+# under any batch count or order. (Unlike the HLL's idempotent max,
+# sum-merge is NOT replay-safe: exactly-once batch semantics come
+# from the checkpoint, which availableNow provides. That asymmetry —
+# idempotent vs additive merge — is precisely why the two entries
+# exist side by side.) The oracle is the batch Count-Min over the
+# full feed; probes are the exact top-20 users.
+
+@register(
+    "stream_sketch_countmin",
+    f"""
+    WITH freq AS (
+      SELECT CAST(user_id AS VARCHAR) AS v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    expanded AS (
+      SELECT f.v, f.n, j.j,
+        ('0x' || substr(md5(j.j || ':' || f.v), 1, 12))::BIGINT % {CM_W} AS bucket
+      FROM freq f, LATERAL unnest(generate_series(0, {CM_D - 1})) AS j(j)
+    ),
+    counters AS (
+      SELECT j, bucket, SUM(n) AS c FROM expanded GROUP BY j, bucket
+    ),
+    top AS (
+      SELECT v, n FROM freq ORDER BY n DESC, v LIMIT {CM_TOPK}
+    ),
+    probes AS (
+      SELECT t.v, t.n, j.j,
+        ('0x' || substr(md5(j.j || ':' || t.v), 1, 12))::BIGINT % {CM_W} AS bucket
+      FROM top t, LATERAL unnest(generate_series(0, {CM_D - 1})) AS j(j)
+    )
+    SELECT p.v AS user_key, p.n AS n_exact,
+      CAST(MIN(c.c) AS BIGINT) AS cm_estimate,
+      CAST(MIN(c.c) - p.n AS BIGINT) AS overestimate
+    FROM probes p JOIN counters c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.v, p.n
+    ORDER BY n_exact DESC, user_key
+    """,
+    doc="Count-Min sketch maintained UNDER STRUCTURED STREAMING: each "
+    "micro-batch's partial counters (d*w rows, constant size) are "
+    "appended to a counter log in foreachBatch and merged by one "
+    "(j, bucket) SUM — additive merge, so the streamed counters equal "
+    "the single-pass sketch under any batch count/order (replay "
+    "safety comes from the checkpoint, unlike the HLL's idempotent "
+    "max — the two merge algebras side by side). Probes are the exact "
+    "top-20 users; the oracle is the batch sketch over the full feed.",
+)
+def stream_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"cm_stream_{uuid.uuid4().hex[:8]}_")
+    cnt_dir = f"{base}/counters"
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("j"), F.col("v"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        % CM_W
+    )
+
+    def batch_counters(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(F.col("user_id").cast("string").alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(
+                "v", "n",
+                F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("j"),
+            )
+            .withColumn("bucket", bucket)
+            .groupBy("j", "bucket")
+            .agg(F.sum("n").alias("c"))
+            .write.mode("append")
+            .parquet(cnt_dir)
+        )
+
+    try:
+        q = (
+            read_events_stream(spark, sf_dir)
+            .select("user_id")
+            .writeStream.outputMode("append")
+            .foreachBatch(batch_counters)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        counters = (
+            spark.read.parquet(cnt_dir)
+            .groupBy("j", "bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+        ev = t(spark, sf_dir, "events")
+        top = (
+            ev.select(F.col("user_id").cast("string").alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), "v")
+            .limit(CM_TOPK)
+        )
+        probes = top.select(
+            "v", "n", F.explode(F.sequence(F.lit(0), F.lit(CM_D - 1))).alias("j")
+        ).withColumn("bucket", bucket)
+        out = (
+            probes.join(counters, ["j", "bucket"])
+            .groupBy("v", "n")
+            .agg(F.min("c").cast("long").alias("cm_estimate"))
+            .select(
+                F.col("v").alias("user_key"),
+                F.col("n").alias("n_exact"),
+                "cm_estimate",
+                (F.col("cm_estimate") - F.col("n")).cast("long").alias("overestimate"),
+            )
+            .orderBy(F.desc("n_exact"), "user_key")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
