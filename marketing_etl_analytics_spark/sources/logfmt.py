@@ -91,6 +91,7 @@ def _cast(raw: str | None, spark_type: str):
 class LogfmtReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.schema = schema
+        self.options = options
         path = options.get("path")
         if not path:
             raise ValueError("logfmt source requires a path")
@@ -111,10 +112,24 @@ class LogfmtReader(DataSourceReader):
                 yield f  # unsupported -> Spark keeps it
 
     def partitions(self) -> list[InputPartition]:
-        # one split per file; logfmt is line-delimited so byte-range
-        # splits are possible for huge single files — file granularity
-        # is the right default for log directories
-        return [InputPartition(p) for p in self.paths]
+        # Hadoop-style byte-range splits: a single 100 GB log file
+        # must not become one task. Each partition is
+        # (path, start, end); readers resolve the line boundary at
+        # runtime (skip the partial first line unless start == 0,
+        # read through the line that crosses `end`) — every line is
+        # consumed exactly once without coordination. splitSize=0
+        # (default) keeps file granularity, the right call for
+        # directories of rotated logs.
+        split = int(self.options.get("splitsize", 0) or 0)
+        parts: list[InputPartition] = []
+        for p in self.paths:
+            size = os.path.getsize(p)
+            if split <= 0 or size <= split:
+                parts.append(InputPartition((p, 0, size)))
+            else:
+                for start in range(0, size, split):
+                    parts.append(InputPartition((p, start, min(start + split, size))))
+        return parts
 
     def _keep(self, row: dict) -> bool:
         for f in self.applied:
@@ -132,9 +147,22 @@ class LogfmtReader(DataSourceReader):
 
     def read(self, partition: InputPartition):
         fields = [(f.name, f.dataType.simpleString()) for f in self.schema.fields]
-        with open(partition.value, "r", encoding="utf-8", errors="replace") as fh:
-            for line in fh:
-                line = line.strip()
+        path, start, end = partition.value
+        with open(path, "rb") as fh:
+            fh.seek(start)
+            if start > 0:
+                # the split began mid-line: that line belongs to the
+                # PREVIOUS split (which reads through its crossing
+                # line), so discard up to the first newline
+                fh.readline()
+            while fh.tell() <= end:
+                pos_before = fh.tell()
+                if pos_before >= end:
+                    break
+                bline = fh.readline()
+                if not bline:
+                    break
+                line = bline.decode("utf-8", errors="replace").strip()
                 if not line:
                     continue
                 raw = parse_logfmt_line(line)

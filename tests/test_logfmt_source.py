@@ -142,3 +142,24 @@ def test_stream_tails_appended_lines(spark, tmp_path):
     got = {r["ts"] for r in rows}
     assert len(rows) == 5 and len(got) == 5  # 3 + 2 appended, no re-reads
     assert "2026-01-01T00:01:00Z" in got
+
+
+def test_byte_range_splits_exactly_once(spark, tmp_path):
+    """With a small splitSize a single file fans out to many
+    partitions, and the line-boundary handshake (skip partial first
+    line unless start=0, read through the crossing line) yields every
+    record exactly once."""
+    d = tmp_path / "big"
+    d.mkdir()
+    lines = [f'seq={i} level=info msg="row number {i}"' for i in range(500)]
+    (d / "big.log").write_text("\n".join(lines) + "\n")
+    spark.dataSource.register(LogfmtDataSource)
+    df = (
+        spark.read.format("logfmt")
+        .schema("seq long, level string, msg string")
+        .option("splitSize", "1024")
+        .load(str(d))
+    )
+    assert df.rdd.getNumPartitions() > 5  # ~18 KB file / 1 KB splits
+    got = sorted(r["seq"] for r in df.collect())
+    assert got == list(range(500))  # exactly once, none lost at boundaries
