@@ -397,3 +397,44 @@ def test_dedup_within_watermark_drops_cross_batch_replays(spark, tmp_path):
         "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS nd FROM dedup_xbatch"
     ).collect()[0]
     assert out.n == out.nd == 50
+
+
+def test_rocksdb_state_store_backend_equivalent(spark, tmp_path):
+    """The stateful dedup produces identical results on the RocksDB
+    state-store provider — the bounded-memory backend a production
+    cluster runs (state spills to local disk instead of executor
+    heap). Backend choice must be a pure operational knob, never a
+    semantics change."""
+    from pyspark.sql import functions as F
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        dedup_events,
+        read_events_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            dedup_events(read_events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("rocks_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = spark.table("rocks_dedup")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert got.count() == batch.select("event_id").distinct().count()
+    assert got.select(F.countDistinct("event_id")).collect()[0][0] == got.count()
