@@ -925,3 +925,91 @@ def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "segment")
     )
+
+
+# --- statistical aggregates via order-free decimal moments -------------------
+#
+# corr/covar/stddev/OLS are sums of doubles inside the builtins —
+# order-dependent, so Spark's corr() and DuckDB's corr() can disagree
+# in the last ulps and NEITHER is reproducible run-to-run on
+# re-partitioned data. The engine-portable (and at 100 TB,
+# retry-stable) form: accumulate the five raw moments
+# (Σx, Σy, Σx², Σy², Σxy) EXACTLY as decimals — one shuffle with
+# map-side combine, same cost as the builtin — then evaluate the
+# closed forms once per group on identical IEEE operands. This is
+# also the mergeable shape: partial moment vectors add across
+# partitions/days, so incremental maintenance is free.
+
+@register(
+    "rel_stats_moments",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+      {sql_pround("(sxy - sx * sy / n) / n", 4)} AS covar_pop,
+      {sql_pround("sqrt((sxx - sx * sx / n) / n)", 4)} AS stddev_pop_qty,
+      {sql_pround(
+        "(sxy - sx * sy / n)"
+        " / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))", 6)} AS corr,
+      {sql_pround("(sxy - sx * sy / n) / (sxx - sx * sx / n)", 6)} AS ols_slope,
+      {sql_pround(
+        "sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * (sx / n)", 4
+      )} AS ols_intercept
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    doc="Statistical aggregates (covar_pop, stddev_pop, Pearson corr, "
+    "OLS slope/intercept) from ORDER-FREE raw moments: Σx/Σy/Σx²/Σy²/"
+    "Σxy accumulated exactly as decimals (one shuffle, map-side "
+    "combine — the builtins' cost), closed forms evaluated once per "
+    "group on identical IEEE operands. Unlike the builtin corr(), "
+    "this is bit-reproducible across engines, partitionings, and "
+    "retries, and the moment vectors are additive — the incremental-"
+    "maintenance and distributed-merge shape.",
+)
+def rel_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / vx
+    return (
+        m.select(
+            "l_returnflag",
+            "n",
+            pround(cov, 4).alias("covar_pop"),
+            pround(F.sqrt(vx / n), 4).alias("stddev_pop_qty"),
+            pround(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / n)
+                / (F.sqrt(vx) * F.sqrt(vy)),
+                6,
+            ).alias("corr"),
+            pround(slope, 6).alias("ols_slope"),
+            pround(F.col("sy") / n - slope * (F.col("sx") / n), 4).alias(
+                "ols_intercept"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
