@@ -99,3 +99,71 @@ def test_zorder_pruning_never_loses_rows(spark, tmp_path_factory, rows, lo, hi):
     got = sorted((r.x, r.y) for r in pruned.collect())
     want = sorted((r.x, r.y) for r in full.collect())
     assert got == want
+
+
+_doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab cd"),  # spaces included -> multi-token
+        min_size=0,
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_doc_texts)
+def test_chunking_covers_every_token_in_order(spark, texts):
+    """Chunk reconstruction: stitching each doc's chunks back together
+    with the stride overlap removed reproduces the token stream
+    exactly — no token lost or duplicated by the window arithmetic,
+    for arbitrary text lengths including empty and sub-window docs."""
+    from marketing_etl_analytics_spark.ext import chunk_documents
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = sorted(
+        ((r["doc_id"], r["chunk_ord"], r["chunk_text"]) for r in
+         chunk_documents(df, chunk_tokens=8, stride=5).collect())
+    )
+    by_doc: dict[int, list[str]] = {}
+    for doc_id, _, text in chunks:
+        by_doc.setdefault(doc_id, []).append(text)
+    for doc_id, text in rows:
+        toks = text.split(" ")
+        rebuilt: list[str] = []
+        for j, chunk in enumerate(by_doc[doc_id]):
+            ctoks = chunk.split(" ") if chunk != "" else [""]
+            rebuilt.extend(ctoks if j == 0 else ctoks[8 - 5:])
+        # trailing chunks shorter than the overlap contribute nothing
+        # new; the reconstruction must be a prefix-complete match
+        assert rebuilt[: len(toks)] == toks
+        assert len(rebuilt) >= len(toks)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=2, max_size=5)
+)
+def test_domain_balance_respects_cap_and_determinism(spark, sizes):
+    """No stratum ever exceeds 2x the smallest stratum's count, the
+    smallest stratum is never reduced, and re-running on a reshuffled
+    frame selects the identical document set."""
+    from marketing_etl_analytics_spark.ext import domain_balance
+
+    rows = [
+        (s * 1000 + i, f"s{s}")
+        for s, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = domain_balance(df).collect()
+    cap = 2 * min(sizes)
+    per = {}
+    for r in kept:
+        per[r["lang"]] = per.get(r["lang"], 0) + 1
+    for s, n in enumerate(sizes):
+        assert per.get(f"s{s}", 0) == min(n, cap)
+    again = {r["doc_id"] for r in domain_balance(df.repartition(7)).collect()}
+    assert again == {r["doc_id"] for r in kept}
