@@ -527,3 +527,28 @@ def session_window_agg(
             "total_value",
         )
     )
+
+
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """File-source stream over any driver testdata parquet (bounded;
+    availableNow for batch-equivalence runs). Same symlink staging as
+    ``read_events_stream`` — the parquet stream source needs a
+    directory — with the schema probed from a batch footer read."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    if os.path.isdir(src):
+        stage = src
+    else:
+        tag = hashlib.md5(src.encode()).hexdigest()[:8]
+        stage = os.path.join(tempfile.gettempdir(), f"{name}_stream_{tag}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, f"{name}.parquet")
+        if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(src):
+            os.remove(link)
+        if not os.path.lexists(link):
+            os.symlink(src, link)
+    schema = spark.read.parquet(stage).schema
+    return spark.readStream.schema(schema).format("parquet").load(stage)

@@ -117,3 +117,75 @@ def cdc_apply_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def dedup_ingest_sink(
+    doc_stream: DataFrame,
+    index_dir: str,
+    decisions_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Continuous dedup ingest: per micro-batch, compute the arriving
+    documents' MinHash band signatures, flag each doc against ALL
+    earlier docs (the accumulated signature index plus earlier-in-
+    batch, by doc_id), append the decisions, and grow the index.
+
+    Band signatures are a per-doc deterministic function of the text,
+    so the decision set is invariant under any batch split of the
+    same feed. The per-batch join is asymmetric (batch x index) —
+    cost scales with the delta, not the corpus. Bucket caps are the
+    standing dedup entries' concern (corpus-global statistics);
+    composing ``suite.ext.cap_lsh_buckets`` onto the index read here
+    yields decisions-at-time semantics at scale.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from marketing_etl_analytics_spark.suite.ext import (
+        minhash_bands_frame,
+        minhash_signatures_frame,
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        bands = minhash_bands_frame(
+            minhash_signatures_frame(batch_df)
+        ).localCheckpoint(eager=True)  # two consumers below
+        if os.path.isdir(index_dir):
+            earlier = sp.read.parquet(index_dir).unionByName(bands)
+        else:
+            earlier = bands
+        e = earlier.select(F.col("doc_id").alias("e_doc"), "band", "band_sig")
+        matches = (
+            bands.join(
+                e,
+                (bands.band == e.band)
+                & (bands.band_sig == e.band_sig)
+                & (e.e_doc < bands.doc_id),
+            )
+            .groupBy("doc_id")
+            .agg(F.countDistinct("e_doc").alias("ne"))
+        )
+        (
+            batch_df.select("doc_id")
+            .join(matches, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("ne", F.lit(0)).cast("long").alias("n_earlier_matches"),
+                (F.coalesce("ne", F.lit(0)) == 0).alias("is_new"),
+            )
+            .write.mode("append")
+            .parquet(decisions_dir)
+        )
+        bands.write.mode("append").parquet(index_dir)
+
+    writer = (
+        doc_stream.writeStream.outputMode("append")
+        .foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -194,23 +194,28 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     index that both the standing dedup and the incremental ingest join
     read (built once per corpus version, see ``common.memo_df``)."""
 
-    def build() -> DataFrame:
-        docs = t(spark, sf_dir, "documents")
-        exploded = shingle_rows(docs).select(
-            "doc_id",
-            (
-                F.conv(F.substring(F.md5("sh_str"), 1, 12), 16, 10).cast("long")
-                % MH_PRIME
-            ).alias("h"),
-        )
-        return exploded.groupBy("doc_id").agg(
-            *[
-                F.min((F.col("h") * PERM_A[p] + PERM_B[p]) % MH_PRIME).alias(f"mh{p}")
-                for p in range(N_PERM)
-            ]
-        )
+    return memo_df(
+        spark, sf_dir, "minhash_sigs",
+        lambda: minhash_signatures_frame(t(spark, sf_dir, "documents")),
+    )
 
-    return memo_df(spark, sf_dir, "minhash_sigs", build)
+
+def minhash_signatures_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level signature builder — the memoized table above for a
+    full corpus, or an arriving micro-batch in the streaming ingest."""
+    exploded = shingle_rows(docs).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("sh_str"), 1, 12), 16, 10).cast("long")
+            % MH_PRIME
+        ).alias("h"),
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * PERM_A[p] + PERM_B[p]) % MH_PRIME).alias(f"mh{p}")
+            for p in range(N_PERM)
+        ]
+    )
 
 
 def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,26 +225,34 @@ def minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     over LSH_BUCKET_CAP) already dropped, so every consumer joins on a
     skew-bounded key without re-running the hot-bucket aggregate."""
 
-    def build() -> DataFrame:
-        hashed = minhash_signatures(spark, sf_dir)
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                ).alias("band_sig"),
-            )
-            for b in range(N_BANDS)
-        ]
-        bands = hashed.select(
-            "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-        ).select(
-            "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig")
-        )
-        return cap_lsh_buckets(bands, ["band", "band_sig"])
+    return memo_df(
+        spark, sf_dir, "minhash_bands",
+        lambda: cap_lsh_buckets(
+            minhash_bands_frame(minhash_signatures(spark, sf_dir)),
+            ["band", "band_sig"],
+        ),
+    )
 
-    return memo_df(spark, sf_dir, "minhash_bands", build)
+
+def minhash_bands_frame(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) from a signature frame — UNCAPPED;
+    callers apply cap_lsh_buckets where corpus-global statistics are
+    available (the memoized table above does)."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            ).alias("band_sig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return hashed.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig")
+    )
 
 
 @register(

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from marketing_etl_analytics_spark.suite.common import t
-from marketing_etl_analytics_spark.suite.registry import register
+from marketing_etl_analytics_spark.suite.registry import SUITE, SuiteEntry, register
 
 
 def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
@@ -769,3 +769,110 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rank")
     )
+
+
+# --- Structured Streaming continuous dedup ingest ----------------------------
+
+@register(
+    "stream_dedup_ingest",
+    None,  # oracle assembled below (needs ext.py's SQL fragments)
+    doc="Continuous dedup ingest: the document feed streams in, each "
+    "micro-batch computes its MinHash band signatures "
+    "(suite.ext.minhash_signatures_frame/minhash_bands_frame — the "
+    "same pipeline the standing index persists), appends them to the "
+    "accumulating signature index, and flags every arriving doc "
+    "against ALL earlier docs (standing index + earlier-in-batch, "
+    "by doc_id). Band signatures are per-doc deterministic, so the "
+    "decisions are invariant under any batch split — pinned by the "
+    "two-file cross-batch pytest. The ingest join is asymmetric "
+    "(batch x index), so per-batch cost scales with the delta. "
+    "Bucket caps deliberately live in the STANDING dedup entries "
+    "(corpus-global statistics); composing cap_lsh_buckets onto the "
+    "index here gives decisions-at-time semantics at scale.",
+)
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from marketing_etl_analytics_spark.streaming.events_stream import (
+        read_table_stream,
+    )
+    from marketing_etl_analytics_spark.streaming.sinks import dedup_ingest_sink
+
+    base = tempfile.mkdtemp(prefix=f"dedup_ingest_{uuid.uuid4().hex[:8]}_")
+    dec_dir = f"{base}/decisions"
+    try:
+        q = dedup_ingest_sink(
+            read_table_stream(spark, sf_dir, "documents"),
+            index_dir=f"{base}/index",
+            decisions_dir=dec_dir,
+            checkpoint_dir=f"{base}/ckpt",
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(dec_dir)
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)  # materialize before rmtree
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _dedup_ingest_oracle() -> str:
+    from marketing_etl_analytics_spark.suite.ext import (
+        _SQL_BAND_SIG,
+        _SQL_MH_MINS,
+        MH_PRIME,
+        N_BANDS,
+        SQL_SHINGLES,
+    )
+
+    return f"""
+    WITH shingled AS (
+      SELECT doc_id, {SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    exploded AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(unnest(shingles)), 1, 12))::BIGINT % {MH_PRIME} AS h
+      FROM shingled
+    ),
+    hashed AS (
+      SELECT doc_id,
+             {_SQL_MH_MINS}
+      FROM exploded
+      GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             CASE band {_SQL_BAND_SIG} END AS band_sig
+      FROM hashed, (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band)
+    ),
+    matches AS (
+      SELECT b2.doc_id AS d, COUNT(DISTINCT b1.doc_id) AS ne
+      FROM bands b1
+      JOIN bands b2
+        ON b1.band = b2.band AND b1.band_sig = b2.band_sig
+       AND b1.doc_id < b2.doc_id
+      GROUP BY b2.doc_id
+    )
+    SELECT d.doc_id,
+      CAST(COALESCE(m.ne, 0) AS BIGINT) AS n_earlier_matches,
+      (COALESCE(m.ne, 0) = 0) AS is_new
+    FROM documents d
+    LEFT JOIN matches m ON m.d = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+# register() already ran with oracle=None; patch in the assembled SQL
+# (kept out of the decorator so the fragment imports stay local)
+SUITE["stream_dedup_ingest"] = SuiteEntry(
+    name="stream_dedup_ingest",
+    fn=SUITE["stream_dedup_ingest"].fn,
+    oracle=_dedup_ingest_oracle(),
+    doc=SUITE["stream_dedup_ingest"].doc,
+)

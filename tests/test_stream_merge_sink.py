@@ -101,3 +101,52 @@ def test_cdc_apply_out_of_order_batches(spark, tmp_path):
     run(str(tmp_path / "ckpt2"))
     got = {r.k: (r.seq, r.v) for r in acid.read(spark, table).collect()}
     assert got == {1: (10, "new1"), 2: (10, "new2"), 3: (5, "only3")}
+
+
+def test_dedup_ingest_batch_split_invariant(spark, tmp_path):
+    """The continuous dedup ingest reaches the same decision set
+    whether the corpus arrives as one batch or split across two —
+    band signatures are per-doc deterministic and 'earlier' is by
+    doc_id, so batch boundaries can't change flags. Clones straddle
+    the split on purpose."""
+    from marketing_etl_analytics_spark.streaming.sinks import dedup_ingest_sink
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog again and again",
+        1: "completely different content about spark physical planning",
+        2: "the quick brown fox jumps over the lazy dog again and again",  # clone of 0
+        3: "yet another unique document with its own words entirely",
+        4: "completely different content about spark physical planning",  # clone of 1
+        5: "the quick brown fox jumps over the lazy dog again and again",  # clone of 0
+    }
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, t) for i, t in texts.items() if i < 3], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [(i, t) for i, t in texts.items() if i >= 3], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run(tag, max_files):
+        stream = spark.readStream.schema(schema)
+        if max_files:
+            stream = stream.option("maxFilesPerTrigger", max_files)
+        q = dedup_ingest_sink(
+            stream.parquet(in_dir),
+            index_dir=str(tmp_path / f"idx_{tag}"),
+            decisions_dir=str(tmp_path / f"dec_{tag}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination(120)
+        return {
+            r["doc_id"]: (r["n_earlier_matches"], r["is_new"])
+            for r in spark.read.parquet(str(tmp_path / f"dec_{tag}")).collect()
+        }
+
+    split = run("split", 1)   # two micro-batches
+    whole = run("whole", None)  # one batch
+    assert split == whole
+    assert split[0] == (0, True) and split[1] == (0, True)
+    assert split[2][1] is False and split[4][1] is False
+    assert split[5] == (2, False)  # clone of docs 0 AND 2
