@@ -155,9 +155,15 @@ class LogfmtReader(DataSourceReader):
                 # PREVIOUS split (which reads through its crossing
                 # line), so discard up to the first newline
                 fh.readline()
-            while fh.tell() <= end:
+            while True:
                 pos_before = fh.tell()
-                if pos_before >= end:
+                # Hadoop line-boundary rule, INCLUSIVE at end: a line
+                # starting exactly at `end` belongs to THIS split (the
+                # next split discards its first line unconditionally,
+                # having no way to know it was complete) — an
+                # exclusive bound here would drop exactly-aligned
+                # lines from both splits
+                if pos_before > end:
                     break
                 bline = fh.readline()
                 if not bline:

@@ -163,3 +163,26 @@ def test_byte_range_splits_exactly_once(spark, tmp_path):
     assert df.rdd.getNumPartitions() > 5  # ~18 KB file / 1 KB splits
     got = sorted(r["seq"] for r in df.collect())
     assert got == list(range(500))  # exactly once, none lost at boundaries
+
+
+def test_byte_range_split_exact_line_alignment(spark, tmp_path):
+    """Fixed-width lines with splitSize an exact multiple: every split
+    boundary falls exactly on a line start — the case where an
+    exclusive end-bound would drop one line per boundary (the previous
+    split stops short AND the next discards it as 'partial')."""
+    d = tmp_path / "aligned"
+    d.mkdir()
+    # each line exactly 16 bytes incl. newline: 'seq=0000 k=vvv\n' is 15 -> pad
+    lines = [f"seq={i:04d} k=vvvv" for i in range(64)]
+    assert all(len(l) + 1 == 16 for l in lines)
+    (d / "a.log").write_text("\n".join(lines) + "\n")
+    spark.dataSource.register(LogfmtDataSource)
+    df = (
+        spark.read.format("logfmt")
+        .schema("seq long, k string")
+        .option("splitSize", "64")  # 4 lines per split, exact alignment
+        .load(str(d))
+    )
+    assert df.rdd.getNumPartitions() == 16
+    got = sorted(r["seq"] for r in df.collect())
+    assert got == list(range(64))
