@@ -39,12 +39,14 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     InputPartition,
     IsNotNull,
     SimpleDataSourceStreamReader,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -201,6 +203,9 @@ class LogfmtDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "LogfmtStreamReader":
         return LogfmtStreamReader(schema, dict(self.options))
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "LogfmtStreamWriter":
+        return LogfmtStreamWriter(schema, dict(self.options))
+
 
 # --- streaming: tail a logfmt directory --------------------------------------
 
@@ -261,3 +266,84 @@ class LogfmtStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return list(self._lines(start, end))
+
+
+# --- streaming writer: emit logfmt files with rename-commit ------------------
+
+
+class _LogfmtCommit(WriterCommitMessage):
+    def __init__(self, staged: str | None, final: str | None):
+        self.staged = staged
+        self.final = final
+
+
+class LogfmtStreamWriter(DataSourceStreamWriter):
+    """Micro-batch logfmt file sink with two-phase commit.
+
+    Executors serialize their partition to a STAGED file (`.staging`
+    suffix, unique per batch/partition/attempt); the driver's
+    ``commit`` renames every staged file into place — rename is the
+    atomic publish, so a reader (or the logfmt stream TAIL above)
+    never observes a half-written file, and a failed/speculative task
+    attempt leaves only staging garbage that ``abort`` removes. This
+    is the same stage-then-publish protocol the versioned table's
+    manifest commit uses (sources/acid.py), at file granularity.
+    Values serialize as `k=v` with quoting only when needed; None
+    fields are omitted (logfmt's native missing-key convention).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("logfmt sink requires a path")
+        os.makedirs(self.path, exist_ok=True)
+
+    def _fmt(self, k: str, v) -> str | None:
+        if v is None:
+            return None
+        s = str(v)
+        if s == "" or " " in s or '"' in s:
+            s = '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        return f"{k}={s}"
+
+    def write(self, iterator) -> "_LogfmtCommit":
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = (
+            f"part-{ctx.partitionId():05d}-{uuid.uuid4().hex[:8]}"
+            if ctx
+            else f"part-{uuid.uuid4().hex[:8]}"
+        )
+        staged = os.path.join(self.path, f".{name}.staging")
+        final = os.path.join(self.path, f"{name}.log")
+        n = 0
+        with open(staged, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                pairs = [
+                    p
+                    for f in self.schema.fields
+                    if (p := self._fmt(f.name, row[f.name])) is not None
+                ]
+                fh.write(" ".join(pairs) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(staged)
+            return _LogfmtCommit(None, None)
+        return _LogfmtCommit(staged, final)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.staged is not None:
+                os.rename(m.staged, m.final)  # atomic publish
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.staged is not None:
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass

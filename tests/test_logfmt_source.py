@@ -186,3 +186,37 @@ def test_byte_range_split_exact_line_alignment(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 16
     got = sorted(r["seq"] for r in df.collect())
     assert got == list(range(64))
+
+
+def test_stream_writer_round_trip(spark, tmp_path):
+    """events stream -> logfmt stream sink -> logfmt reader: the
+    connector loop closes. Staged files rename-publish on commit, so
+    the output dir only ever holds complete .log files; quoting and
+    None-omission round-trip through the parser."""
+    import glob as _glob
+
+    out = str(tmp_path / "logout")
+    spark.dataSource.register(LogfmtDataSource)
+    src = spark.createDataFrame(
+        [(1, "hello world", 10), (2, None, 20), (3, 'say "hi"', None)],
+        "id long, msg string, n long",
+    )
+    src.coalesce(1).write.mode("append").parquet(str(tmp_path / "in"))
+    q = (
+        spark.readStream.schema(src.schema)
+        .parquet(str(tmp_path / "in"))
+        .writeStream.format("logfmt")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not _glob.glob(f"{out}/.*.staging")  # nothing half-published
+    back = (
+        spark.read.format("logfmt")
+        .schema("id long, msg string, n long")
+        .load(out)
+    )
+    rows = {r["id"]: (r["msg"], r["n"]) for r in back.collect()}
+    assert rows == {1: ("hello world", 10), 2: (None, 20), 3: ('say "hi"', None)}
