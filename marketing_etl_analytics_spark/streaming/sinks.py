@@ -125,6 +125,7 @@ def dedup_ingest_sink(
     decisions_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    cap_buckets: bool = False,
 ):
     """Continuous dedup ingest: per micro-batch, compute the arriving
     documents' MinHash band signatures, flag each doc against ALL
@@ -137,7 +138,15 @@ def dedup_ingest_sink(
     cost scales with the delta, not the corpus. Bucket caps are the
     standing dedup entries' concern (corpus-global statistics);
     composing ``suite.ext.cap_lsh_buckets`` onto the index read here
-    yields decisions-at-time semantics at scale.
+    yields decisions-at-time semantics at scale — which is exactly
+    what ``cap_buckets=True`` does: before the flag join, signatures
+    whose bucket exceeds LSH_BUCKET_CAP members ACROSS THE
+    KNOWLEDGE-SO-FAR (index plus the arriving batch) are dropped, so
+    a boilerplate signature shared by thousands of docs can never
+    make a batch quadratic. The cap uses prefix statistics — a
+    signature can be informative early and spam later, which is the
+    honest semantics of decisions made at ingest time (the batch
+    oracle of the suite entry corresponds to cap_buckets=False).
     """
     import os
 
@@ -157,13 +166,26 @@ def dedup_ingest_sink(
             earlier = sp.read.parquet(index_dir).unionByName(bands)
         else:
             earlier = bands
+        if cap_buckets:
+            from marketing_etl_analytics_spark.suite.ext import cap_lsh_buckets
+
+            # decisions-at-time skew guard: spam signatures (bucket >
+            # cap over index + batch) drop out of BOTH join sides
+            earlier = cap_lsh_buckets(earlier, ["band", "band_sig"])
         e = earlier.select(F.col("doc_id").alias("e_doc"), "band", "band_sig")
+        probe = (
+            earlier.join(
+                bands.select("doc_id").distinct(), "doc_id", "semi"
+            )
+            if cap_buckets
+            else bands
+        )
         matches = (
-            bands.join(
+            probe.join(
                 e,
-                (bands.band == e.band)
-                & (bands.band_sig == e.band_sig)
-                & (e.e_doc < bands.doc_id),
+                (probe.band == e.band)
+                & (probe.band_sig == e.band_sig)
+                & (e.e_doc < probe.doc_id),
             )
             .groupBy("doc_id")
             .agg(F.countDistinct("e_doc").alias("ne"))

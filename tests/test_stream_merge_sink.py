@@ -150,3 +150,38 @@ def test_dedup_ingest_batch_split_invariant(spark, tmp_path):
     assert split[0] == (0, True) and split[1] == (0, True)
     assert split[2][1] is False and split[4][1] is False
     assert split[5] == (2, False)  # clone of docs 0 AND 2
+
+
+def test_dedup_ingest_cap_bounds_spam_signature(spark, tmp_path):
+    """With cap_buckets=True a boilerplate text shared by more docs
+    than the cap produces NO candidate pairs (the spam signature is
+    dropped from both join sides — decisions-at-time skew guard),
+    while genuine small clone groups still pair up."""
+    from marketing_etl_analytics_spark.streaming.sinks import dedup_ingest_sink
+    from marketing_etl_analytics_spark.suite.ext import LSH_BUCKET_CAP
+
+    spam = "subscribe to our newsletter for daily updates and exclusive offers"
+    real = "a genuinely unique research abstract about catalyst optimizer rules"
+    rows = [(i, spam) for i in range(LSH_BUCKET_CAP + 10)]
+    rows += [(1000, real), (1001, real)]
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(in_dir)
+
+    q = dedup_ingest_sink(
+        spark.readStream.schema(schema).parquet(in_dir),
+        index_dir=str(tmp_path / "idx"),
+        decisions_dir=str(tmp_path / "dec"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        cap_buckets=True,
+    )
+    q.awaitTermination(120)
+    dec = {
+        r["doc_id"]: (r["n_earlier_matches"], r["is_new"])
+        for r in spark.read.parquet(str(tmp_path / "dec")).collect()
+    }
+    # spam docs: signature dropped -> no pairs, all "new"
+    assert all(dec[i] == (0, True) for i in range(LSH_BUCKET_CAP + 10))
+    # the genuine clone pair still detected
+    assert dec[1000] == (0, True)
+    assert dec[1001][1] is False and dec[1001][0] >= 1
