@@ -97,7 +97,7 @@ _PRIORITY = [
     # first in line next round
     "stream_sketch_hll", "ext_graph_label_propagation", "stream_topk_trending",
     "ext_rolling_median", "stream_sketch_countmin", "rel_stats_moments",
-    "stream_dedup_ingest",
+    "stream_dedup_ingest", "ext_rarity_score",
     "rel_window_range_interval", "rel_null_safe_join", "rel_setops_all",
     "rel_unpivot", "ext_bpe_merge_round",
     # rotated-out stable core: every row r2 hash-exact with unchanged

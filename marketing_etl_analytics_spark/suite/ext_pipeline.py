@@ -1246,3 +1246,97 @@ def ext_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- lexical rarity profiling ------------------------------------------------
+#
+# The corpus-statistics quality signal the doc-local profile
+# (ext_text_profile) can't see: how UNUSUAL a document's vocabulary
+# is relative to the corpus. Classic form is mean IDF, but ln() has
+# no cross-libm exactness guarantee — and none is needed: mean
+# document-frequency RATIO (df/n_docs, exact decimal mean) is a
+# monotone transform of the same signal, so thresholds translate
+# 1:1. A doc full of corpus-rare tokens scores low; boilerplate
+# scores high. Plan: one distinct (doc, token) explode, the df table
+# aggregated once (|vocab| rows) and joined back token-side, then a
+# per-doc decimal mean — two shuffles, both with map-side combine.
+# Used in curation as the "gibberish or treasure?" triage signal
+# (very-rare-heavy docs are either OCR noise or novel content; both
+# deserve routing, not silent keep).
+
+RARE_DF = 3  # tokens in fewer than this many docs count as rare
+
+
+@register(
+    "ext_rarity_score",
+    f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, t.tok
+      FROM documents, LATERAL unnest(string_split(lower(text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT dt.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+        CAST(SUM(CASE WHEN df.df < {RARE_DF} THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_rare_tokens,
+        {sql_pround(
+            "CAST(SUM(CAST(CAST(df.df AS DOUBLE) / nd.n_docs"
+            " AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)", 6)}
+          AS mean_df_ratio
+      FROM dt JOIN df USING (tok) CROSS JOIN nd
+      GROUP BY dt.doc_id
+    )
+    SELECT doc_id, n_distinct_tokens, n_rare_tokens, mean_df_ratio,
+      {sql_pround("CAST(n_rare_tokens AS DOUBLE) / n_distinct_tokens", 4)}
+        AS rare_fraction
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="Lexical rarity profile: per-doc mean document-frequency "
+    "ratio (the monotone, log-free stand-in for mean IDF — exact "
+    "decimal mean, so oracle-exact where ln() could drift), distinct "
+    "and corpus-rare token counts, rare fraction. The corpus-"
+    "statistics quality signal that doc-local profiling can't see; "
+    "two map-side-combined shuffles (distinct doc-token, then per-doc "
+    "mean over the broadcast-joined df table).",
+)
+def ext_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    df_tab = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ratio_dec = (
+        (F.col("df").cast("double") / F.col("n_docs")).cast("decimal(28,6)")
+    )
+    scored = (
+        dt.join(df_tab, "tok")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.sum(F.when(F.col("df") < RARE_DF, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare_tokens"),
+            pround(
+                F.sum(ratio_dec).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_df_ratio"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_distinct_tokens",
+        "n_rare_tokens",
+        "mean_df_ratio",
+        pround(
+            F.col("n_rare_tokens").cast("double") / F.col("n_distinct_tokens"), 4
+        ).alias("rare_fraction"),
+    ).orderBy("doc_id")
