@@ -123,10 +123,16 @@ def semantic_dedup(
         " * CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(38,12))"
         " AS DECIMAL(38,12))) AS DOUBLE)"
     )
+    # refine bits come from dims 9..16 when they exist; clamped to the
+    # vector's width (sequence counts DOWN past the end, and ANSI-mode
+    # element_at throws on out-of-range — both guarded), degrading to
+    # sub=0 (no refine) for vectors narrower than 9 dims
     sub = (
-        "CAST(aggregate(sequence(9, 16), CAST(0 AS BIGINT),"
+        f"CASE WHEN size({vec}) >= 9 THEN "
+        f"CAST(aggregate(sequence(9, least(16, size({vec}))), CAST(0 AS BIGINT),"
         f" (acc, i) -> acc + CASE WHEN CAST(element_at({vec}, i) AS DOUBLE) > 0"
         " THEN CAST(pow(2, i - 9) AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
     )
     b = df.select(
         F.col(key),

@@ -146,8 +146,16 @@ def countmin_query(
     keyed = probes.select(
         F.col(value), F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("j")
     ).withColumn("bucket", bucket)
+    # LEFT join + 0-fill: counter tables only materialize OCCUPIED
+    # buckets, but the sketch's semantics are min over ALL d cells —
+    # a probe value never seen (or whose cells are partly empty) must
+    # estimate from the empty cells' zeros, not vanish or inflate
     return (
-        keyed.join(counters, ["j", "bucket"])
+        keyed.join(counters, ["j", "bucket"], "left")
         .groupBy(value)
-        .agg(F.min("c").cast("long").alias("cm_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("cm_estimate")
+        )
     )

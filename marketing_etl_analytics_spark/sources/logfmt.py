@@ -313,13 +313,15 @@ class LogfmtStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
-        name = (
-            f"part-{ctx.partitionId():05d}-{uuid.uuid4().hex[:8]}"
-            if ctx
-            else f"part-{uuid.uuid4().hex[:8]}"
+        pid = ctx.partitionId() if ctx else 0
+        # staged name stays attempt-unique (speculative attempts must
+        # not collide); the FINAL name is assigned by commit() from
+        # (batchId, message order) so a replayed batch re-publishes
+        # onto the same paths instead of adding a second copy
+        staged = os.path.join(
+            self.path, f".part-{pid:05d}-{uuid.uuid4().hex[:8]}.staging"
         )
-        staged = os.path.join(self.path, f".{name}.staging")
-        final = os.path.join(self.path, f"{name}.log")
+        final = None
         n = 0
         with open(staged, "w", encoding="utf-8") as fh:
             for row in iterator:
@@ -336,9 +338,16 @@ class LogfmtStreamWriter(DataSourceStreamWriter):
         return _LogfmtCommit(staged, final)
 
     def commit(self, messages, batchId: int) -> None:
-        for m in messages:
+        # deterministic publish paths keyed by (batchId, slot):
+        # os.replace is the atomic overwrite, so an at-least-once
+        # replay of a batch lands on the SAME files — exactly-once
+        # output by idempotent placement
+        for i, m in enumerate(messages):
             if m is not None and m.staged is not None:
-                os.rename(m.staged, m.final)  # atomic publish
+                final = os.path.join(
+                    self.path, f"batch-{batchId:06d}-part-{i:05d}.log"
+                )
+                os.replace(m.staged, final)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -158,12 +158,23 @@ def dedup_ingest_sink(
     )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: a crash between these writes
+        # and the checkpoint commit replays the batch. Both outputs
+        # are therefore batchId-keyed subdirectories written with
+        # OVERWRITE — a replay rewrites the same subdir instead of
+        # appending a second copy (idempotence by deterministic
+        # placement, the foreachBatch analog of the logfmt writer's
+        # rename-commit).
         sp = batch_df.sparkSession
         bands = minhash_bands_frame(
             minhash_signatures_frame(batch_df)
         ).localCheckpoint(eager=True)  # two consumers below
         if os.path.isdir(index_dir):
-            earlier = sp.read.parquet(index_dir).unionByName(bands)
+            earlier = (
+                sp.read.option("recursiveFileLookup", "true")
+                .parquet(index_dir)
+                .unionByName(bands)
+            )
         else:
             earlier = bands
         if cap_buckets:
@@ -198,10 +209,12 @@ def dedup_ingest_sink(
                 F.coalesce("ne", F.lit(0)).cast("long").alias("n_earlier_matches"),
                 (F.coalesce("ne", F.lit(0)) == 0).alias("is_new"),
             )
-            .write.mode("append")
-            .parquet(decisions_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(decisions_dir, f"b{batch_id:06d}"))
         )
-        bands.write.mode("append").parquet(index_dir)
+        bands.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"b{batch_id:06d}")
+        )
 
     writer = (
         doc_stream.writeStream.outputMode("append")

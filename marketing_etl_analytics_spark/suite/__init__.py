@@ -53,11 +53,15 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 # and independently pinned by the golden tests against the
 # reference's own CSV outputs (tests/test_marketing_golden.py), so
 # its correctness evidence is current even without a fresh driver
-# row. Five single-operator relational rows (rel_window_range_interval,
+# row. THIRTEEN never-driver-graded entries sit outside the window
+# this round — the five r4 relational singles (rel_window_range_interval,
 # rel_null_safe_join, rel_setops_all, rel_unpivot, ext_bpe_merge_round)
-# remain the only never-driver-graded entries outside the window —
-# each diffcheck-verified at 2-3 SFs + differential-pytest covered —
-# and rotate in next round. stream_sessionize stays the
+# plus the eight late-round-5 additions listed first in the rotation
+# line below (stream_sketch_hll, ext_graph_label_propagation,
+# stream_topk_trending, ext_rolling_median, stream_sketch_countmin,
+# rel_stats_moments, stream_dedup_ingest, ext_rarity_score) — each
+# diffcheck-verified at 2-3 SFs + differential-pytest covered; they
+# rotate in next round, when this round's driver rows free ~9 slots. stream_sessionize stays the
 # contract-allowed rows-only entry (pytest-equal to its oracled batch
 # twin; stream_session_window is its fully-oracled sibling).
 _PRIORITY = [

@@ -1170,6 +1170,12 @@ def stream_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def batch_counters(batch_df: DataFrame, batch_id: int) -> None:
+        # sum-merge is NOT replay-idempotent and foreachBatch is
+        # at-least-once, so the partial counters land in a
+        # batchId-keyed subdir with OVERWRITE: a replayed batch
+        # rewrites its own subdir instead of double-counting
+        import os as _os
+
         (
             batch_df.select(F.col("user_id").cast("string").alias("v"))
             .groupBy("v")
@@ -1181,8 +1187,8 @@ def stream_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("bucket", bucket)
             .groupBy("j", "bucket")
             .agg(F.sum("n").alias("c"))
-            .write.mode("append")
-            .parquet(cnt_dir)
+            .write.mode("overwrite")
+            .parquet(_os.path.join(cnt_dir, f"b{batch_id:06d}"))
         )
 
     try:
@@ -1197,7 +1203,8 @@ def stream_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         counters = (
-            spark.read.parquet(cnt_dir)
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(cnt_dir)
             .groupBy("j", "bucket")
             .agg(F.sum("c").alias("c"))
         )

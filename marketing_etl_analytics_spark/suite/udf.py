@@ -811,7 +811,8 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination(300)
         out = (
-            spark.read.parquet(dec_dir)
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(dec_dir)
             .orderBy("doc_id")
             .localCheckpoint(eager=True)  # materialize before rmtree
         )

@@ -117,3 +117,35 @@ def test_countmin_api_matches_suite(spark):
     cols = ["token", "cm_estimate"]
     lib = est.withColumnRenamed("tok", "token")
     assert _rows(lib, cols) == _rows(suite.select(*cols), cols)
+
+
+def test_countmin_query_unseen_probe_estimates_zero(spark):
+    """A probe value absent from the sketched data must return an
+    estimate (0 unless it collides in ALL d rows), not vanish from
+    the output — empty counter cells are zeros, not missing rows."""
+    from marketing_etl_analytics_spark.ext import countmin_counters, countmin_query
+
+    data = spark.createDataFrame([("a",)] * 5 + [("b",)] * 2, "v string")
+    counters = countmin_counters(data, "v")
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-value",)], "v string"
+    )
+    got = {r["v"]: r["cm_estimate"] for r in countmin_query(counters, probes, "v").collect()}
+    assert got["a"] == 5
+    assert "never-seen-value" in got
+    assert got["never-seen-value"] == 0  # all-4-cell collision is ~(2/512)^4
+
+
+def test_semantic_dedup_narrow_vectors(spark):
+    """The hot-cluster refine degrades gracefully on embeddings
+    narrower than the 9..16 hyperplane dims (ANSI element_at would
+    otherwise throw): 4-dim vectors cluster and dedup without error,
+    with the refine key falling back to the cluster alone."""
+    from marketing_etl_analytics_spark.ext import semantic_dedup
+
+    rows = [(i, [float(i % 3 + 1), 1.0, -1.0, 0.5]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_centroids=2, cluster_cap=8, threshold=0.99)
+    got = out.collect()
+    assert len(got) == 40
+    assert {r["vec_id"] for r in got} == set(range(40))

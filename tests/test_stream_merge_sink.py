@@ -141,7 +141,9 @@ def test_dedup_ingest_batch_split_invariant(spark, tmp_path):
         q.awaitTermination(120)
         return {
             r["doc_id"]: (r["n_earlier_matches"], r["is_new"])
-            for r in spark.read.parquet(str(tmp_path / f"dec_{tag}")).collect()
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / f"dec_{tag}"))
+            .collect()
         }
 
     split = run("split", 1)   # two micro-batches
@@ -178,7 +180,9 @@ def test_dedup_ingest_cap_bounds_spam_signature(spark, tmp_path):
     q.awaitTermination(120)
     dec = {
         r["doc_id"]: (r["n_earlier_matches"], r["is_new"])
-        for r in spark.read.parquet(str(tmp_path / "dec")).collect()
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "dec"))
+        .collect()
     }
     # spam docs: signature dropped -> no pairs, all "new"
     assert all(dec[i] == (0, True) for i in range(LSH_BUCKET_CAP + 10))
