@@ -84,17 +84,29 @@ def cdc_apply_sink(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    cols = change_stream.columns
+
     def winners(df: DataFrame) -> DataFrame:
+        # Final tiebreak on a content hash of the remaining columns:
+        # two change rows with identical (key, order_cols) but
+        # different payloads must pick the SAME winner on every
+        # replay/re-reconcile, or idempotence silently breaks for
+        # tied inputs. The hash makes the winner a pure function of
+        # the row data, independent of partition/evaluation order.
+        payload = [c for c in cols if c not in key_cols and c not in order_cols]
+        tiebreak = (
+            [F.xxhash64(*[F.col(c).cast("string") for c in payload])]
+            if payload
+            else []
+        )
         w = Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols]
+            *[F.col(c).desc() for c in order_cols], *tiebreak
         )
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-
-    cols = change_stream.columns
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -129,24 +141,39 @@ def dedup_ingest_sink(
 ):
     """Continuous dedup ingest: per micro-batch, compute the arriving
     documents' MinHash band signatures, flag each doc against ALL
-    earlier docs (the accumulated signature index plus earlier-in-
-    batch, by doc_id), append the decisions, and grow the index.
+    docs that ARRIVED before it, append the decisions, and grow the
+    index.
 
-    Band signatures are a per-doc deterministic function of the text,
-    so the decision set is invariant under any batch split of the
-    same feed. The per-batch join is asymmetric (batch x index) —
-    cost scales with the delta, not the corpus. Bucket caps are the
-    standing dedup entries' concern (corpus-global statistics);
-    composing ``suite.ext.cap_lsh_buckets`` onto the index read here
-    yields decisions-at-time semantics at scale — which is exactly
-    what ``cap_buckets=True`` does: before the flag join, signatures
-    whose bucket exceeds LSH_BUCKET_CAP members ACROSS THE
-    KNOWLEDGE-SO-FAR (index plus the arriving batch) are dropped, so
-    a boilerplate signature shared by thousands of docs can never
-    make a batch quadratic. The cap uses prefix statistics — a
-    signature can be informative early and spam later, which is the
-    honest semantics of decisions made at ingest time (the batch
-    oracle of the suite entry corresponds to cap_buckets=False).
+    "Earlier" is ARRIVAL-based: a doc matches (a) any member of the
+    standing index — every doc from a previous micro-batch,
+    regardless of id order — and (b) same-batch docs with a smaller
+    doc_id (the deterministic within-batch order). This means no
+    clone pair is ever silently lost to a batch split: whichever
+    side arrives second is flagged, even when a later batch delivers
+    a smaller-id clone. The decision SET equals the id-ordered batch
+    oracle exactly when the feed is id-ordered across batches or
+    arrives as one batch; under out-of-order feeds the flags move to
+    the late-arriving side — the honest semantics of decisions made
+    at ingest time. (An id-based "earlier" would instead drop the
+    pair entirely: the early large-id doc's decision is already
+    persisted, and the late small-id doc finds no smaller id.)
+
+    The per-batch join is asymmetric (batch x index) — cost scales
+    with the delta, not the corpus. Replays are idempotent twice
+    over: both outputs are batchId-keyed subdirectories written with
+    OVERWRITE, and the index read EXCLUDES the current batch's own
+    subdirectory, so a replayed batch never sees its own first
+    attempt as "earlier arrivals".
+
+    Bucket caps are the standing dedup entries' concern
+    (corpus-global statistics); ``cap_buckets=True`` composes
+    ``suite.ext.cap_lsh_buckets`` over the knowledge-so-far (index
+    plus arriving batch), dropping spam signatures from BOTH join
+    sides so a boilerplate signature shared by thousands of docs can
+    never make a batch quadratic. The cap uses prefix statistics — a
+    signature can be informative early and spam later, which is
+    again decisions-at-time semantics (the batch oracle of the suite
+    entry corresponds to cap_buckets=False).
     """
     import os
 
@@ -160,46 +187,62 @@ def dedup_ingest_sink(
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is AT-LEAST-ONCE: a crash between these writes
         # and the checkpoint commit replays the batch. Both outputs
-        # are therefore batchId-keyed subdirectories written with
-        # OVERWRITE — a replay rewrites the same subdir instead of
-        # appending a second copy (idempotence by deterministic
-        # placement, the foreachBatch analog of the logfmt writer's
-        # rename-commit).
+        # are batchId-keyed subdirs written with OVERWRITE — a replay
+        # rewrites the same subdir instead of appending a second copy
+        # (idempotence by deterministic placement, the foreachBatch
+        # analog of the logfmt writer's rename-commit).
         sp = batch_df.sparkSession
         bands = minhash_bands_frame(
             minhash_signatures_frame(batch_df)
-        ).localCheckpoint(eager=True)  # two consumers below
-        if os.path.isdir(index_dir):
-            earlier = (
-                sp.read.option("recursiveFileLookup", "true")
-                .parquet(index_dir)
-                .unionByName(bands)
-            )
-        else:
-            earlier = bands
+        ).localCheckpoint(eager=True)  # several consumers below
+        this_sub = f"b{batch_id:06d}"
+        prior_subs = (
+            [
+                os.path.join(index_dir, d)
+                for d in sorted(os.listdir(index_dir))
+                if d != this_sub  # replay: don't see our own 1st try
+            ]
+            if os.path.isdir(index_dir)
+            else []
+        )
+        idx = sp.read.parquet(*prior_subs) if prior_subs else None
+        probe = bands
         if cap_buckets:
             from marketing_etl_analytics_spark.suite.ext import cap_lsh_buckets
 
-            # decisions-at-time skew guard: spam signatures (bucket >
-            # cap over index + batch) drop out of BOTH join sides
-            earlier = cap_lsh_buckets(earlier, ["band", "band_sig"])
-        e = earlier.select(F.col("doc_id").alias("e_doc"), "band", "band_sig")
-        probe = (
-            earlier.join(
-                bands.select("doc_id").distinct(), "doc_id", "semi"
+            # decisions-at-time skew guard: signatures whose bucket
+            # exceeds the cap across index+batch drop from BOTH sides
+            knowledge = idx.unionByName(bands) if idx is not None else bands
+            kept = (
+                cap_lsh_buckets(knowledge, ["band", "band_sig"])
+                .select("band", "band_sig")
+                .distinct()
             )
-            if cap_buckets
-            else bands
+            probe = bands.join(kept, ["band", "band_sig"], "semi")
+            if idx is not None:
+                idx = idx.join(kept, ["band", "band_sig"], "semi")
+        # (b) same-batch arrivals, ordered by doc_id
+        e_batch = probe.select(
+            F.col("doc_id").alias("e_doc"), "band", "band_sig"
         )
-        matches = (
-            probe.join(
-                e,
-                (probe.band == e.band)
-                & (probe.band_sig == e.band_sig)
-                & (e.e_doc < probe.doc_id),
+        pairs = probe.join(
+            e_batch,
+            (probe.band == e_batch.band)
+            & (probe.band_sig == e_batch.band_sig)
+            & (e_batch.e_doc < probe.doc_id),
+        ).select("doc_id", "e_doc")
+        # (a) previous-batch arrivals: ANY index member counts
+        if idx is not None:
+            pairs = pairs.unionByName(
+                probe.join(
+                    idx.select(
+                        F.col("doc_id").alias("e_doc"), "band", "band_sig"
+                    ),
+                    ["band", "band_sig"],
+                ).select("doc_id", "e_doc")
             )
-            .groupBy("doc_id")
-            .agg(F.countDistinct("e_doc").alias("ne"))
+        matches = pairs.groupBy("doc_id").agg(
+            F.countDistinct("e_doc").alias("ne")
         )
         (
             batch_df.select("doc_id")
@@ -210,10 +253,10 @@ def dedup_ingest_sink(
                 (F.coalesce("ne", F.lit(0)) == 0).alias("is_new"),
             )
             .write.mode("overwrite")
-            .parquet(os.path.join(decisions_dir, f"b{batch_id:06d}"))
+            .parquet(os.path.join(decisions_dir, this_sub))
         )
         bands.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"b{batch_id:06d}")
+            os.path.join(index_dir, this_sub)
         )
 
     writer = (

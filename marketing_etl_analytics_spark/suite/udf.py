@@ -781,10 +781,14 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(suite.ext.minhash_signatures_frame/minhash_bands_frame — the "
     "same pipeline the standing index persists), appends them to the "
     "accumulating signature index, and flags every arriving doc "
-    "against ALL earlier docs (standing index + earlier-in-batch, "
-    "by doc_id). Band signatures are per-doc deterministic, so the "
-    "decisions are invariant under any batch split — pinned by the "
-    "two-file cross-batch pytest. The ingest join is asymmetric "
+    "against ALL docs that ARRIVED before it (standing index "
+    "regardless of id, plus earlier-in-batch by doc_id) — so no "
+    "clone pair is ever lost to a batch split: the late-arriving "
+    "side is flagged even when it carries the smaller id (pinned by "
+    "the out-of-order pytest). Under an id-ordered feed — this "
+    "entry's single availableNow batch included — the decision set "
+    "equals the id-ordered batch oracle exactly. "
+    "The ingest join is asymmetric "
     "(batch x index), so per-batch cost scales with the delta. "
     "Bucket caps deliberately live in the STANDING dedup entries "
     "(corpus-global statistics); composing cap_lsh_buckets onto the "

@@ -105,10 +105,12 @@ def test_cdc_apply_out_of_order_batches(spark, tmp_path):
 
 def test_dedup_ingest_batch_split_invariant(spark, tmp_path):
     """The continuous dedup ingest reaches the same decision set
-    whether the corpus arrives as one batch or split across two —
-    band signatures are per-doc deterministic and 'earlier' is by
-    doc_id, so batch boundaries can't change flags. Clones straddle
-    the split on purpose."""
+    whether the corpus arrives as one batch or split across two,
+    WHEN the feed is id-ordered across batches (the common
+    append-log case): arrival order then coincides with doc_id
+    order, so batch boundaries can't change flags. Clones straddle
+    the split on purpose. (The out-of-order case is pinned by
+    test_dedup_ingest_out_of_order_clone_still_flagged.)"""
     from marketing_etl_analytics_spark.streaming.sinks import dedup_ingest_sink
 
     texts = {
@@ -152,6 +154,82 @@ def test_dedup_ingest_batch_split_invariant(spark, tmp_path):
     assert split[0] == (0, True) and split[1] == (0, True)
     assert split[2][1] is False and split[4][1] is False
     assert split[5] == (2, False)  # clone of docs 0 AND 2
+
+
+def test_dedup_ingest_out_of_order_clone_still_flagged(spark, tmp_path):
+    """'Earlier' is ARRIVAL-based: when a LATER micro-batch delivers
+    a SMALLER-id clone, the pair is still caught — the late arrival
+    is flagged against the standing index regardless of id order.
+    (Id-based semantics would silently lose the pair: the early
+    large-id doc was already persisted with 0 matches, and the late
+    small-id doc finds no smaller id.)"""
+    from marketing_etl_analytics_spark.streaming.sinks import dedup_ingest_sink
+
+    clone = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about spark physical planning"
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "docs")
+    # batch 1: ids 10, 11 — batch 2: id 3 (a clone of 10, smaller id)
+    spark.createDataFrame(
+        [(10, clone), (11, other)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [(3, clone)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = dedup_ingest_sink(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir),
+        index_dir=str(tmp_path / "idx"),
+        decisions_dir=str(tmp_path / "dec"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    dec = {
+        r["doc_id"]: (r["n_earlier_matches"], r["is_new"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "dec"))
+        .collect()
+    }
+    assert dec[10] == (0, True) and dec[11] == (0, True)
+    # the late small-id clone is flagged against the standing index
+    assert dec[3] == (1, False)
+
+
+def test_dedup_ingest_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch must reproduce its ORIGINAL decisions:
+    the index read excludes the batch's own subdirectory, so the
+    first attempt's signatures are never counted as 'earlier
+    arrivals' of the same docs."""
+    from marketing_etl_analytics_spark.streaming.sinks import dedup_ingest_sink
+
+    clone = "the quick brown fox jumps over the lazy dog again and again"
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, clone), (1, clone)], schema
+    ).coalesce(1).write.parquet(in_dir)
+
+    def run(ckpt):
+        q = dedup_ingest_sink(
+            spark.readStream.schema(schema).parquet(in_dir),
+            index_dir=str(tmp_path / "idx"),
+            decisions_dir=str(tmp_path / "dec"),
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+        return {
+            r["doc_id"]: (r["n_earlier_matches"], r["is_new"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / "dec"))
+            .collect()
+        }
+
+    first = run("ckpt_a")
+    # fresh checkpoint replays batch 0 over the already-written index
+    replay = run("ckpt_b")
+    assert first == replay == {0: (0, True), 1: (1, False)}
 
 
 def test_dedup_ingest_cap_bounds_spam_signature(spark, tmp_path):
