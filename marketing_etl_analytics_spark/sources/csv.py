@@ -44,15 +44,30 @@ def read_csv_with_quarantine(
 
     Returns ``(valid, quarantined)``: valid rows with the declared
     schema, and the raw text of every row that failed to parse
-    (wrong column count / uncastable cell), optionally persisted to
-    ``quarantine_path`` for replay after the upstream fix — the
-    bad-records pattern every production ingest needs. The parsed
-    frame is cached before the corrupt-column split: Spark disallows
-    filtering on the internal corrupt-record column of a lazy scan
-    (it would require re-parsing with different semantics), and the
-    cache also makes the two output frames consistent with each
-    other under concurrent input changes.
+    (wrong column count / uncastable cell), optionally persisted
+    under ``quarantine_path`` for replay after the upstream fix —
+    the bad-records pattern every production ingest needs.
+
+    The quarantine write is IDEMPOTENT: each input path gets a
+    deterministic subdirectory (md5 of the absolute input path)
+    written with OVERWRITE, so re-reading the same input — the
+    normal "replay after the upstream file was fixed" workflow —
+    replaces that input's quarantine slice instead of appending a
+    second copy. Read the whole quarantine with
+    ``spark.read.option("recursiveFileLookup", "true")``.
+
+    The parsed frame is materialized with an eager localCheckpoint
+    before the corrupt-column split: Spark disallows filtering on
+    the internal corrupt-record column of a lazy scan (it would
+    require re-parsing with different semantics), the two output
+    frames stay consistent with each other under concurrent input
+    changes, and — unlike ``.cache()`` — the storage is reclaimed
+    by the ContextCleaner when the frames are garbage-collected, so
+    repeated calls don't accrete session-lifetime cache entries.
     """
+    import hashlib
+    import os
+
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
 
@@ -64,12 +79,15 @@ def read_csv_with_quarantine(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .schema(schema_q)
         .csv(path)
-        .cache()
+        .localCheckpoint(eager=True)
     )
     valid = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantined = parsed.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_record")
     )
     if quarantine_path is not None:
-        quarantined.write.mode("append").parquet(quarantine_path)
+        sub = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        quarantined.write.mode("overwrite").parquet(
+            os.path.join(quarantine_path, f"input-{sub}")
+        )
     return valid, quarantined

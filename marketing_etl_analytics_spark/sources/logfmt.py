@@ -84,7 +84,15 @@ def _cast(raw: str | None, spark_type: str):
         if spark_type in ("double", "float"):
             return float(raw)
         if spark_type == "boolean":
-            return raw.lower() in ("true", "1", "t", "yes")
+            low = raw.lower()
+            if low in ("true", "1", "t", "yes"):
+                return True
+            if low in ("false", "0", "f", "no"):
+                return False
+            # explicit truthy/falsy sets only: a garbage cell becomes
+            # NULL (matching the int/double paths), never a concrete
+            # False — an IsNotNull pushed filter must drop it
+            return None
         return raw
     except ValueError:
         return None  # permissive: unparseable cell -> NULL, row survives
@@ -233,10 +241,19 @@ class LogfmtStreamReader(SimpleDataSourceStreamReader):
         return {}
 
     def _snapshot(self) -> dict:
+        # Count only lines TERMINATED by '\n': a live writer's torn
+        # final line must not be consumed — counting it would parse a
+        # partial record AND skip the completed remainder forever
+        # (its index would already be < the stored offset). The
+        # fragment is picked up whole in a later batch once the
+        # writer finishes the line.
         out = {}
         for p in _files(self.path):
-            with open(p, "r", encoding="utf-8", errors="replace") as fh:
-                out[p] = sum(1 for _ in fh)
+            n = 0
+            with open(p, "rb") as fh:
+                while chunk := fh.read(1 << 20):
+                    n += chunk.count(b"\n")
+            out[p] = n
         return out
 
     def _lines(self, start: dict, end: dict):
@@ -245,13 +262,16 @@ class LogfmtStreamReader(SimpleDataSourceStreamReader):
             lo = start.get(p, 0)
             if hi <= lo:
                 continue
-            with open(p, "r", encoding="utf-8", errors="replace") as fh:
-                for i, line in enumerate(fh):
+            # binary iteration splits on b'\n' exactly — the same rule
+            # _snapshot counts by, so indexes and offsets always agree
+            with open(p, "rb") as fh:
+                for i, bline in enumerate(fh):
                     if i >= hi:
                         break
-                    if i < lo or not line.strip():
+                    line = bline.decode("utf-8", errors="replace").strip()
+                    if i < lo or not line:
                         continue
-                    raw = parse_logfmt_line(line.strip())
+                    raw = parse_logfmt_line(line)
                     yield tuple(_cast(raw.get(n), t) for n, t in fields)
 
     def read(self, start: dict):

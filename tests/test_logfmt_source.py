@@ -144,6 +144,80 @@ def test_stream_tails_appended_lines(spark, tmp_path):
     assert "2026-01-01T00:01:00Z" in got
 
 
+def test_stream_skips_torn_final_line(spark, tmp_path):
+    """A trailing PARTIAL line (no terminating newline — a live
+    writer's torn write) is not consumed: the offset counts only
+    '\\n'-terminated lines, so the fragment is picked up WHOLE in a
+    later batch once the writer finishes it. Counting it would parse
+    a corrupted record and then skip the completed remainder
+    forever."""
+    d = tmp_path / "tlogs"
+    d.mkdir()
+    f = d / "app.log"
+    # two complete lines + a torn third (writer mid-flush)
+    f.write_text("\n".join(LINES_A[:2]) + "\n" + "ts=2026-01-01T00:00:02Z lev")
+    spark.dataSource.register(LogfmtDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("logfmt")
+            .schema("ts string, level string, msg string, dur_ms long")
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # torn line NOT consumed
+    assert all(r["level"] in ("info", "error") for r in rows)
+
+    # the writer finishes the line; the record arrives whole
+    with open(f, "a") as fh:
+        fh.write('el=info msg="late flush" dur_ms=9\n')
+    run()
+    rows = {r["ts"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 3
+    late = rows["2026-01-01T00:00:02Z"]
+    assert late["level"] == "info" and late["msg"] == "late flush"
+    assert late["dur_ms"] == 9
+
+
+def test_boolean_cast_unparseable_is_null(spark, tmp_path):
+    """An unparseable boolean cell becomes NULL (like the numeric
+    paths), never a concrete False — so IsNotNull filters drop it."""
+    from marketing_etl_analytics_spark.sources.logfmt import _cast
+
+    assert _cast("true", "boolean") is True
+    assert _cast("YES", "boolean") is True
+    assert _cast("false", "boolean") is False
+    assert _cast("0", "boolean") is False
+    assert _cast("maybe", "boolean") is None
+    assert _cast("xyz", "boolean") is None
+
+    d = tmp_path / "blogs"
+    d.mkdir()
+    (d / "a.log").write_text(
+        "id=1 ok=true\nid=2 ok=garbage\nid=3 ok=false\n"
+    )
+    spark.dataSource.register(LogfmtDataSource)
+    df = (
+        spark.read.format("logfmt")
+        .schema("id long, ok boolean")
+        .load(str(d))
+    )
+    got = {r["id"]: r["ok"] for r in df.collect()}
+    assert got == {1: True, 2: None, 3: False}
+    assert df.filter("ok IS NOT NULL").count() == 2
+
+
 def test_byte_range_splits_exactly_once(spark, tmp_path):
     """With a small splitSize a single file fans out to many
     partitions, and the line-boundary handshake (skip partial first

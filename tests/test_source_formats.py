@@ -120,5 +120,21 @@ def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
     assert sorted(r["id"] for r in valid.collect()) == [1, 3]
     bad = [r["raw_record"] for r in quarantined.collect()]
     assert bad == ["2,beta,notanumber"]
-    # persisted for replay
-    assert spark.read.parquet(qdir).count() == 1
+    # persisted for replay (deterministic per-input subdir)
+    q = spark.read.option("recursiveFileLookup", "true").parquet(qdir)
+    assert q.count() == 1
+
+    # IDEMPOTENT: re-reading the same input overwrites its slice —
+    # the "replay after upstream fix" workflow must not double-append
+    read_csv_with_quarantine(spark, str(f), schema, quarantine_path=qdir)
+    q = spark.read.option("recursiveFileLookup", "true").parquet(qdir)
+    assert q.count() == 1
+
+    # the upstream fix empties the quarantine slice on the next read
+    f.write_text("id,name,qty\n1,alpha,10\n2,beta,20\n3,gamma,30\n")
+    valid, _ = read_csv_with_quarantine(
+        spark, str(f), schema, quarantine_path=qdir
+    )
+    assert valid.count() == 3
+    q = spark.read.option("recursiveFileLookup", "true").parquet(qdir)
+    assert q.count() == 0
