@@ -1,6 +1,6 @@
 """Mergeable sketch operators, column-parameterized.
 
-Library form of the suite's sketch family (`ext_sketch_kmv`,
+Library form of the suite's sketch family (`ext_sketch_kmv_setops`,
 `ext_sketch_hll`, `ext_sketch_countmin`, `stream_sketch_hll`): build
 constant-size summaries of unbounded keyed data, merge them
 associatively, and answer distinct-count / frequency point queries

@@ -2,7 +2,7 @@
 
 Batch/stream equivalence contract: ``daily_event_aggregates`` over a
 bounded stream (``trigger(availableNow=True)``) must produce exactly
-the rows of the batch ``ext_stream_daily_window`` suite entry — the
+the rows of the equivalent batch tumbling-window aggregation — the
 test suite asserts this.
 """
 

@@ -36,77 +36,49 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 
 # Priority prefix (everything registered but not listed here keeps its
 # module registration order after the prefix). Window policy for the
-# upcoming driver round (the last driver grading was CORRECTNESS_r02,
-# a 50-slot prefix): the prefix holds, in order, (a) entries whose
-# CODE changed since their r2 row (one-pass q6, materialized-aggregate
-# q7, stream_dedup's dropDuplicatesWithinWatermark switch, the
-# memoized dedup/ANN family, single-groupBy rel_setops, the pagerank
-# oracle's shared edge-CTE refactor), and (b) every entry added since
-# r2 that fits — the r3/r4 operators plus this round's additions
-# (HLL + Count-Min sketches, triangle counting, chunking, domain
-# balance, temperature sampling, semantic dedup, SCD2, streaming CDC
-# apply; the four late-round additions — streaming HLL, label
-# propagation, streaming top-k, rolling median — sit first in the
-# next-round rotation line). To fund (b), the ENTIRE unchanged r2-green reference-parity
-# core rotates to the tail this round: every rotated row is r2
-# hash-exact, code-unchanged (registration order is the only diff),
-# and independently pinned by the golden tests against the
-# reference's own CSV outputs (tests/test_marketing_golden.py), so
-# its correctness evidence is current even without a fresh driver
-# row. THIRTEEN never-driver-graded entries sit outside the window
-# this round — the five r4 relational singles (rel_window_range_interval,
-# rel_null_safe_join, rel_setops_all, rel_unpivot, ext_bpe_merge_round)
-# plus the eight late-round-5 additions listed first in the rotation
-# line below (stream_sketch_hll, ext_graph_label_propagation,
-# stream_topk_trending, ext_rolling_median, stream_sketch_countmin,
-# rel_stats_moments, stream_dedup_ingest, ext_rarity_score) — each
-# diffcheck-verified at 2-3 SFs + differential-pytest covered; they
-# rotate in next round, when this round's driver rows free ~9 slots. stream_sessionize stays the
+# r4 driver grading (the driver grades a 50-slot prefix; r3 graded the
+# previous 50-slot prefix, CORRECTNESS_r03 — all green):
+#
+# Round-4 consolidation (VERDICT r3 #8): 25 single-assertion rows were
+# merged into 9 wide rows or retired outright, shrinking the suite
+# from 114 to 98 entries so that EVERY entry is driver-graded in
+# r3 ∪ r4 — no two-round-stale rows remain. The 50-slot r4 window
+# holds, in order:
+#   (a) the 8 standalone never-driver-graded entries (VERDICT r3 #1;
+#       5 more of the original 13 were absorbed into the merged rows
+#       below, which are themselves in-window),
+#   (b) the 9 merged consolidation rows plus rel_window_frames (which
+#       absorbed the RANGE-interval columns) — new names, never
+#       graded,
+#   (c) the 2 r3-green entries whose code changed this round
+#       (ext_semantic_dedup: k-means||-style seeding; stream_cdc_apply:
+#       deterministic winner tiebreak),
+#   (d) the 18 reference-parity core entries last graded in r2
+#       (q0-q5/q8-q11, the 5 ETL builds, the 3 views — all golden-
+#       tested against the reference's own CSV outputs, code
+#       unchanged, but two-round-stale without an r4 row),
+#   (e) the 12 remaining entries last graded in r2/r1 with unchanged
+#       code.
+# The 48 entries past the window are exactly the r3-green rows whose
+# code is unchanged since CORRECTNESS_r03 — every one of them carries
+# a current driver hash-exact row. stream_sessionize stays the
 # contract-allowed rows-only entry (pytest-equal to its oracled batch
 # twin; stream_session_window is its fully-oracled sibling).
 _PRIORITY = [
-    # CHANGED since r2: q6 one-pass agg, q7 materialized product
-    # aggregate, stream_dedup watermark-evicting dedup
-    "q6_category_performance", "q7_product_quadrant", "stream_dedup",
-    # never-graded r4 flagships
-    "ext_dedup_eval", "ext_graph_pagerank", "stream_session_window",
-    # CHANGED r3: dedup/ANN family reads memoized corpus indexes
-    # (suite.common.memo_df); ext_ann_recall shares the memoized
-    # brute-force ground truth with the PQ entry
-    "ext_dedup_minhash_lsh", "ext_dedup_ngram_jaccard",
-    "ext_dedup_simhash", "ext_dedup_embedding_cosine", "ext_dedup_cluster",
-    "ext_dedup_incremental", "ext_ann_ivf", "ext_ann_ivf_kmeans",
-    "ext_ann_cosine_topk", "ext_ann_lsh_bucketed", "ext_ann_recall",
-    "ext_ann_pq_adc",
-    # never-graded r3 additions
-    "ext_data_quality", "ext_sketch_kmv_setops", "stream_attribution_outer",
-    "ext_sample_reservoir", "rel_map_in_arrow", "ext_inverted_index",
-    "rel_udtf", "ext_funnel", "ext_cohort_retention", "ext_rfm",
-    # CHANGED r3: rewritten to a single groupBy
-    "rel_setops",
-    # late-r3 / r4 entries with no driver row yet
-    "ext_dedup_containment", "rel_salted_join",
-    "ext_text_profile", "rel_scalar_funcs",
-    "ext_attribution_multitouch", "ext_dedup_paragraph", "ext_rolling_dau",
-    "ext_bm25_search", "ext_anomaly_zscore", "ext_session_window_native",
-    "ext_fuzzy_linkage", "v_channel_daily_incremental",
-    # NEW this round (each oracle-verified at sf0.001 + sf0.01 by
-    # tools/diffcheck.py before registration here)
-    "ext_sketch_hll", "ext_sketch_countmin", "ext_graph_triangles",
-    "ext_chunk_documents", "ext_domain_balance", "ext_sample_temperature",
-    "ext_semantic_dedup", "etl_scd2", "stream_cdc_apply",
-    # --- 50-slot grading window ends here ---
-    # never-driver-graded entries deliberately outside (more candidates
-    # than slots again): diffcheck at 2-3 SFs + differential pytest;
-    # first in line next round
+    # (a) never-driver-graded standalone entries
     "stream_sketch_hll", "ext_graph_label_propagation", "stream_topk_trending",
-    "ext_rolling_median", "stream_sketch_countmin", "rel_stats_moments",
-    "stream_dedup_ingest", "ext_rarity_score",
-    "rel_window_range_interval", "rel_null_safe_join", "rel_setops_all",
-    "rel_unpivot", "ext_bpe_merge_round",
-    # rotated-out stable core: every row r2 hash-exact with unchanged
-    # code, and golden-tested against the reference's published
-    # outputs — see header
+    "ext_rolling_median", "stream_sketch_countmin", "stream_dedup_ingest",
+    "ext_rarity_score", "ext_bpe_merge_round",
+    # (b) round-4 merged consolidation rows (never graded under these
+    # names; each absorbs 2-3 retired r1/r2-green rows)
+    "rel_window_frames", "rel_rank_suite", "rel_join_variants",
+    "rel_semistructured", "rel_pivot_unpivot", "rel_grouping_lattice",
+    "rel_stats_suite", "rel_pandas_suite", "ext_text_stats",
+    "ext_doc_filters",
+    # (c) r3-green entries with code changed this round
+    "ext_semantic_dedup", "stream_cdc_apply",
+    # (d) reference-parity core, last graded r2 (golden-tested,
+    # unchanged, but two-round-stale without an r4 row)
     "q0_pnl_summary", "q1_top_sellers", "q2_top_profit",
     "q3_margin_having", "q4_channel_kpis", "q5_repeat_drivers",
     "q8_spend_waste", "q9_retention",
@@ -114,22 +86,34 @@ _PRIORITY = [
     "etl_dim_product", "etl_dim_date", "etl_dim_campaign_parse",
     "etl_fact_sales", "etl_upsert_dedup",
     "v_channel_daily", "v_kpi_channel", "v_kpi_campaign",
-    # tail: r2-green (or r1-green + diffcheck for the singles noted in
-    # the header), code unchanged this round
-    "rel_asof_join", "rel_range_join", "rel_salted_agg", "rel_window_topn",
-    "rel_percentiles", "rel_pivot", "rel_cube",
-    "ext_dedup_exact",
-    "rel_semi_anti", "rel_rank_family", "rel_array_agg",
-    "rel_json_extract",
-    "etl_merge_upsert",
-    "ext_tfidf", "ext_ngram_topk", "ext_sessionize", "ext_curation_pipeline",
-    "ext_decontaminate", "ext_sample_stratified", "ext_repetition_filter",
-    "ext_pii_redact", "ext_sketch_kmv",
-    "ext_multimodal_meta", "ext_stream_daily_window",
-    "rel_pandas_udf", "rel_apply_in_pandas", "stream_sessionize",
-    "stream_attribution_join", "stream_enrich_join",
-    "rel_scalar_subquery", "rel_window_frames", "rel_rollup_grouping_sets",
-    "rel_time_rollup",
+    # (e) remaining r2/r1-graded entries, code unchanged
+    "rel_setops_all", "rel_asof_join", "rel_range_join",
+    "ext_dedup_exact", "ext_sessionize", "ext_curation_pipeline",
+    "ext_sample_stratified", "ext_multimodal_meta",
+    "stream_sessionize", "stream_enrich_join",
+    "rel_scalar_subquery", "rel_time_rollup",
+    # --- 50-slot grading window ends here ---
+    # tail: every entry below is r3-green (CORRECTNESS_r03 hash-exact)
+    # with code unchanged this round
+    "q6_category_performance", "q7_product_quadrant", "stream_dedup",
+    "ext_dedup_eval", "ext_graph_pagerank", "stream_session_window",
+    "ext_dedup_minhash_lsh", "ext_dedup_ngram_jaccard",
+    "ext_dedup_simhash", "ext_dedup_embedding_cosine", "ext_dedup_cluster",
+    "ext_dedup_incremental", "ext_ann_ivf", "ext_ann_ivf_kmeans",
+    "ext_ann_cosine_topk", "ext_ann_lsh_bucketed", "ext_ann_recall",
+    "ext_ann_pq_adc",
+    "ext_data_quality", "ext_sketch_kmv_setops", "stream_attribution_outer",
+    "ext_sample_reservoir", "rel_map_in_arrow", "ext_inverted_index",
+    "rel_udtf", "ext_funnel", "ext_cohort_retention", "ext_rfm",
+    "rel_setops",
+    "ext_dedup_containment", "rel_salted_join",
+    "ext_text_profile", "rel_scalar_funcs",
+    "ext_attribution_multitouch", "ext_dedup_paragraph", "ext_rolling_dau",
+    "ext_bm25_search", "ext_anomaly_zscore", "ext_session_window_native",
+    "ext_fuzzy_linkage", "v_channel_daily_incremental",
+    "ext_sketch_hll", "ext_sketch_countmin", "ext_graph_triangles",
+    "ext_chunk_documents", "ext_domain_balance", "ext_sample_temperature",
+    "etl_scd2",
 ]
 
 _missing = [n for n in _PRIORITY if n not in SUITE]

@@ -206,75 +206,12 @@ def etl_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reconciled
 
 
-# --- MERGE (upsert with update): the full CRUD primitive ---------------------
-#
-# The reference only has insert-only ON CONFLICT DO NOTHING
-# (`etl_script/03_transform.sql:14,22`); a warehouse replacing it also
-# needs MERGE semantics — update matched keys, insert unmatched —
-# composed as one full-outer join + per-column coalesce (new wins).
-
-@register(
-    "etl_merge_upsert",
-    """
-    WITH existing AS (
-      SELECT o_custkey AS customer_id,
-             CAST(COUNT(*) AS BIGINT) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
-      FROM orders
-      WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) < 1996
-      GROUP BY o_custkey
-    ),
-    incoming AS (
-      SELECT o_custkey AS customer_id,
-             CAST(COUNT(*) AS BIGINT) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
-      FROM orders
-      WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) >= 1996
-      GROUP BY o_custkey
-    )
-    SELECT COALESCE(e.customer_id, i.customer_id) AS customer_id,
-      COALESCE(i.n_orders, e.n_orders) AS n_orders,
-      COALESCE(i.spend, e.spend) AS spend,
-      CASE WHEN i.customer_id IS NULL THEN 'kept'
-           WHEN e.customer_id IS NULL THEN 'inserted'
-           ELSE 'updated' END AS merge_action
-    FROM existing e FULL OUTER JOIN incoming i USING (customer_id)
-    ORDER BY customer_id
-    """,
-    doc="MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN NOT MATCHED "
-    "INSERT) as a full-outer join + coalesce (incoming wins), with the "
-    "per-row action tagged. One shuffle on the merge key; at scale "
-    "this is the table-format (Delta/Iceberg) merge shape expressed "
-    "in pure DataFrame ops.",
-)
-def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-
-    def snapshot(pred):
-        return (
-            o.filter(pred)
-            .groupBy(F.col("o_custkey").alias("customer_id"))
-            .agg(
-                F.count(F.lit(1)).alias("n_orders"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("double")
-                .alias("spend"),
-            )
-        )
-    yr = F.year(F.to_date("o_orderdate"))
-    existing = snapshot(yr < 1996)
-    incoming = snapshot(yr >= 1996)
-    e, i = existing.alias("e"), incoming.alias("i")
-    merged = e.join(i, F.col("e.customer_id") == F.col("i.customer_id"), "full_outer")
-    return merged.select(
-        F.coalesce(F.col("e.customer_id"), F.col("i.customer_id")).alias("customer_id"),
-        F.coalesce(F.col("i.n_orders"), F.col("e.n_orders")).alias("n_orders"),
-        F.coalesce(F.col("i.spend"), F.col("e.spend")).alias("spend"),
-        F.when(F.col("i.customer_id").isNull(), "kept")
-        .when(F.col("e.customer_id").isNull(), "inserted")
-        .otherwise("updated")
-        .alias("merge_action"),
-    ).orderBy("customer_id")
+# --- MERGE (upsert with update): retired suite entry -------------------------
+# The etl_merge_upsert suite row retired in round 4 (VERDICT r3 #8
+# consolidation): the ACID MERGE primitive it demonstrated is the
+# versioned table's own operation, pinned directly by
+# tests/test_versioned_table*.py (merge, CDC, time travel, restore)
+# and exercised end-to-end by etl_scd2 and stream_cdc_apply.
 
 
 # --- SCD Type-2 dimension build ---------------------------------------------

@@ -762,38 +762,6 @@ def ext_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-# --- streaming-equivalent tumbling window ------------------------------------
-
-@register(
-    "ext_stream_daily_window",
-    """
-    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-      CAST(COUNT(*) AS BIGINT) AS n_events,
-      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-      CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="Tumbling daily window aggregation — the batch-equivalent of "
-    "the Structured Streaming pipeline in streaming/ (same F.window "
-    "grouping, verified there against this batch result).",
-)
-def ext_stream_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum(money("value")), 2).cast("double").alias("total_value"),
-        )
-        .select(
-            F.col("w.start").cast("date").alias("day"),
-            "event_type", "n_events", "n_users", "total_value",
-        )
-    )
-
-
 # --- dedup quality evaluation: LSH candidates vs exact-Jaccard truth ---------
 #
 # The dedup twin of ext_ann_recall: quantifies the MinHash-LSH

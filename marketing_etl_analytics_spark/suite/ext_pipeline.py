@@ -1,30 +1,28 @@
 """Training-data curation operators, part 2 (SURVEY.md §7.4 north star).
 
-Three pipeline stages every large-scale pretraining-data build needs
-but the round-1 suite lacked:
+Pipeline stages every large-scale pretraining-data build needs:
 
-- **benchmark decontamination** (`ext_decontaminate`): flag training
-  documents sharing 3-word shingles with a held-out eval set. The eval
-  n-gram set is tiny relative to the corpus (benchmarks are ~10^6
-  n-grams vs ~10^11 training docs), so the plan broadcasts it: the
-  100 TB side is never shuffled on content, only the per-doc hit
-  counts shuffle on doc_id.
+- **per-document filter suite** (`ext_doc_filters` — round-4
+  consolidation of the retired ext_decontaminate /
+  ext_repetition_filter / ext_pii_redact entries, VERDICT r3 #8):
+  one wide row per doc carrying benchmark decontamination (3-word
+  shingle overlap vs a held-out eval split; the eval n-gram set is
+  tiny — ~10^6 n-grams vs ~10^11 training docs — so it is deduped
+  and BROADCAST: the 100 TB side never shuffles on content, only
+  per-doc hit counts shuffle on doc_id), Gopher/C4-style repetition
+  metrics (duplicate-word / duplicate-2-gram / top-word fractions
+  and a keep verdict; distinct counts doc-local via array_distinct
+  codegen, only the word mode explodes), and PII redaction (chained
+  regexp_replace, pure codegen, span-exact counts + md5 proof).
 - **deterministic stratified sampling** (`ext_sample_stratified`):
   per-stratum keep rates driven by a content-addressed uniform hash
   (md5 -> 32-bit int -> [0,1)), so the sample is reproducible across
   engines, runs, and partitionings — no RNG state, no shuffle at all
   (a pure filter that pushes down), and inverse-probability weights
   for unbiased downstream stats.
-- **repetition filtering** (`ext_repetition_filter`): Gopher/C4-style
-  intra-document repetition metrics (duplicate-word fraction,
-  duplicate-2-gram fraction, top-word fraction) and a keep/drop
-  verdict. Word/2-gram distinct counts stay doc-local (array_distinct
-  over codegen'd builtins — no explode, no shuffle); only the
-  top-word mode needs an explode + two-level aggregate with map-side
-  combine.
 
-All three are SQL-expressible, so the DuckDB oracle verifies them
-exactly; numeric discipline per ``suite.common``.
+All SQL-expressible, so the DuckDB oracle verifies them exactly;
+numeric discipline per ``suite.common``.
 """
 
 from __future__ import annotations
@@ -48,96 +46,6 @@ from marketing_etl_analytics_spark.suite.registry import register
 # benchmark suite's n-gram inventory (MMLU/GSM8K/...), always tiny
 # next to the training corpus.
 _EVAL_PRED = "doc_id % 97 = 0"
-
-@register(
-    "ext_decontaminate",
-    f"""
-    WITH train AS (
-      SELECT doc_id, lang, source, text FROM documents WHERE NOT ({_EVAL_PRED})
-    ),
-    ev AS (
-      SELECT {SQL_SHINGLES} AS shingles FROM documents
-      WHERE ({_EVAL_PRED}) AND len(string_split(lower(text), ' ')) >= 3
-    ),
-    eval_sh AS (
-      SELECT DISTINCT md5(s.sh) AS h FROM ev, unnest(ev.shingles) AS s(sh)
-    ),
-    tr_sh AS (
-      SELECT doc_id, {SQL_SHINGLES} AS shingles FROM train
-      WHERE len(string_split(lower(text), ' ')) >= 3
-    ),
-    tr_rows AS (
-      SELECT doc_id, md5(s.sh) AS h FROM tr_sh, unnest(tr_sh.shingles) AS s(sh)
-    ),
-    ov AS (
-      SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_overlap
-      FROM tr_rows t JOIN eval_sh e USING (h) GROUP BY t.doc_id
-    ),
-    nsh AS (SELECT doc_id, len(shingles) AS n_shingles FROM tr_sh),
-    scored AS (
-      SELECT tr.doc_id, tr.lang, tr.source,
-        CAST(COALESCE(n.n_shingles, 0) AS BIGINT) AS n_shingles,
-        CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
-        COALESCE({sql_pround(
-            "CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)"
-            " / NULLIF(CAST(COALESCE(n.n_shingles, 0) AS DOUBLE), 0)", 4)},
-          0.0) AS overlap_ratio
-      FROM train tr
-      LEFT JOIN nsh n USING (doc_id)
-      LEFT JOIN ov o USING (doc_id)
-    )
-    SELECT *, CASE WHEN overlap_ratio >= 0.05 THEN 1 ELSE 0 END AS contaminated
-    FROM scored ORDER BY doc_id
-    """,
-    doc="Benchmark decontamination: 3-word-shingle overlap between the "
-    "training split and a held-out eval split. Eval n-gram set is "
-    "deduped and broadcast (never shuffles the corpus side); per-doc "
-    "shingle counts are doc-local array_distinct expressions, and only "
-    "the matched hits shuffle (on doc_id, with partial distinct).",
-)
-def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    is_eval = F.expr(_EVAL_PRED)
-    train = docs.filter(~is_eval)
-    eval_sh = (
-        shingle_rows(docs.filter(is_eval))
-        .select(F.md5("sh_str").alias("h"))
-        .distinct()
-    )
-    # matched shingles per training doc; COUNT(DISTINCT) dedups the
-    # multiset shingle rows with a map-side partial aggregate
-    hits = (
-        shingle_rows(train)
-        .select("doc_id", F.md5("sh_str").alias("h"))
-        .join(F.broadcast(eval_sh), "h")
-        .groupBy("doc_id")
-        .agg(F.countDistinct("h").alias("n_overlap"))
-    )
-    # per-doc distinct-shingle count: doc-local expression, no explode
-    n_sh = F.when(
-        F.expr(f"size({_TOKS}) >= 3"),
-        F.size(F.array_distinct(F.expr(_SHINGLE_ZIP))),
-    ).otherwise(F.lit(0))
-    scored = (
-        train.select("doc_id", "lang", "source", n_sh.cast("long").alias("n_shingles"))
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id", "lang", "source", "n_shingles",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
-            F.coalesce(
-                ratio(F.coalesce(F.col("n_overlap"), F.lit(0)), F.col("n_shingles"), 4),
-                F.lit(0.0),
-            ).alias("overlap_ratio"),
-        )
-    )
-    return (
-        scored.withColumn(
-            "contaminated",
-            F.when(F.col("overlap_ratio") >= 0.05, 1).otherwise(0),
-        )
-        .orderBy("doc_id")
-    )
-
 
 # --- deterministic stratified sampling --------------------------------------
 
@@ -215,95 +123,6 @@ _SPARK_2GRAM_ZIP = (
     f" slice({_TOKS}, 2, size({_TOKS}) - 1))"
 )
 
-@register(
-    "ext_repetition_filter",
-    f"""
-    WITH base AS (
-      SELECT doc_id,
-        len(string_split(lower(text), ' ')) AS n_words,
-        len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_words,
-        len(list_distinct({_SQL_2GRAMS})) AS n_distinct_2grams
-      FROM documents
-    ),
-    words AS (
-      SELECT doc_id, u.w
-      FROM documents, unnest(string_split(lower(text), ' ')) AS u(w)
-    ),
-    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
-    top AS (SELECT doc_id, MAX(c) AS top_word_count FROM wc GROUP BY doc_id),
-    metrics AS (
-      SELECT b.doc_id,
-        CAST(b.n_words AS BIGINT) AS n_words,
-        {sql_pround(
-            "CAST(b.n_words - b.n_distinct_words AS DOUBLE)"
-            " / NULLIF(CAST(b.n_words AS DOUBLE), 0)", 4)} AS dup_word_frac,
-        COALESCE({sql_pround(
-            "CAST(b.n_words - 1 - b.n_distinct_2grams AS DOUBLE)"
-            " / NULLIF(CAST(b.n_words - 1 AS DOUBLE), 0)", 4)}, 0.0)
-          AS dup_2gram_frac,
-        {sql_pround(
-            "CAST(t.top_word_count AS DOUBLE)"
-            " / NULLIF(CAST(b.n_words AS DOUBLE), 0)", 4)} AS top_word_frac
-      FROM base b JOIN top t USING (doc_id)
-    )
-    SELECT *,
-      CASE WHEN n_words >= 5 AND dup_2gram_frac <= 0.5 AND top_word_frac <= 0.1
-           THEN 1 ELSE 0 END AS keep
-    FROM metrics ORDER BY doc_id
-    """,
-    doc="Gopher/C4-style repetition filter: duplicate-word fraction, "
-    "duplicate-2-gram fraction, top-word (mode) fraction, keep/drop "
-    "verdict. Distinct counts are doc-local array_distinct expressions "
-    "(codegen, zero shuffle); only the word mode runs explode + "
-    "two-level aggregate with map-side combine.",
-)
-def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    toks = F.expr(_TOKS)
-    n_words = F.size(toks)
-    base = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
-        F.when(
-            n_words >= 2, F.size(F.array_distinct(F.expr(_SPARK_2GRAM_ZIP)))
-        ).otherwise(0).alias("n_distinct_2grams"),
-    )
-    top = (
-        docs.select("doc_id", F.explode(toks).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_word_count"))
-    )
-    metrics = base.join(top, "doc_id").select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        ratio(F.col("n_words") - F.col("n_distinct_words"), F.col("n_words"), 4)
-        .alias("dup_word_frac"),
-        F.coalesce(
-            ratio(
-                F.col("n_words") - 1 - F.col("n_distinct_2grams"),
-                F.col("n_words") - 1, 4,
-            ),
-            F.lit(0.0),
-        ).alias("dup_2gram_frac"),
-        ratio(F.col("top_word_count"), F.col("n_words"), 4).alias("top_word_frac"),
-    )
-    return (
-        metrics.withColumn(
-            "keep",
-            F.when(
-                (F.col("n_words") >= 5)
-                & (F.col("dup_2gram_frac") <= 0.5)
-                & (F.col("top_word_frac") <= 0.1),
-                1,
-            ).otherwise(0),
-        )
-        .orderBy("doc_id")
-    )
-
-
 # --- PII redaction -----------------------------------------------------------
 
 # Regex subset valid in BOTH Java (Spark) and RE2 (DuckDB): character
@@ -321,73 +140,271 @@ _PII_AUG_SQL = (
 )
 
 
+# --- per-document filter suite: repetition + PII + decontamination -----------
+#
+# Round-4 consolidation (VERDICT r3 #8): the retired ext_decontaminate,
+# ext_repetition_filter, and ext_pii_redact entries merge into ONE wide
+# per-document row (the ext_text_profile precedent) — every metric,
+# redaction hash, and verdict from all three retirees survives at the
+# same doc grain, sharing one driver-graded row.
+#
+# Scale shapes (unchanged from the retirees): repetition distinct
+# counts and the whole PII stage are doc-local codegen expressions
+# (no shuffle); only the top-word mode runs explode + two-level
+# aggregate with map-side combine; the eval n-gram set is deduped and
+# BROADCAST (the corpus side never shuffles on content), and only the
+# matched hits shuffle on doc_id. Decontamination columns are NULL for
+# eval-split docs (they are the benchmark, not candidates).
+
 @register(
-    "ext_pii_redact",
-    """
-    WITH aug AS (
-      SELECT doc_id, {aug} AS raw FROM documents
+    "ext_doc_filters",
+    f"""
+    WITH rep_base AS (
+      SELECT doc_id,
+        len(string_split(lower(text), ' ')) AS n_words,
+        len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_words,
+        len(list_distinct({{sql2grams}})) AS n_distinct_2grams
+      FROM documents
     ),
+    words AS (
+      SELECT doc_id, u.w
+      FROM documents, unnest(string_split(lower(text), ' ')) AS u(w)
+    ),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w),
+    top AS (SELECT doc_id, MAX(c) AS top_word_count FROM wc GROUP BY doc_id),
+    rep AS (
+      SELECT b.doc_id,
+        CAST(b.n_words AS BIGINT) AS n_words,
+        {{dup_word}} AS dup_word_frac,
+        COALESCE({{dup_2gram}}, 0.0) AS dup_2gram_frac,
+        {{top_word}} AS top_word_frac
+      FROM rep_base b JOIN top t USING (doc_id)
+    ),
+    aug AS (SELECT doc_id, {{aug_sql}} AS raw FROM documents),
     red AS (
       SELECT doc_id, raw,
         regexp_replace(
           regexp_replace(
-            regexp_replace(raw, '{email}', '<EMAIL>', 'g'),
-            '{phone}', '<PHONE>', 'g'),
-          '{ip}', '<IP>', 'g') AS redacted
+            regexp_replace(raw, '{{email}}', '<EMAIL>', 'g'),
+            '{{phone}}', '<PHONE>', 'g'),
+          '{{ip}}', '<IP>', 'g') AS redacted
       FROM aug
+    ),
+    pii AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(raw, '{{email}}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(raw, '{{phone}}')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(redacted, '{{ip}}')) AS BIGINT) AS n_ips_left,
+        md5(redacted) AS redacted_md5
+      FROM red
+    ),
+    ev AS (
+      SELECT {{shingles}} AS shingles FROM documents
+      WHERE ({{eval_pred}}) AND len(string_split(lower(text), ' ')) >= 3
+    ),
+    eval_sh AS (
+      SELECT DISTINCT md5(s.sh) AS h FROM ev, unnest(ev.shingles) AS s(sh)
+    ),
+    tr_sh AS (
+      SELECT doc_id, {{shingles}} AS shingles FROM documents
+      WHERE NOT ({{eval_pred}}) AND len(string_split(lower(text), ' ')) >= 3
+    ),
+    tr_rows AS (
+      SELECT doc_id, md5(s.sh) AS h FROM tr_sh, unnest(tr_sh.shingles) AS s(sh)
+    ),
+    ov AS (
+      SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_overlap
+      FROM tr_rows t JOIN eval_sh e USING (h) GROUP BY t.doc_id
+    ),
+    nsh AS (SELECT doc_id, len(shingles) AS n_shingles FROM tr_sh),
+    dec AS (
+      SELECT d.doc_id,
+        CAST(COALESCE(n.n_shingles, 0) AS BIGINT) AS n_shingles,
+        CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+        COALESCE({{ov_ratio}}, 0.0) AS overlap_ratio
+      FROM documents d
+      LEFT JOIN nsh n USING (doc_id)
+      LEFT JOIN ov o USING (doc_id)
+      WHERE NOT ({{eval_pred}})
     )
     SELECT doc_id,
-      CAST(len(regexp_extract_all(raw, '{email}')) AS BIGINT) AS n_emails,
-      CAST(len(regexp_extract_all(raw, '{phone}')) AS BIGINT) AS n_phones,
-      CAST(len(regexp_extract_all(redacted, '{ip}')) AS BIGINT) AS n_ips_left,
-      md5(redacted) AS redacted_md5
-    FROM red
+      CASE WHEN ({{eval_pred}}) THEN 1 ELSE 0 END AS is_eval,
+      r.n_words, r.dup_word_frac, r.dup_2gram_frac, r.top_word_frac,
+      CASE WHEN r.n_words >= 5 AND r.dup_2gram_frac <= 0.5
+                AND r.top_word_frac <= 0.1
+           THEN 1 ELSE 0 END AS keep_repetition,
+      p.n_emails, p.n_phones, p.n_ips_left, p.redacted_md5,
+      dc.n_shingles, dc.n_overlap, dc.overlap_ratio,
+      CASE WHEN dc.overlap_ratio >= 0.05 THEN 1
+           WHEN dc.overlap_ratio IS NOT NULL THEN 0 END AS contaminated
+    FROM rep r
+    JOIN pii p USING (doc_id)
+    LEFT JOIN dec dc USING (doc_id)
     ORDER BY doc_id
     """.format(
-        aug=_PII_AUG_SQL,
+        sql2grams=_SQL_2GRAMS,
+        dup_word=sql_pround(
+            "CAST(b.n_words - b.n_distinct_words AS DOUBLE)"
+            " / NULLIF(CAST(b.n_words AS DOUBLE), 0)", 4),
+        dup_2gram=sql_pround(
+            "CAST(b.n_words - 1 - b.n_distinct_2grams AS DOUBLE)"
+            " / NULLIF(CAST(b.n_words - 1 AS DOUBLE), 0)", 4),
+        top_word=sql_pround(
+            "CAST(t.top_word_count AS DOUBLE)"
+            " / NULLIF(CAST(b.n_words AS DOUBLE), 0)", 4),
+        aug_sql=_PII_AUG_SQL,
         email=PII_EMAIL_RE,
         phone=PII_PHONE_RE,
         ip=PII_IP_RE,
+        shingles=SQL_SHINGLES,
+        eval_pred=_EVAL_PRED,
+        ov_ratio=sql_pround(
+            "CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)"
+            " / NULLIF(CAST(COALESCE(n.n_shingles, 0) AS DOUBLE), 0)", 4),
     ),
-    doc="PII redaction stage: emails, phone numbers, and IPv4 "
-    "addresses replaced with typed placeholders via chained "
-    "regexp_replace (pure codegen column expressions - no UDF, no "
-    "shuffle; the scan-transform-write shape at 100 TB). The synthetic "
+    doc="Per-document filter suite — one wide row per doc carrying "
+    "(a) Gopher/C4-style repetition metrics: duplicate-word fraction, "
+    "duplicate-2-gram fraction, top-word (mode) fraction, keep/drop "
+    "verdict — distinct counts are doc-local array_distinct codegen "
+    "(zero shuffle), only the word mode runs explode + two-level "
+    "aggregate with map-side combine; (b) PII redaction: emails, "
+    "phones, IPv4s replaced with typed placeholders via chained "
+    "regexp_replace in the Java-RE2-common subset (the synthetic "
     "corpus has no PII, so each row deterministically embeds "
-    "doc_id-derived PII first; counts before/after prove every "
-    "occurrence was caught. Regexes stay in the Java-RE2-common "
-    "subset so Spark and the oracle replace identical spans.",
+    "doc_id-derived PII first; before/after counts and the "
+    "redacted-text md5 prove every occurrence was caught, "
+    "span-exactly); (c) benchmark decontamination: 3-word-shingle "
+    "overlap vs a held-out eval split, eval n-grams deduped and "
+    "broadcast so the corpus never shuffles on content; NULL for the "
+    "eval docs themselves.",
 )
-def ext_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_doc_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    is_eval = F.expr(_EVAL_PRED)
+    toks = F.expr(_TOKS)
+    n_words = F.size(toks)
     raw = F.expr(
         "concat('contact u', doc_id, '@example.com or +1-555-', "
         "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), "
         "' from 192.168.', CAST(doc_id % 256 AS STRING), '.7 ', text)"
     )
-    aug = docs.select("doc_id", raw.alias("raw"))
     redacted = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "<EMAIL>"),
+            F.regexp_replace(raw, PII_EMAIL_RE, "<EMAIL>"),
             PII_PHONE_RE,
             "<PHONE>",
         ),
         PII_IP_RE,
         "<IP>",
     )
-    return (
-        aug.select(
-            "doc_id",
-            F.regexp_count("raw", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
-            F.regexp_count("raw", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
-            redacted.alias("redacted"),
-        )
+    # every doc-local column in ONE projection: repetition distinct
+    # counts + the whole PII stage are codegen, no shuffle
+    base = docs.select(
+        "doc_id",
+        is_eval.cast("int").alias("is_eval"),
+        n_words.alias("n_words_raw"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+        F.when(
+            n_words >= 2, F.size(F.array_distinct(F.expr(_SPARK_2GRAM_ZIP)))
+        ).otherwise(0).alias("n_distinct_2grams"),
+        F.regexp_count(raw, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(redacted, F.lit(PII_IP_RE)).cast("long").alias("n_ips_left"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"))
+    )
+    # decontamination (train split only): broadcast eval shingles,
+    # asymmetric hit join, per-doc shingle counts doc-local
+    train = docs.filter(~is_eval)
+    eval_sh = (
+        shingle_rows(docs.filter(is_eval))
+        .select(F.md5("sh_str").alias("h"))
+        .distinct()
+    )
+    hits = (
+        shingle_rows(train)
+        .select("doc_id", F.md5("sh_str").alias("h"))
+        .join(F.broadcast(eval_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_overlap_raw"))
+    )
+    n_sh = F.when(
+        F.expr(f"size({_TOKS}) >= 3"),
+        F.size(F.array_distinct(F.expr(_SHINGLE_ZIP))),
+    ).otherwise(F.lit(0))
+    dec = (
+        train.select("doc_id", n_sh.cast("long").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap_raw"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            F.coalesce(
+                ratio(
+                    F.coalesce(F.col("n_overlap_raw"), F.lit(0)),
+                    F.col("n_shingles"),
+                    4,
+                ),
+                F.lit(0.0),
+            ).alias("overlap_ratio"),
+        )
+    )
+    j = base.join(top, "doc_id").join(dec, "doc_id", "left")
+    return (
+        j.select(
+            "doc_id",
+            "is_eval",
+            F.col("n_words_raw").cast("long").alias("n_words"),
+            ratio(
+                F.col("n_words_raw") - F.col("n_distinct_words"),
+                F.col("n_words_raw"), 4,
+            ).alias("dup_word_frac"),
+            F.coalesce(
+                ratio(
+                    F.col("n_words_raw") - 1 - F.col("n_distinct_2grams"),
+                    F.col("n_words_raw") - 1, 4,
+                ),
+                F.lit(0.0),
+            ).alias("dup_2gram_frac"),
+            ratio(F.col("top_word_count"), F.col("n_words_raw"), 4).alias(
+                "top_word_frac"
+            ),
             "n_emails",
             "n_phones",
-            F.regexp_count("redacted", F.lit(PII_IP_RE)).cast("long").alias("n_ips_left"),
-            F.md5("redacted").alias("redacted_md5"),
+            "n_ips_left",
+            "redacted_md5",
+            "n_shingles",
+            "n_overlap",
+            "overlap_ratio",
+        )
+        .withColumn(
+            "keep_repetition",
+            F.when(
+                (F.col("n_words") >= 5)
+                & (F.col("dup_2gram_frac") <= 0.5)
+                & (F.col("top_word_frac") <= 0.1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "contaminated",
+            F.when(F.col("overlap_ratio") >= 0.05, 1).when(
+                F.col("overlap_ratio").isNotNull(), 0
+            ),
+        )
+        .select(
+            "doc_id", "is_eval", "n_words", "dup_word_frac",
+            "dup_2gram_frac", "top_word_frac", "keep_repetition",
+            "n_emails", "n_phones", "n_ips_left", "redacted_md5",
+            "n_shingles", "n_overlap", "overlap_ratio", "contaminated",
         )
         .orderBy("doc_id")
     )

@@ -948,14 +948,31 @@ def sessionize_batch(ev: DataFrame) -> DataFrame:
     )
 
 
-# --- TF-IDF term scoring ------------------------------------------------------
+# --- corpus text statistics: TF-IDF + n-gram top-k ---------------------------
+#
+# Round-4 consolidation (VERDICT r3 #8): the retired ext_tfidf and
+# ext_ngram_topk entries merge into one union-tagged corpus-text-
+# statistics row — per-doc TF-IDF top terms and corpus bigram top-k
+# harmonized to (kind, doc_id, token, n, df, score, rn); every
+# expression from both retirees survives.
 
 TFIDF_DOCS = 30  # per-doc output bounded to the first 30 docs
 TFIDF_TOPK = 3
+NGRAM_TOPK = 20
+
+# non-distinct 2-gram shingles (term frequency semantics)
+SPARK_BIGRAMS = (
+    "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
+    " i -> concat_ws(' ', slice(split(lower(text), ' '), i, 2)))"
+)
+SQL_BIGRAMS = (
+    "list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 1),"
+    " i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 1), ' '))"
+)
 
 
 @register(
-    "ext_tfidf",
+    "ext_text_stats",
     f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
@@ -978,17 +995,43 @@ TFIDF_TOPK = 3
           PARTITION BY t.doc_id ORDER BY t.tf DESC, s.df ASC, t.term
         ) AS rn
       FROM tf t JOIN stats s USING (term), n
+    ),
+    grams AS (
+      SELECT doc_id, unnest({SQL_BIGRAMS}) AS bigram
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 2
+    ),
+    counted AS (
+      SELECT bigram,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM grams GROUP BY bigram
+    ),
+    topgrams AS (
+      SELECT bigram, n_occurrences, n_docs,
+        row_number() OVER (ORDER BY n_occurrences DESC, bigram) AS rn
+      FROM counted
     )
-    SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rn
+    SELECT 'tfidf' AS kind, doc_id, term AS token, tf AS n, df,
+      tfidf AS score, CAST(rn AS INT) AS rn
     FROM ranked WHERE rn <= {TFIDF_TOPK}
-    ORDER BY doc_id, rn
+    UNION ALL
+    SELECT 'bigram_topk' AS kind, CAST(NULL AS BIGINT) AS doc_id,
+      bigram AS token, n_occurrences AS n, n_docs AS df,
+      CAST(NULL AS DOUBLE) AS score, CAST(rn AS INT) AS rn
+    FROM topgrams WHERE rn <= {NGRAM_TOPK}
+    ORDER BY kind, doc_id NULLS FIRST, rn
     """,
-    doc="TF-IDF: corpus document frequencies (one shuffle on term), "
-    "term frequencies for the probe docs, idf = ln(N/df). Ranking is "
+    doc="Corpus text statistics, two union-tagged families: (a) "
+    "TF-IDF — corpus document frequencies (one shuffle on term), "
+    "term frequencies for the probe docs, idf = ln(N/df); ranking is "
     "integer-deterministic (tf desc, rarity asc, term) so the top-k "
-    "set is engine-independent; the float score is display-only.",
+    "set is engine-independent and the float score is display-only; "
+    "(b) corpus bigram top-k — explode + count + document frequency, "
+    "global top-k via orderBy+limit (TakeOrderedAndProject — no full "
+    "sort), rank assigned on the k-row result.",
 )
-def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
     stats = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -1001,16 +1044,50 @@ def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tf"), F.asc("df"), F.asc("term")
     )
-    return (
+    tfidf_rows = (
         tf.join(stats, "term")
         .withColumn(
-            "tfidf",
+            "score",
             pround(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TFIDF_TOPK)
-        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
-        .orderBy("doc_id", "rn")
+        .select(
+            F.lit("tfidf").alias("kind"),
+            "doc_id",
+            F.col("term").alias("token"),
+            F.col("tf").alias("n"),
+            "df",
+            "score",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+    grams = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 2).select(
+        "doc_id", F.explode(F.expr(SPARK_BIGRAMS)).alias("bigram")
+    )
+    top = (
+        grams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+        .limit(NGRAM_TOPK)
+    )
+    # rank assigned on the k-row result (tiny), keeping the corpus agg
+    # a TakeOrderedAndProject rather than a single-reducer window
+    wk = Window.orderBy(F.desc("n_occurrences"), F.asc("bigram"))
+    gram_rows = top.select(
+        F.lit("bigram_topk").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("bigram").alias("token"),
+        F.col("n_occurrences").alias("n"),
+        F.col("n_docs").alias("df"),
+        F.lit(None).cast("double").alias("score"),
+        F.row_number().over(wk).cast("int").alias("rn"),
+    )
+    return tfidf_rows.unionAll(gram_rows).orderBy(
+        "kind", F.col("doc_id").asc_nulls_first(), "rn"
     )
 
 
@@ -1086,59 +1163,6 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("source")
-    )
-
-
-# --- corpus n-gram statistics -------------------------------------------------
-
-NGRAM_TOPK = 20
-
-# non-distinct 2-gram shingles (term frequency semantics)
-SPARK_BIGRAMS = (
-    "transform(sequence(1, size(split(lower(text), ' ')) - 1),"
-    " i -> concat_ws(' ', slice(split(lower(text), ' '), i, 2)))"
-)
-SQL_BIGRAMS = (
-    "list_transform(generate_series(1, len(string_split(lower(text), ' ')) - 1),"
-    " i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 1), ' '))"
-)
-
-
-@register(
-    "ext_ngram_topk",
-    f"""
-    WITH grams AS (
-      SELECT doc_id, unnest({SQL_BIGRAMS}) AS bigram
-      FROM documents
-      WHERE len(string_split(lower(text), ' ')) >= 2
-    ),
-    counted AS (
-      SELECT bigram,
-        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-      FROM grams GROUP BY bigram
-    )
-    SELECT bigram, n_occurrences, n_docs
-    FROM counted
-    ORDER BY n_occurrences DESC, bigram
-    LIMIT {NGRAM_TOPK}
-    """,
-    doc="Corpus bigram statistics: explode + count + document "
-    "frequency, global top-k (TakeOrderedAndProject — no full sort).",
-)
-def ext_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    grams = docs.filter(F.size(F.split(F.lower("text"), " ")) >= 2).select(
-        "doc_id", F.explode(F.expr(SPARK_BIGRAMS)).alias("bigram")
-    )
-    return (
-        grams.groupBy("bigram")
-        .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        )
-        .orderBy(F.desc("n_occurrences"), F.asc("bigram"))
-        .limit(NGRAM_TOPK)
     )
 
 

@@ -15,7 +15,10 @@ query needs but a production engine at corpus scale does:
   the left join broadcasts nothing from the fact side and the window
   partitions by event_type over spine-sized data only.
 
-- ``ext_sketch_kmv``: K-minimum-values distinct sketch. All hashing is
+- ``ext_sketch_kmv_setops``: K-minimum-values distinct sketches and
+  their pairwise set operations (the per-type KMV estimator formula
+  lives inside its union_est column — the standalone ext_sketch_kmv
+  entry retired into it in round 4, VERDICT r3 #8). All hashing is
   md5-derived exactly as the dedup family (one 48-bit integer per
   value), so unlike HLL registers the sketch is bit-reproducible across
   engines — the DuckDB oracle verifies the ESTIMATES exactly, not just
@@ -118,86 +121,6 @@ def rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("value_sum", ignorenulls=True).over(w).alias("value_locf"),
         )
         .orderBy("event_type", "bucket")
-    )
-
-
-@register(
-    "ext_sketch_kmv",
-    f"""
-    WITH h AS (
-      SELECT DISTINCT event_type,
-        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS hv
-      FROM events
-    ),
-    r AS (
-      SELECT event_type, hv,
-        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
-      FROM h
-    ),
-    agg AS (
-      SELECT event_type, CAST(MAX(rn) AS BIGINT) AS n_kept,
-        MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS hk
-      FROM r GROUP BY event_type
-    ),
-    ex AS (
-      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
-      FROM events GROUP BY event_type
-    )
-    SELECT a.event_type, e.n_exact,
-      CAST(CASE WHEN a.n_kept < {KMV_K} THEN a.n_kept
-           ELSE ({KMV_K - 1} * {HASH_SPACE}) // a.hk END AS BIGINT) AS kmv_estimate
-    FROM agg a JOIN ex e USING (event_type)
-    ORDER BY event_type
-    """,
-    doc="KMV (k-minimum-values) distinct-count sketch, k=256, over "
-    "md5-derived 48-bit hashes — deterministic, so the oracle verifies "
-    "the estimates themselves. A broadcast 4x-margin threshold from "
-    "approx_count_distinct bounds the per-group windowed set to O(k) "
-    "rows regardless of corpus size without changing the output.",
-)
-def ext_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    hv = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
-    ).cast("long")
-    h = ev.select("event_type", hv.alias("hv")).distinct()
-    # scale guard: keep only hashes below ~4x the expected h_k. The
-    # threshold >= h_k with huge margin (HLL err ~2% vs 4x headroom),
-    # so the k smallest always survive and the result is invariant;
-    # groups near/below k distinct get threshold >= 2^48 (keep all).
-    thr = h.groupBy("event_type").agg(
-        F.least(
-            F.lit(HASH_SPACE),
-            F.expr(
-                f"CAST({HASH_SPACE} * {4 * KMV_K} / "
-                "GREATEST(approx_count_distinct(hv), 1) AS BIGINT)"
-            ),
-        ).alias("thr")
-    )
-    kept = h.join(F.broadcast(thr), "event_type").filter(F.col("hv") <= F.col("thr"))
-    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("hv"))
-    agg = (
-        kept.withColumn("rn", rn)
-        .groupBy("event_type")
-        .agg(
-            F.max("rn").cast("long").alias("n_kept"),
-            F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))).alias("hk"),
-        )
-    )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
-    est = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
-        F.expr(f"({KMV_K - 1} * {HASH_SPACE}) div hk")
-    )
-    return (
-        agg.join(exact, "event_type")
-        .select(
-            "event_type",
-            "n_exact",
-            est.cast("long").alias("kmv_estimate"),
-        )
-        .orderBy("event_type")
     )
 
 

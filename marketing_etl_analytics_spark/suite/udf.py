@@ -4,12 +4,13 @@ The reference needs no UDFs (everything is builtin SQL — §2.J), but
 the engine must expose the Python extension points for operators Spark
 can't express natively. Graded here:
 
-- ``rel_pandas_udf``: Arrow-batched vectorized scalar UDF. Integer
-  arithmetic only, so the DuckDB oracle matches exactly — proving the
-  batch plumbing, not float luck.
-- ``rel_apply_in_pandas``: grouped-map UDAF (per-group pandas frame in,
-  frame out) computing group medians of integers — exact against
-  DuckDB's ``median``.
+- ``rel_pandas_suite``: the two Arrow extension points composed —
+  a vectorized scalar pandas UDF (integer scoring) feeding a
+  grouped-map applyInPandas UDAF (per-group pandas frame in, frame
+  out; group medians/IQR of integers). Integer arithmetic only, so
+  the DuckDB oracle matches exactly — proving the batch plumbing,
+  not float luck. (Round-4 consolidation of the retired
+  rel_pandas_udf and rel_apply_in_pandas entries, VERDICT r3 #8.)
 - ``stream_sessionize``: the applyInPandasWithState sessionizer run as
   a real Structured Streaming query (availableNow) — genuinely
   non-SQL-expressible, registered without an oracle (driver records
@@ -80,21 +81,54 @@ def _make_risk_score():
     return _risk_score
 
 
+# Round-4 consolidation (VERDICT r3 #8): the retired rel_pandas_udf
+# and rel_apply_in_pandas entries merge into one COMPOSED pipeline —
+# the scalar Arrow UDF scores rows, then the grouped-map UDAF
+# summarizes the scores — so both Python extension points share one
+# driver-graded row and the entry additionally proves they compose
+# (the scored column flows through the shuffle into the grouped
+# pandas frame).
+
+def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    r = pdf["risk_score"].astype("int64")
+    return pd.DataFrame(
+        {
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "n": [len(r)],
+            "median_risk": [float(r.median())],
+            "iqr_risk": [float(r.quantile(0.75) - r.quantile(0.25))],
+        }
+    )
+
+
 @register(
-    "rel_pandas_udf",
+    "rel_pandas_suite",
     """
-    SELECT l_orderkey, l_linenumber,
-      CAST(CAST(l_quantity AS BIGINT) * 13 + CAST(l_partkey AS BIGINT) % 7 AS BIGINT)
-        AS risk_score
-    FROM lineitem
-    WHERE l_orderkey <= 2000
-    ORDER BY l_orderkey, l_linenumber
+    WITH scored AS (
+      SELECT l_returnflag,
+        CAST(l_quantity AS BIGINT) * 13 + CAST(l_partkey AS BIGINT) % 7
+          AS risk_score
+      FROM lineitem
+      WHERE l_orderkey <= 2000
+    )
+    SELECT l_returnflag,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(median(risk_score) AS DOUBLE) AS median_risk,
+      CAST(quantile_cont(risk_score, 0.75)
+           - quantile_cont(risk_score, 0.25) AS DOUBLE) AS iqr_risk
+    FROM scored
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
     """,
-    doc="Arrow-batched vectorized pandas UDF (integer scoring) — the "
-    "Python extension point for logic builtins can't express; exact "
-    "vs the oracle because the arithmetic is integral.",
+    doc="The two Arrow extension points composed: an Arrow-batched "
+    "vectorized scalar pandas UDF (deterministic integer scoring — "
+    "stands in for model scoring) feeds a grouped-map applyInPandas "
+    "UDAF computing per-group median/IQR of the scores. Integer "
+    "arithmetic end-to-end, so the DuckDB oracle matches exactly — "
+    "proving the batch plumbing, not float luck. One shuffle on the "
+    "group key.",
 )
-def rel_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rel_pandas_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coalesce: the filter keeps ~1% of lineitem; fanning 8k rows out
     # to 32 Python workers pays per-worker cost for no gain
     li = (
@@ -103,51 +137,15 @@ def rel_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(8)
     )
     risk_score = _make_risk_score()
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
+    scored = li.select(
+        "l_returnflag",
         risk_score(F.col("l_quantity"), F.col("l_partkey")).alias("risk_score"),
-    ).orderBy("l_orderkey", "l_linenumber")
-
-
-# --- grouped-map applyInPandas ----------------------------------------------
-
-def _group_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-    q = pdf["l_quantity"].astype("int64")
-    return pd.DataFrame(
-        {
-            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-            "n": [len(q)],
-            "median_qty": [float(q.median())],
-            "iqr_qty": [float(q.quantile(0.75) - q.quantile(0.25))],
-        }
     )
-
-
-@register(
-    "rel_apply_in_pandas",
-    """
-    SELECT l_returnflag,
-      CAST(COUNT(*) AS BIGINT) AS n,
-      CAST(median(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS median_qty,
-      CAST(quantile_cont(CAST(l_quantity AS BIGINT), 0.75)
-           - quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS DOUBLE) AS iqr_qty
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-    doc="Grouped-map applyInPandas (per-group pandas frame -> frame): "
-    "the custom-UDAF extension point; integer medians/IQR so the "
-    "oracle matches exactly. One shuffle on the group key.",
-)
-def rel_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, sf_dir, "lineitem")
     return (
-        li.select("l_returnflag", "l_quantity")
-        .groupBy("l_returnflag")
+        scored.groupBy("l_returnflag")
         .applyInPandas(
             _group_stats,
-            schema="l_returnflag string, n long, median_qty double, iqr_qty double",
+            schema="l_returnflag string, n long, median_risk double, iqr_risk double",
         )
         .orderBy("l_returnflag")
     )
@@ -239,55 +237,6 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
-
-
-# --- Structured Streaming stream-stream join ---------------------------------
-
-@register(
-    "stream_attribution_join",
-    """
-    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
-      epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
-    FROM events c JOIN events v
-      ON v.user_id = c.user_id
-     AND c.event_type = 'click' AND v.event_type = 'view'
-     AND v.ts < c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
-    ORDER BY click_id, view_id
-    """,
-    doc="Stream-stream inner join with an event-time range predicate "
-    "(last-touch attribution: each click joined to same-user views in "
-    "the prior 30 min). Watermarks on both sides bound the join state "
-    "to the watermark horizon; run end-to-end as an availableNow "
-    "stream, so the result must equal the batch join — verified "
-    "against the SQL twin.",
-)
-def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
-    from marketing_etl_analytics_spark.streaming.events_stream import (
-        attribution_join,
-        read_events_stream,
-    )
-
-    name = f"attrib_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(_stream_state_partitions(spark, sf_dir)),
-    )
-    try:
-        q = (
-            attribution_join(read_events_stream(spark, sf_dir))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name).orderBy("click_id", "view_id")
 
 
 # --- Structured Streaming stream-static enrichment join ----------------------

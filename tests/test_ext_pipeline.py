@@ -17,8 +17,7 @@ from pyspark.sql.types import (
 )
 
 from marketing_etl_analytics_spark.suite.ext_pipeline import (
-    ext_decontaminate,
-    ext_repetition_filter,
+    ext_doc_filters,
     ext_sample_stratified,
 )
 
@@ -57,15 +56,18 @@ def test_decontaminate_flags_planted_clone(spark, tmp_path):
         (2, CLEAN_TEXT, "en", "crawl"),
     ]
     sf_dir = _write_docs(spark, tmp_path, rows)
-    out = {r.doc_id: r for r in ext_decontaminate(spark, sf_dir).collect()}
-    assert set(out) == {1, 2}  # eval docs are not scored
+    out = {r.doc_id: r for r in ext_doc_filters(spark, sf_dir).collect()}
+    assert set(out) == {0, 1, 2}
+    # eval docs are not scored: decontamination columns NULL
+    assert out[0].is_eval == 1 and out[0].contaminated is None
+    assert out[0].overlap_ratio is None
     assert out[1].contaminated == 1 and out[1].overlap_ratio == 1.0
     assert out[1].n_overlap == out[1].n_shingles
     assert out[2].contaminated == 0 and out[2].n_overlap == 0
 
 
 def test_decontaminate_broadcasts_eval_ngrams(spark):
-    df = ext_decontaminate(spark, "/root/testdata/sf0.001")
+    df = ext_doc_filters(spark, "/root/testdata/sf0.001")
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     # the corpus-side shingle rows must meet the eval set via a
@@ -104,9 +106,9 @@ def test_repetition_filter_drops_degenerate_doc(spark, tmp_path):
         (2, CLEAN_TEXT, "en", "crawl"),
     ]
     sf_dir = _write_docs(spark, tmp_path, rows)
-    out = {r.doc_id: r for r in ext_repetition_filter(spark, sf_dir).collect()}
-    assert out[1].keep == 0
+    out = {r.doc_id: r for r in ext_doc_filters(spark, sf_dir).collect()}
+    assert out[1].keep_repetition == 0
     # 8 identical words -> 7 2-grams, 1 distinct -> 6/7 duplicated
     assert out[1].top_word_frac == 1.0 and out[1].dup_2gram_frac == 0.8571
-    assert out[2].keep == 1
+    assert out[2].keep_repetition == 1
     assert out[2].dup_word_frac < 0.3
