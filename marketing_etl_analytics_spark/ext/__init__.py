@@ -41,6 +41,12 @@ from marketing_etl_analytics_spark.ext.sketches import (  # noqa: F401
     hll_merge,
     hll_registers,
 )
+from marketing_etl_analytics_spark.ext.search import (  # noqa: F401
+    bm25_search,
+    build_term_index,
+    search_terms,
+    term_stats,
+)
 
 # frame-level scale-path operators (implemented beside their graded
 # suite entries; re-exported here as the one-stop API)

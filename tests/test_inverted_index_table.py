@@ -1,20 +1,21 @@
-"""Persisted per-term inverted index as a bucketed table.
+"""Persisted per-term inverted index — the `ext/search.py` engine API.
 
-The suite's `ext_inverted_index` builds its postings inline per query;
-a production engine persists them ONCE per corpus version and serves
-every lookup from the persisted layout (the reference's GIN-style
-index analog; SURVEY §2.A6 maps indexes to partition/bucket layout).
+The suite's `ext_inverted_index` / `ext_bm25_search` build postings
+inline per query; `build_term_index` persists them ONCE per corpus
+version as a bucketed-by-term table (the reference's GIN-style index
+analog; SURVEY §2.A6 maps indexes to partition/bucket layout), and
+`search_terms` / `term_stats` / `bm25_search` serve every lookup from
+the persisted layout. Asserted here:
 
-Bucketing the postings table BY TERM gives the two properties that
-matter at 100 TB:
-
-- **Bucket pruning**: an equality / IN filter on the bucket column
-  reads only the matching buckets (`SelectedBucketsCount: k out of n`
-  in the scan node) — a term lookup touches 1/n of the index files,
-  no matter how large the corpus.
-- **Shuffle-free per-term aggregation**: the table reports its hash
-  distribution on `term`, so df-counts and posting-list length stats
-  group WITHOUT an Exchange.
+- **Bucket pruning**: a term lookup reads only the matching buckets
+  (`SelectedBucketsCount: k out of n` in the scan node) — 1/n of the
+  index files regardless of corpus size.
+- **Shuffle-free per-term aggregation**: the bucketed hash
+  distribution on `term` serves df/ctf stats without an Exchange.
+- **Result parity**: conjunctive search over the persisted index
+  equals the inline-postings result, and `bm25_search` equals the
+  driver-graded `ext_bm25_search` suite entry row-for-row — the
+  oracle evidence transfers to the persisted path.
 """
 
 from __future__ import annotations
@@ -22,6 +23,13 @@ from __future__ import annotations
 import pytest
 
 from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.ext.search import (
+    bm25_search,
+    build_term_index,
+    search_terms,
+    term_stats,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 N_BUCKETS = 16
@@ -40,16 +48,11 @@ def _postings(spark):
 
 @pytest.fixture(scope="module")
 def postings_table(spark):
-    spark.sql("DROP TABLE IF EXISTS postings_b")
-    (
-        _postings(spark)
-        .write.mode("overwrite")
-        .bucketBy(N_BUCKETS, "term")
-        .sortBy("term", "doc_id")
-        .saveAsTable("postings_b")
-    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    build_term_index(docs, "postings_b", n_buckets=N_BUCKETS)
     yield spark
     spark.sql("DROP TABLE IF EXISTS postings_b")
+    spark.sql("DROP TABLE IF EXISTS postings_b_meta")
 
 
 def test_term_lookup_prunes_buckets(postings_table):
@@ -78,14 +81,7 @@ def test_per_term_stats_need_no_exchange(postings_table):
     spark = postings_table
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        stats = (
-            spark.table("postings_b")
-            .groupBy("term")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("df"),
-                F.sum("tf").cast("long").alias("ctf"),
-            )
-        )
+        stats = term_stats(spark, "postings_b")
         stats.collect()
         plan = stats._jdf.queryExecution().executedPlan().toString()
         final = plan.split("== Initial Plan ==")[0]
@@ -96,16 +92,12 @@ def test_per_term_stats_need_no_exchange(postings_table):
 
 def test_persisted_index_matches_inline_search(postings_table):
     """Conjunctive AND over the persisted index == the suite entry's
-    inline-postings result (same HAVING count = |terms| shape)."""
+    inline-postings result (same HAVING count = |terms| shape); OR
+    mode keeps partial matches."""
     spark = postings_table
     terms = ["spark", "table"]
-    via_table = (
-        spark.table("postings_b")
-        .filter(F.col("term").isin(*terms))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("nt"), F.sum("tf").cast("long").alias("score"))
-        .filter(F.col("nt") == len(terms))
-        .select("doc_id", "score")
+    via_table = search_terms(spark, "postings_b", terms, mode="and").select(
+        "doc_id", F.col("total_tf").alias("score")
     )
     inline = (
         _postings(spark)
@@ -118,4 +110,23 @@ def test_persisted_index_matches_inline_search(postings_table):
     assert sorted(map(tuple, via_table.collect())) == sorted(
         map(tuple, inline.collect())
     )
-    assert via_table.count() > 0
+    n_or = search_terms(spark, "postings_b", terms, mode="or").count()
+    n_and = via_table.count()
+    assert n_or >= n_and
+
+
+def test_bm25_over_persisted_index_matches_suite_entry(postings_table):
+    """`bm25_search` over the persisted index (denormalized df/dl +
+    broadcast meta — row-local scoring, one doc aggregation) is
+    row-identical to the driver-graded ext_bm25_search suite entry:
+    the oracle evidence transfers to the persisted path."""
+    from marketing_etl_analytics_spark.suite import SUITE
+    from marketing_etl_analytics_spark.suite.ext_pipeline import _IDX_TERMS
+
+    spark = postings_table
+    via_index = bm25_search(spark, "postings_b", list(_IDX_TERMS))
+    suite = SUITE["ext_bm25_search"].fn(spark, SF_DIR)
+    cols = ["doc_id", "n_terms", "score"]
+    got = [tuple(r[c] for c in cols) for r in via_index.collect()]
+    want = [tuple(r[c] for c in cols) for r in suite.collect()]
+    assert got == want  # ordered: same ranking, same scores
