@@ -9,9 +9,24 @@ multi-file parquet so scans parallelize naturally.
 
 This produces a PERFORMANCE dataset: the driver's own sf dirs remain
 the only correctness inputs, but a 10x datapoint substantiates the
-scale design (BASELINE.md records the numbers). Replicated documents/
-embeddings form exact clone groups — deliberately, that is the
-dedup-workload shape at corpus scale.
+scale design (BASELINE.md records the numbers).
+
+Document replicas are PERTURBED by default (round-4 fix of the sf1
+graph blind spot, VERDICT r3 #4): exact cloning multiplies every
+shingle's document frequency by FACTOR, emptying the 2..12
+informative-shingle band that the graph operators (PageRank /
+triangles / LPA) and containment dedup read — at sf1 they degraded to
+honest empty results. With perturbation, every replica beyond the
+pristine replica 0 mutates ~35% of tokens deterministically (crc32
+of (shifted doc_id, position, token) — reproducible, no RNG) by
+tagging them with the replica number: a 3-shingle survives a mutated
+copy with (1-0.35)^3 ≈ 0.27, so a source shingle with df=d lands at
+≈ d*(1 + (f-1)*0.27) ≈ 3.4d at f=10 — source df 2..3 stays inside
+the informative band. The source corpus's own exact-clone groups
+replicate intact inside every copy (ids shifted), and replicas are
+near-dups of their source — so the corpus carries exact dups,
+near-dups, AND an informative shingle band simultaneously. Pass
+perturb=0 as a 4th argument for the legacy pure-clone behavior.
 """
 
 from __future__ import annotations
@@ -49,7 +64,23 @@ TABLES = [
 ]
 
 
-def main(src: str, dst: str, factor: int) -> None:
+# fraction of tokens mutated per perturbed replica (percent)
+PERTURB_PCT = 35
+
+# deterministic token-level mutation: position+content-addressed, so
+# reruns produce bit-identical corpora; the tag keeps tokens valid
+# whitespace-delimited words for every downstream tokenizer
+_MUTATE_TEXT = f"""
+CASE WHEN _r = 0 THEN text ELSE
+  concat_ws(' ', transform(split(text, ' '), (x, i) ->
+    CASE WHEN crc32(concat(CAST(doc_id AS STRING), ':',
+                           CAST(i AS STRING), ':', x)) % 100 < {PERTURB_PCT}
+         THEN concat(x, '~', CAST(_r AS STRING)) ELSE x END))
+END
+"""
+
+
+def main(src: str, dst: str, factor: int, perturb: bool = True) -> None:
     spark = get_spark(app_name="make_sf", shuffle_partitions=32)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     os.makedirs(dst, exist_ok=True)
@@ -81,6 +112,10 @@ def main(src: str, dst: str, factor: int) -> None:
             if col in KEY_OWNERS:
                 off = offsets[KEY_OWNERS[col]]
                 rep = rep.withColumn(col, F.col(col) + F.col("_r") * F.lit(off))
+        if table == "documents" and perturb:
+            # after the id shift, so the mutation hash differs per copy
+            rep = rep.withColumn("text", F.expr(_MUTATE_TEXT))
+            rep = rep.withColumn("n_chars", F.length("text").cast("long"))
         # size output files from the cheap source count — counting the
         # replicated crossJoin would materialize it a second time
         n_src = df.count()
@@ -90,4 +125,9 @@ def main(src: str, dst: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    main(
+        sys.argv[1],
+        sys.argv[2],
+        int(sys.argv[3]),
+        perturb=(len(sys.argv) < 5 or sys.argv[4] not in ("0", "false")),
+    )
