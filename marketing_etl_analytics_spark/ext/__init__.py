@@ -13,6 +13,7 @@ from marketing_etl_analytics_spark.ext.dedup import (  # noqa: F401
 )
 from marketing_etl_analytics_spark.ext.similarity import (  # noqa: F401
     cosine_topk,
+    cosine_topk_arrow,
     with_norm,
     with_sign_bucket,
 )
