@@ -191,7 +191,7 @@ def rel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|A∪B|, and the fraction of merged-sketch members present in both "
     "sides estimates Jaccard, hence |A∩B| (Beyer et al., SIGMOD 2007). "
     "Everything after the per-type sketch build (O(k) rows per type, "
-    "same scale guard as ext_sketch_kmv) runs on sketch-sized data — "
+    "broadcast 4x-margin threshold scale guard) runs on sketch-sized data — "
     "set cardinalities over a 100 TB corpus from KB-sized mergeable "
     "summaries. md5-derived hashing keeps the estimates deterministic, "
     "so the oracle verifies them exactly; exact_union/exact_intersect "
