@@ -226,9 +226,18 @@ def test_semantic_dedup_ivf_assign_matches_exact(spark):
     )
     assert _rows(exact, cols) == _rows(pruned, cols)
 
-    # (b) graded corpora: full-probe IVF == exact (machinery parity)
+    # (b) graded corpora: full-probe IVF == exact (machinery parity),
+    # and the pruned half-probe path still agrees on a majority of
+    # assignments even though these embeddings are isotropic (the
+    # worst case for probing — cluster proximity carries no signal)
     for sf in ("/root/testdata/sf0.001", SF_DIR):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         e = semantic_dedup(emb)
         i6 = semantic_dedup(emb, assign="ivf", n_probe=6)
         assert _rows(e, cols) == _rows(i6, cols), sf
+        ecl = {r["vec_id"]: r["cluster"] for r in e.collect()}
+        i3 = semantic_dedup(emb, assign="ivf", n_probe=3)
+        agree = sum(
+            1 for r in i3.collect() if ecl[r["vec_id"]] == r["cluster"]
+        )
+        assert agree / len(ecl) >= 0.55, sf
