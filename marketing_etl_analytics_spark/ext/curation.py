@@ -132,6 +132,9 @@ def farthest_first_from_pool(pool: list[tuple], k: int) -> list:
     integer arithmetic, so Python, Spark SQL, and the DuckDB oracle
     reproduce the identical seed set."""
 
+    if not pool:
+        return []
+
     def d2(a: list, b: list) -> int:
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
@@ -226,7 +229,11 @@ def semantic_dedup(
     if seeding == "farthest":
         pool = quantize_pool(df, key, vec, pool_factor * n_centroids)
         seed_keys = farthest_first_from_pool(pool, n_centroids)
-        cent = b.filter(F.col(key).isin(seed_keys)).select(*cent_cols)
+        cent = (
+            b.filter(F.col(key).isin(seed_keys)).select(*cent_cols)
+            if seed_keys
+            else b.limit(0).select(*cent_cols)  # empty input frame
+        )
     elif seeding == "lowest":
         cent = b.orderBy(key).limit(n_centroids).select(*cent_cols)
     else:

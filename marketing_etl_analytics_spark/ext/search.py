@@ -80,12 +80,21 @@ def build_term_index(
         .sortBy("term", key)
         .saveAsTable(table_name)
     )
-    meta = df.agg(
+    # corpus stats from the JUST-WRITTEN postings (every doc has >= 1
+    # token row — split('') yields one empty token — so per-doc dl is
+    # fully represented there; NULL-text docs carry no postings and
+    # drop out of the stats, but they carry no terms to score either):
+    # re-reading the compact persisted table avoids a second scan +
+    # re-tokenization of the raw corpus, which would double the most
+    # expensive part of the build
+    dls = (
+        spark.table(table_name)
+        .groupBy(key)
+        .agg(F.first("dl").alias("_dl"))
+    )
+    meta = dls.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (
-            F.sum(F.size(toks_col).cast("long")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avgdl"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     spark.sql(f"DROP TABLE IF EXISTS {table_name}_meta")
     meta.write.mode("overwrite").saveAsTable(f"{table_name}_meta")

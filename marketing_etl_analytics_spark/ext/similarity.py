@@ -137,10 +137,13 @@ def cosine_topk_arrow(
                 if not len(mc):
                     continue
                 top = min(k, len(mc))
-                # partial-select then exact order (score desc, cid asc)
-                idx = np.argpartition(-ms, top - 1)[:top]
-                order = np.lexsort((mc[idx], -ms[idx]))
-                sel = idx[order]
+                # batch-local top-k under the SAME total order as the
+                # final window (score desc, cid asc): argpartition on
+                # score alone would break exact-score ties (common —
+                # clone embeddings) arbitrarily at the k-boundary,
+                # making results partition-dependent
+                order = np.lexsort((mc, -ms))
+                sel = order[:top]
                 out_q.extend([qids[j]] * len(sel))
                 out_c.extend(mc[sel].tolist())
                 out_s.extend(ms[sel].tolist())

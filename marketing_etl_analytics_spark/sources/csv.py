@@ -57,13 +57,20 @@ def read_csv_with_quarantine(
     ``spark.read.option("recursiveFileLookup", "true")``.
 
     The parsed frame is materialized with an eager localCheckpoint
-    before the corrupt-column split: Spark disallows filtering on
-    the internal corrupt-record column of a lazy scan (it would
-    require re-parsing with different semantics), the two output
-    frames stay consistent with each other under concurrent input
-    changes, and — unlike ``.cache()`` — the storage is reclaimed
-    by the ContextCleaner when the frames are garbage-collected, so
-    repeated calls don't accrete session-lifetime cache entries.
+    before the corrupt-column split: Spark rejects any query whose
+    scan references ONLY the internal corrupt-record column (which
+    includes ``valid.count()`` after column pruning, not just the
+    quarantine projection), so the split genuinely requires a
+    materialization — and unlike a session-lifetime ``.cache()``
+    entry, checkpoint storage is reclaimed when the frames are
+    garbage-collected, so repeated calls don't accrete state. With a
+    ``quarantine_path``, the returned ``quarantined`` frame READS
+    BACK the just-written parquet — a stable, replayable snapshot
+    with no checkpoint blocks to lose. (localCheckpoint blocks are
+    single-copy: on a cluster with executor churn, re-call this
+    function — the CSV re-parse is deterministic — or lift the
+    snapshot to reliable storage; the quarantine side is already
+    durable.)
     """
     import hashlib
     import os
@@ -73,7 +80,7 @@ def read_csv_with_quarantine(
 
     corrupt_col = "_corrupt_record"
     schema_q = StructType(schema.fields + [StructField(corrupt_col, StringType())])
-    parsed = (
+    snap = (
         spark.read.option("header", str(header).lower())
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
@@ -81,13 +88,13 @@ def read_csv_with_quarantine(
         .csv(path)
         .localCheckpoint(eager=True)
     )
-    valid = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    quarantined = parsed.filter(F.col(corrupt_col).isNotNull()).select(
+    valid = snap.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = snap.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_record")
     )
     if quarantine_path is not None:
         sub = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
-        quarantined.write.mode("overwrite").parquet(
-            os.path.join(quarantine_path, f"input-{sub}")
-        )
+        out_dir = os.path.join(quarantine_path, f"input-{sub}")
+        quarantined.write.mode("overwrite").parquet(out_dir)
+        quarantined = spark.read.parquet(out_dir)
     return valid, quarantined

@@ -93,9 +93,13 @@ def cdc_apply_sink(
         # replay/re-reconcile, or idempotence silently breaks for
         # tied inputs. The hash makes the winner a pure function of
         # the row data, independent of partition/evaluation order.
+        # Hash the JSON encoding of the payload struct, not the bare
+        # columns: xxhash64 SKIPS NULL inputs, so (a='x', b=NULL) and
+        # (a=NULL, b='x') would collide; to_json omits null fields
+        # with their KEYS, keeping the encoding NULL-discriminating.
         payload = [c for c in cols if c not in key_cols and c not in order_cols]
         tiebreak = (
-            [F.xxhash64(*[F.col(c).cast("string") for c in payload])]
+            [F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in payload])))]
             if payload
             else []
         )
@@ -231,14 +235,22 @@ def dedup_ingest_sink(
             & (probe.band_sig == e_batch.band_sig)
             & (e_batch.e_doc < probe.doc_id),
         ).select("doc_id", "e_doc")
-        # (a) previous-batch arrivals: ANY index member counts
+        # (a) previous-batch arrivals: ANY index member counts —
+        # except the doc itself (e_doc != doc_id): a SOURCE-level
+        # re-delivery of the same doc under a NEW batch id (the
+        # subdir exclusion only shields same-batch-id replays) must
+        # not flag the doc as a duplicate of its own first delivery,
+        # or the id-ordered-feed oracle equality breaks
         if idx is not None:
+            e_idx = idx.select(
+                F.col("doc_id").alias("e_doc"), "band", "band_sig"
+            )
             pairs = pairs.unionByName(
                 probe.join(
-                    idx.select(
-                        F.col("doc_id").alias("e_doc"), "band", "band_sig"
-                    ),
-                    ["band", "band_sig"],
+                    e_idx,
+                    (probe.band == e_idx.band)
+                    & (probe.band_sig == e_idx.band_sig)
+                    & (e_idx.e_doc != probe.doc_id),
                 ).select("doc_id", "e_doc")
             )
         matches = pairs.groupBy("doc_id").agg(

@@ -241,3 +241,14 @@ def test_semantic_dedup_ivf_assign_matches_exact(spark):
             1 for r in i3.collect() if ecl[r["vec_id"]] == r["cluster"]
         )
         assert agree / len(ecl) >= 0.55, sf
+
+
+def test_semantic_dedup_empty_input(spark):
+    """An empty input frame yields an empty result (not a crash) in
+    both seeding modes — upstream curation stages can legitimately
+    filter everything out."""
+    from marketing_etl_analytics_spark.ext import semantic_dedup
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup(df).count() == 0
+    assert semantic_dedup(df, seeding="lowest").count() == 0
