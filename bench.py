@@ -56,14 +56,35 @@ def main() -> None:
     # best-of-2 per query: the first run carries per-plan codegen
     # compilation and any transient machine noise; min() reports the
     # reproducible steady-state cost of the plan itself
+    # per-entry progress on stderr (stdout stays the single JSON line):
+    # at large SFs a failure/OOM mid-run must be attributable to an entry
+    # resume/subset support for large-SF runs: a crash (or a targeted
+    # re-measure) shouldn't force re-paying the whole suite.
+    #   SPARK_GRAFT_BENCH_AFTER=<name>  -> skip entries up to AND
+    #     including <name> (resume a crashed run at the next entry)
+    #   SPARK_GRAFT_BENCH_ONLY=a,b,c    -> run only the named entries
+    after = os.environ.get("SPARK_GRAFT_BENCH_AFTER")
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = list(SUITE)
+    if after:
+        names = names[names.index(after) + 1:]
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - set(SUITE)
+        if unknown:
+            raise SystemExit(f"unknown bench entries: {sorted(unknown)}")
+        names = [n for n in names if n in wanted]
+
     timings: dict[str, float] = {}
-    for name, entry in SUITE.items():
+    for name in names:
+        entry = SUITE[name]
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             entry.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
     out = {
         "metric": "suite_wall_seconds",

@@ -71,6 +71,20 @@ def get_spark(
         # Quieter local runs.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # JDK-8192647 mitigation: 32 executor threads doing Arrow/netty
+        # JNI critical sections can starve an allocating thread behind
+        # the GCLocker ("Retried waiting for GCLocker too often"), which
+        # surfaces as a spurious task OOM and a lost shuffle file under
+        # 100x-scale local runs. Raising the retry count (diagnostic
+        # flag) removes the spurious failure; harmless elsewhere.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-XX:+UnlockDiagnosticVMOptions "
+                "-XX:GCLockerRetryAllocationCount=128",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
