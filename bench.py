@@ -83,6 +83,11 @@ def main() -> None:
             t0 = time.perf_counter()
             entry.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+            # best-of-2 exists to amortize per-plan codegen compilation
+            # (~100s of ms); for a >30 s entry that fraction is noise
+            # and the repeat would double large-SF wall for nothing
+            if best > 30.0:
+                break
         timings[name] = round(best, 3)
         print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
