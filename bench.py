@@ -67,6 +67,8 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     names = list(SUITE)
     if after:
+        if after not in SUITE:
+            raise SystemExit(f"unknown bench entry for SPARK_GRAFT_BENCH_AFTER: {after!r}")
         names = names[names.index(after) + 1:]
     if only:
         wanted = {n.strip() for n in only.split(",") if n.strip()}

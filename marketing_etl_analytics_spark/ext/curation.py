@@ -193,10 +193,16 @@ def semantic_dedup(
     over the seed set): each row scores the super-centroids, then
     only the member centroids of its ``n_probe`` nearest
     super-clusters — O(n*(sqrt(k) + n_probe*sqrt(k))) dots, the
-    IVF-probe shape that stays tractable at k~1e5. Approximate in
-    general (a row whose true centroid lives outside the probed
-    super-clusters mis-assigns); equality vs exact argmax on the
-    graded corpora is pinned by pytest.
+    IVF-probe shape that keeps the ASSIGNMENT step tractable at
+    k~1e5. The SEEDING step does not yet scale that far: it collects
+    a pool_factor*k quantized sample to the driver and runs an
+    O(pool*k) Python greedy, and seeds/super-seeds are selected via
+    ``isin(<k literals>)`` — both fine at the k~sqrt(n) SemDeDup
+    regime this entry targets, but at k~1e5 the seed set should come
+    from distributed seeding (k-means|| style) joined as a frame
+    instead. Approximate in general (a row whose true centroid lives
+    outside the probed super-clusters mis-assigns); equality vs exact
+    argmax on the graded corpora is pinned by pytest.
     """
     dot = (
         "CAST(aggregate(sequence(1, size({a})), CAST(0 AS DECIMAL(38,12)),"

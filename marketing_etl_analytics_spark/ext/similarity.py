@@ -59,11 +59,19 @@ def cosine_topk(
     ``bucketed=True`` both sides are sign-bucketed and the join runs
     per bucket (approximate; misses cross-bucket neighbors — that is
     the recall/cost trade).
+
+    Zero-norm vectors are dropped from BOTH sides before scoring
+    (cosine is undefined for them; without the filter the JVM ranks
+    the resulting NaN first while numpy's lexsort ranks it last, so
+    the two paths would diverge on degenerate input). The Arrow twin
+    applies the same filter.
     """
     q = queries.select(
         F.col(key).alias("qid"), F.col(vec).alias("qe")
+    ).filter(_dot(F.col("qe"), F.col("qe")) > 0)
+    c = candidates.select(F.col(key).alias("cid"), F.col(vec).alias("ce")).filter(
+        _dot(F.col("ce"), F.col("ce")) > 0
     )
-    c = candidates.select(F.col(key).alias("cid"), F.col(vec).alias("ce"))
     if bucketed:
         q = with_sign_bucket(q, "qe", bucket_bits)
         c = with_sign_bucket(c, "ce", bucket_bits)
@@ -104,7 +112,9 @@ def cosine_topk_arrow(
     k * n_queries rows per batch — the classic partial-top-k combine.
     A final per-query window merges the batch winners.
 
-    Same contract as cosine_topk(bucketed=False); ~10-50x its
+    Same contract as cosine_topk(bucketed=False) — including the
+    zero-norm-rows-dropped rule, applied here on both the collected
+    query matrix and each candidate batch; ~10-50x its
     per-pair cost at wide vectors because the JVM expression
     evaluates the dot per pair while BLAS does a blocked matmul.
     Scores are float64 matmul sums (pairwise summation) — equal to
@@ -117,7 +127,9 @@ def cosine_topk_arrow(
     q_rows = queries.select(key, vec).collect()
     qids = np.array([r[key] for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[vec]) for r in q_rows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_norm = np.linalg.norm(qm, axis=1)
+    qids, qm, q_norm = qids[q_norm > 0], qm[q_norm > 0], q_norm[q_norm > 0]
+    qm = qm / q_norm[:, None]
     bq = candidates.sparkSession.sparkContext.broadcast((qids, qm))
 
     def score(batches):
@@ -127,7 +139,11 @@ def cosine_topk_arrow(
                 continue
             cids = pdf[key].to_numpy(dtype=np.int64)
             cm = np.array(pdf[vec].tolist(), dtype=np.float64)
-            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            c_norm = np.linalg.norm(cm, axis=1)
+            cids, cm = cids[c_norm > 0], cm[c_norm > 0]
+            if not len(cids):
+                continue
+            cm = cm / c_norm[c_norm > 0][:, None]
             s = cm @ qm.T  # (n_candidates, n_queries)
             out_q, out_c, out_s = [], [], []
             for j in range(len(qids)):

@@ -20,6 +20,22 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _jdk_major() -> int:
+    """Major version of the JDK Spark will launch on (JAVA_HOME release
+    file; falls back to 17 — the documented floor for Spark 4)."""
+    java_home = os.environ.get("JAVA_HOME", "")
+    try:
+        with open(os.path.join(java_home, "release")) as fh:
+            for line in fh:
+                if line.startswith("JAVA_VERSION="):
+                    ver = line.split("=", 1)[1].strip().strip('"')
+                    head = ver.split(".")[0]
+                    return int(head) if head != "1" else int(ver.split(".")[1])
+    except (OSError, ValueError, IndexError):
+        pass
+    return 17
+
+
 def get_spark(
     app_name: str = "marketing-etl-analytics-spark",
     master: str | None = None,
@@ -71,21 +87,25 @@ def get_spark(
         # Quieter local runs.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        # JDK-8192647 mitigation: 32 executor threads doing Arrow/netty
-        # JNI critical sections can starve an allocating thread behind
-        # the GCLocker ("Retried waiting for GCLocker too often"), which
-        # surfaces as a spurious task OOM and a lost shuffle file under
-        # 100x-scale local runs. Raising the retry count (diagnostic
-        # flag) removes the spurious failure; harmless elsewhere.
-        .config(
-            "spark.driver.extraJavaOptions",
-            os.environ.get(
-                "SPARK_DRIVER_JAVA_OPTS",
-                "-XX:+UnlockDiagnosticVMOptions "
-                "-XX:GCLockerRetryAllocationCount=128",
-            ),
-        )
     )
+    # JDK-8192647 mitigation: 32 executor threads doing Arrow/netty
+    # JNI critical sections can starve an allocating thread behind
+    # the GCLocker ("Retried waiting for GCLocker too often"), which
+    # surfaces as a spurious task OOM and a lost shuffle file under
+    # 100x-scale local runs. Raising the retry count (diagnostic
+    # flag) removes the spurious failure. Set via defaultJavaOptions
+    # (which Spark PREPENDS to any user/spark-defaults
+    # extraJavaOptions rather than replacing them) and only on JDKs
+    # that still have a GCLocker (removed in JDK 22+, where the
+    # unrecognized -XX option would abort startup).
+    gclocker_opts = os.environ.get("SPARK_DRIVER_JAVA_OPTS")
+    if gclocker_opts is None and _jdk_major() < 22:
+        gclocker_opts = (
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=128"
+        )
+    if gclocker_opts:
+        builder = builder.config("spark.driver.defaultJavaOptions", gclocker_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
