@@ -23,6 +23,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1583,10 +1585,11 @@ SEM_CLUSTER_CAP = 128
 SEM_POOL = 8 * SEM_CENTROIDS  # farthest-first candidate pool
 
 
-def _sql_farthest_seed_ctes(k: int, pool_size: int) -> str:
+def _sql_farthest_ctes(k: int, pool_sql: str, prefix: str) -> str:
     """DuckDB CTE chain reproducing ext.curation's farthest-first
-    seed selection EXACTLY: md5-ordered pool of quantized vectors
-    (floor(x*1000) integers), then k-1 greedy steps, each taking the
+    greedy EXACTLY over an arbitrary (k, q, h)-shaped pool CTE body:
+    ``{prefix}_pool`` holds the candidates (already ordered/limited by
+    the caller's SQL), then k-1 greedy steps, each taking the
     not-yet-chosen pool row with the max min-integer-L2^2 distance to
     the chosen set (tiebreak: smaller key). Pure integer arithmetic —
     bit-identical to the Python greedy and to any engine. CTEs are
@@ -1596,29 +1599,44 @@ def _sql_farthest_seed_ctes(k: int, pool_size: int) -> str:
         "list_sum(list_transform(generate_series(1, len(p.q)),"
         " i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i])))"
     )
+    pool = f"{prefix}_pool"
+    step = f"{prefix}_step"
     parts = [
-        f"""pool AS MATERIALIZED (
-      SELECT vec_id AS k,
-        list_transform(embedding,
-          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q,
-        md5(CAST(vec_id AS VARCHAR)) AS h
-      FROM embeddings ORDER BY h, k LIMIT {pool_size}
-    )""",
-        "seeds1 AS MATERIALIZED (SELECT k, q FROM pool ORDER BY h, k LIMIT 1)",
+        f"{pool} AS MATERIALIZED (\n      {pool_sql}\n    )",
+        f"{step}1 AS MATERIALIZED (SELECT k, q FROM {pool} ORDER BY h, k LIMIT 1)",
     ]
     for i in range(2, k + 1):
         parts.append(
-            f"""seeds{i} AS MATERIALIZED (
-      SELECT k, q FROM seeds{i - 1}
+            f"""{step}{i} AS MATERIALIZED (
+      SELECT k, q FROM {step}{i - 1}
       UNION ALL
-      (SELECT p.k, p.q FROM pool p
-       WHERE p.k NOT IN (SELECT k FROM seeds{i - 1})
-       ORDER BY (SELECT MIN({d2}) FROM seeds{i - 1} c) DESC, p.k
+      (SELECT p.k, p.q FROM {pool} p
+       WHERE p.k NOT IN (SELECT k FROM {step}{i - 1})
+       ORDER BY (SELECT MIN({d2}) FROM {step}{i - 1} c) DESC, p.k
        LIMIT 1)
     )"""
         )
-    parts.append(f"seed_keys AS (SELECT k FROM seeds{k})")
+    parts.append(f"{prefix}_keys AS (SELECT k FROM {step}{k})")
     return ",\n    ".join(parts)
+
+
+_SQL_QVEC = (
+    "list_transform(embedding,"
+    " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+)
+
+
+def _sql_farthest_seed_ctes(k: int, pool_size: int) -> str:
+    """Seed-centroid selection: md5-ordered pool of quantized corpus
+    vectors, farthest-first to k seeds (exposed as ``seed_keys`` —
+    see _sql_farthest_ctes for the greedy)."""
+    return _sql_farthest_ctes(
+        k,
+        f"""SELECT vec_id AS k, {_SQL_QVEC} AS q,
+        md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings ORDER BY h, k LIMIT {pool_size}""",
+        "seed",
+    )
 
 
 @register(
@@ -1773,3 +1791,129 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- semantic dedup, IVF-probed assignment (graded sibling) ------------------
+#
+# Same SemDeDup contract as ext_semantic_dedup, but the row->centroid
+# assignment runs through the IVF probe path (ext/curation.py
+# ``assign='ivf'``): ceil(sqrt(k)) super-centroids are farthest-first
+# selected FROM THE SEED SET, each centroid homes to its nearest
+# super, each row probes its SEM_N_PROBE nearest supers and argmaxes
+# only over the member centroids of those probes — O(n*(sqrt(k) +
+# n_probe*sqrt(k))) dots instead of O(n*k). That is the assignment
+# shape that survives k~1e5 centroids at 100 TB. Approximate in
+# general but fully deterministic (exact-decimal dots, fixed
+# tiebreaks), so the DuckDB oracle replays every routing decision and
+# the result is hash-exact, not merely "close to" the exact-argmax
+# sibling.
+
+SEM_N_PROBE = 3
+_SEM_N_SUPER = math.isqrt(SEM_CENTROIDS - 1) + 1  # = ext.curation's n_super
+
+_SQL_SUPER_POOL = """SELECT c.cent_id AS k,
+        list_transform(c.ce,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q,
+        md5(CAST(c.cent_id AS VARCHAR)) AS h
+      FROM cent c ORDER BY h, k"""
+
+
+@register(
+    "ext_semantic_dedup_ivf",
+    f"""
+    WITH {_sql_farthest_seed_ctes(SEM_CENTROIDS, SEM_POOL)},
+    b AS (
+      SELECT vec_id, embedding,
+        {SQL_DOT.format(a="embedding", b="embedding")} AS n2,
+        {_SQL_SUBBUCKET} AS sub
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cent_id, embedding AS ce, n2 AS cn2
+      FROM b JOIN seed_keys s ON b.vec_id = s.k
+    ),
+    {_sql_farthest_ctes(_SEM_N_SUPER, _SQL_SUPER_POOL, "super")},
+    sup AS (
+      SELECT vec_id AS sid, embedding AS se, n2 AS sn2
+      FROM b JOIN super_keys s ON b.vec_id = s.k
+    ),
+    cmember AS (
+      SELECT cent_id, ce, cn2, home FROM (
+        SELECT c.cent_id, c.ce, c.cn2, s.sid AS home,
+          row_number() OVER (
+            PARTITION BY c.cent_id
+            ORDER BY {SQL_DOT.format(a="c.ce", b="s.se")}
+                     / sqrt(c.cn2 * s.sn2) DESC, s.sid
+          ) AS r
+        FROM cent c, sup s
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT vec_id, embedding, n2, sub, home FROM (
+        SELECT v.vec_id, v.embedding, v.n2, v.sub, s.sid AS home,
+          row_number() OVER (
+            PARTITION BY v.vec_id
+            ORDER BY {SQL_DOT.format(a="v.embedding", b="s.se")}
+                     / sqrt(v.n2 * s.sn2) DESC, s.sid
+          ) AS r
+        FROM b v, sup s
+      ) WHERE r <= {SEM_N_PROBE}
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cluster, sub FROM (
+        SELECT p.vec_id, cm.cent_id, p.sub,
+          row_number() OVER (
+            PARTITION BY p.vec_id
+            ORDER BY {SQL_DOT.format(a="p.embedding", b="cm.ce")}
+                     / sqrt(p.n2 * cm.cn2) DESC, cm.cent_id
+          ) AS crn
+        FROM probes p JOIN cmember cm ON p.home = cm.home
+      ) WHERE crn = 1
+    ),
+    keyed AS (
+      SELECT vec_id, cluster,
+        CASE WHEN COUNT(*) OVER (PARTITION BY cluster) > {SEM_CLUSTER_CAP}
+          THEN concat_ws(':', cluster, sub)
+          ELSE CAST(cluster AS VARCHAR) END AS ckey
+      FROM assign
+    ),
+    pairs AS (
+      SELECT ku.ckey, u.vec_id AS u, v.vec_id AS v
+      FROM keyed ku
+      JOIN keyed kv ON ku.ckey = kv.ckey AND ku.vec_id < kv.vec_id
+      JOIN b u ON u.vec_id = ku.vec_id
+      JOIN b v ON v.vec_id = kv.vec_id
+      WHERE {SQL_DOT.format(a="u.embedding", b="v.embedding")}
+            / sqrt(u.n2 * v.n2) >= {SEM_DEDUP_T}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+      CAST(COALESCE(p.nd, 0) AS BIGINT) AS n_dups_to_lower,
+      (COALESCE(p.nd, 0) = 0) AS is_kept
+    FROM assign a
+    LEFT JOIN (
+      SELECT v AS vec_id, COUNT(*) AS nd FROM pairs GROUP BY v
+    ) p USING (vec_id)
+    ORDER BY vec_id
+    """,
+    doc="SemDeDup with IVF-probed centroid assignment (VERDICT r4 #3): "
+    "the graded row for ext/curation.py's assign='ivf' path. "
+    "Super-centroids are farthest-first over the seed set; rows probe "
+    "their 3 nearest super-clusters and argmax only over member "
+    "centroids — the O(n*sqrt(k)) assignment that replaces the exact "
+    "O(n*k) broadcast argmax when k grows toward 1e5 on a 100 TB "
+    "corpus. Every routing decision (probe ranking, home assignment, "
+    "final argmax) uses exact-decimal dots with deterministic "
+    "tiebreaks, so the oracle replays the identical approximation "
+    "and grades it hash-exact.",
+)
+def ext_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.ext.curation import semantic_dedup
+
+    return semantic_dedup(
+        t(spark, sf_dir, "embeddings"),
+        n_centroids=SEM_CENTROIDS,
+        cluster_cap=SEM_CLUSTER_CAP,
+        threshold=SEM_DEDUP_T,
+        assign="ivf",
+        n_probe=SEM_N_PROBE,
+    ).orderBy("vec_id")
