@@ -1064,6 +1064,161 @@ def ext_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE encode (apply learned merges to documents) --------------------------
+#
+# Closes the tokenizer loop (VERDICT r4 #5): ext_bpe_merge_round is the
+# TRAINING counting primitive; this entry TRAINS N merges by iterating
+# it greedily (re-count pair frequencies over the current vocabulary,
+# take the top pair, merge, repeat) and then ENCODES every document
+# with the learned merge list — the document -> token-count step a
+# training pipeline actually runs.
+#
+# Scale shape: all training and merge application runs over the
+# DISTINCT vocabulary weighted by counts (Heaps-law sublinear in
+# corpus size), never over raw tokens. Each round is one map-side-
+# combined aggregation plus a 1-row collect of the winning pair
+# (planning-sized, the acid-manifest precedent); encoding documents is
+# a join from exploded words to the 31..10^6-row vocab->n_tokens map,
+# then a per-doc rollup. Symbol sequences are represented as
+# \\x1f-delimited strings ("\x1fa\x1f\x1fb\x1f..."), so applying merge
+# (a,b) is a single non-overlapping leftmost string replace of
+# "\x1fa\x1f\x1fb\x1f" -> "\x1fab\x1f" — identical semantics in Spark,
+# DuckDB, and the classic greedy BPE fold (after a merge the new
+# symbol can never re-match the pattern's left side, since ab != a).
+
+BPE_ROUNDS = 8
+_SEP = "\x1f"
+
+
+def _sql_bpe_round_ctes(n_rounds: int) -> str:
+    """DuckDB CTE chain: v0 holds the char-split vocabulary; round r
+    computes weighted adjacent-pair counts over v{r-1}, picks the top
+    pair p{r} (n DESC, a, b — exact BIGINT counts, binary string
+    tiebreak), and applies it via delimited replace into v{r}."""
+    parts = []
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS n
+        FROM (
+          SELECT string_split(trim(s, '{_SEP}'), '{_SEP}{_SEP}') AS syms, freq
+          FROM v{r - 1}
+        ), LATERAL unnest(generate_series(1, len(syms) - 1)) AS t(i)
+        GROUP BY 1, 2
+      ) ORDER BY n DESC, a, b LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+      SELECT w, replace(s,
+        '{_SEP}' || p{r}.a || '{_SEP}{_SEP}' || p{r}.b || '{_SEP}',
+        '{_SEP}' || p{r}.a || p{r}.b || '{_SEP}') AS s, freq
+      FROM v{r - 1}, p{r}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "ext_bpe_encode",
+    f"""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY w
+    ),
+    v0 AS (
+      SELECT w, regexp_replace(w, '(.)', '{_SEP}\\1{_SEP}', 'g') AS s, freq
+      FROM vocab
+    ),
+    {_sql_bpe_round_ctes(BPE_ROUNDS)},
+    enc AS (
+      SELECT w,
+        CAST(len(string_split(trim(s, '{_SEP}'), '{_SEP}{_SEP}')) AS BIGINT)
+          AS n_tok
+      FROM v{BPE_ROUNDS}
+    ),
+    mergelist AS (
+      SELECT {" || ',' || ".join(f"p{r}.a || '+' || p{r}.b" for r in range(1, BPE_ROUNDS + 1))}
+        AS merges
+      FROM {", ".join(f"p{r}" for r in range(1, BPE_ROUNDS + 1))}
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      ANY_VALUE(m.merges) AS merges
+    FROM words JOIN enc USING (w), mergelist m
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc=f"BPE encode: greedy-train {BPE_ROUNDS} merges over the corpus "
+    "vocabulary (iterating the ext_bpe_merge_round counting primitive "
+    "— top weighted adjacent pair per round, exact integer counts, "
+    "deterministic (n, a, b) tiebreak), then tokenize every document "
+    "with the learned merges. Output pins per-doc token counts AND "
+    "the learned merge sequence itself, so the oracle grades every "
+    "greedy training decision, not just the final arithmetic.",
+)
+def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    v = vocab.withColumn(
+        "s", F.regexp_replace("w", "(.)", f"{_SEP}$1{_SEP}")
+    )
+    syms = F.split(F.expr(f"trim(BOTH '{_SEP}' FROM s)"), _SEP + _SEP)
+    pair_structs = (
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, CAST(i AS INT)) AS a,"
+        " element_at(syms, CAST(i AS INT) + 1) AS b))"
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(BPE_ROUNDS):
+        # top pair this round: one map-side-combined agg over the
+        # vocab + a 1-row collect (planning-sized driver loop)
+        top = (
+            v.withColumn("syms", syms)
+            .filter(F.size("syms") >= 2)
+            .select(F.explode(F.expr(pair_structs)).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )[0]
+        a, b = top["a"], top["b"]
+        merges.append((a, b))
+        v = v.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"),
+                F.lit(f"{_SEP}{a}{b}{_SEP}"),
+            ),
+        )
+    enc = v.select("w", F.size(syms).cast("long").alias("n_tok"))
+    merge_list = ",".join(f"{a}+{b}" for a, b in merges)
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn("merges", F.lit(merge_list))
+        .orderBy("doc_id")
+    )
+
+
 # --- context-window chunking ------------------------------------------------
 #
 # Fixed-size token-window chunking with overlap — the step that turns
