@@ -15,6 +15,58 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# --- model-based quality scoring ---------------------------------------------
+#
+# Linear proxy of a trained quality classifier (the fastText-style
+# score real pipelines gate on): fixed integer weights over four
+# doc-local features — stopword ratio (natural prose has stopwords),
+# lexical diversity, length, and average token length. All features
+# are snapped to 1e-4 scaled BIGINTs (floor(x*1e4 + 0.5) — the suite's
+# pround on an integer lattice) and the logit is PURE INTEGER
+# arithmetic, so the score and the keep verdict are bit-identical in
+# Spark, DuckDB, and any engine. The sigmoid is deliberately omitted:
+# it is monotone, so a threshold on the logit is the same decision as
+# a threshold on the probability (the mean-IDF -> df-ratio precedent
+# in ext_rarity_score), and exp() has no cross-libm exactness
+# guarantee.
+
+QUALITY_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+# logit_1e4 = BIAS + W_STOP*sr + W_DISTINCT*dr + W_TOKENS*n_tokens*1e4
+#             + W_TOKLEN*atl  (all on the 1e-4 lattice)
+QUALITY_BIAS_1E4 = -30000      # -3.0
+QUALITY_W_STOP = 20            # +20.0 per unit stopword ratio
+QUALITY_W_DISTINCT = 4         # +4.0 per unit distinct-token ratio
+QUALITY_W_TOKENS_1E4 = 200     # +0.02 per token
+QUALITY_W_TOKLEN = 1           # +1.0 per char of avg token length
+QUALITY_KEEP_1E4 = 57500       # keep iff logit >= 5.75
+
+
+def quality_logit_1e4(toks, n_chars) -> "F.Column":
+    """Scaled-integer quality logit over a token-array column and a
+    char-count column. Codegen-only (size/filter/array_distinct +
+    integer math): zero shuffle, zero UDF — the per-document scoring
+    cost at 100 TB is one projection."""
+    n_tokens = F.size(toks).cast("long")
+
+    def s1e4(num, den):  # floor(num/den * 1e4 + 0.5) on the lattice
+        return F.floor(
+            num.cast("double") / den.cast("double") * 10000 + F.lit(0.5)
+        ).cast("long")
+
+    sr = s1e4(
+        F.size(F.filter(toks, lambda w: w.isin(*QUALITY_STOPWORDS))), n_tokens
+    )
+    dr = s1e4(F.size(F.array_distinct(toks)), n_tokens)
+    atl = s1e4(n_chars.cast("long") - n_tokens + 1, n_tokens)
+    return (
+        F.lit(QUALITY_BIAS_1E4)
+        + F.lit(QUALITY_W_STOP) * sr
+        + F.lit(QUALITY_W_DISTINCT) * dr
+        + F.lit(QUALITY_W_TOKENS_1E4) * n_tokens
+        + F.lit(QUALITY_W_TOKLEN) * atl
+    ).cast("long")
+
+
 def chunk_documents(
     df: DataFrame,
     key: str = "doc_id",

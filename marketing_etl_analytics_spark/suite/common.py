@@ -259,6 +259,24 @@ def sql_avg_det_raw(expr: str) -> str:
     return f"(CAST(SUM({e}) AS DOUBLE) / COUNT({e}))"
 
 
+def sql_quality_logit(toks: str, n_chars: str) -> str:
+    """DuckDB twin of ext.curation.quality_logit_1e4: the fixed-weight
+    linear quality model on the 1e-4 integer lattice (same
+    left-to-right double division, same integer weights — the logit is
+    exact integer arithmetic in both engines)."""
+    s1e4 = "CAST(FLOOR(CAST({num} AS DOUBLE) / {den} * 10000 + 0.5) AS BIGINT)"
+    stop_sql = "w IN ('the', 'a', 'of', 'and', 'to', 'in')"
+    sr = s1e4.format(
+        num=f"len(list_filter({toks}, w -> {stop_sql}))", den=f"len({toks})"
+    )
+    dr = s1e4.format(num=f"len(list_distinct({toks}))", den=f"len({toks})")
+    atl = s1e4.format(num=f"{n_chars} - len({toks}) + 1", den=f"len({toks})")
+    return (
+        f"(-30000 + 20 * {sr} + 4 * {dr}"
+        f" + 200 * CAST(len({toks}) AS BIGINT) + 1 * {atl})"
+    )
+
+
 def sql_ratio(num: str, den: str, ndigits: int, alias: str) -> str:
     return (
         sql_pround(f"CAST({num} AS DOUBLE) / NULLIF(CAST({den} AS DOUBLE), 0)", ndigits)

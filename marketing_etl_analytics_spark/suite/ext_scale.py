@@ -33,6 +33,7 @@ from marketing_etl_analytics_spark.suite.common import (
     money,
     pround,
     sql_pround,
+    sql_quality_logit,
     t,
 )
 from marketing_etl_analytics_spark.suite.ext import (
@@ -1095,9 +1096,12 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- end-to-end curation pipeline --------------------------------------------
 
+SQL_QUALITY_LOGIT = sql_quality_logit("toks", "n_chars")
+
+
 @register(
     "ext_curation_pipeline",
-    """
+    f"""
     WITH hashed AS (
       SELECT doc_id, lang, source, n_chars,
         string_split(lower(text), ' ') AS toks,
@@ -1108,7 +1112,8 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, source, n_chars, text_hash,
         len(toks) AS n_tokens,
         len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to', 'in')))
-          AS n_stop
+          AS n_stop,
+        {SQL_QUALITY_LOGIT} AS q_1e4
       FROM hashed
     ),
     kept AS (
@@ -1116,6 +1121,7 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_tokens >= 5
         AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.5
         AND lang = 'en'
+        AND q_1e4 >= 57500
     ),
     deduped AS (
       SELECT * FROM (
@@ -1126,19 +1132,28 @@ def ext_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
       CAST(COUNT(*) AS BIGINT) AS docs_kept,
       CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS tokens_kept,
+      CAST(SUM(q_1e4) AS BIGINT) AS sum_quality_1e4,
       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
       CAST(MAX(doc_id) AS BIGINT) AS last_doc
     FROM deduped
     GROUP BY source
     ORDER BY source
     """,
-    doc="End-to-end curation job: quality gate (length + stopword "
-    "ratio) -> language filter -> exact dedup (min-doc_id canonical "
-    "via window) -> per-source corpus stats. The composition every "
+    doc="End-to-end curation job: heuristic quality gate (length + "
+    "stopword ratio) -> learned-model gate (integer-lattice linear "
+    "logit >= 5.75, ext/curation.py::quality_logit_1e4 — the r5 "
+    "composition of ext_quality_score) -> language filter -> exact "
+    "dedup (min-doc_id canonical via window) -> per-source corpus "
+    "stats incl. the exact summed model score. The composition every "
     "training-data pipeline runs; filters are map-side, dedup is one "
     "shuffle on the text hash, stats one shuffle on source.",
 )
 def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.ext.curation import (
+        QUALITY_KEEP_1E4,
+        quality_logit_1e4,
+    )
+
     docs = t(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), " ")
     n_tokens = F.size(toks)
@@ -1148,11 +1163,13 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower("text")).alias("text_hash"),
         n_tokens.alias("n_tokens"),
         n_stop.alias("n_stop"),
+        quality_logit_1e4(toks, F.col("n_chars")).alias("q_1e4"),
     )
     kept = scored.filter(
         (F.col("n_tokens") >= 5)
         & (F.col("n_stop").cast("double") / F.col("n_tokens") <= 0.5)
         & (F.col("lang") == "en")
+        & (F.col("q_1e4") >= QUALITY_KEEP_1E4)
     )
     w = Window.partitionBy("text_hash").orderBy("doc_id")
     deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -1161,6 +1178,7 @@ def ext_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("docs_kept"),
             F.sum(F.col("n_tokens").cast("long")).cast("long").alias("tokens_kept"),
+            F.sum("q_1e4").cast("long").alias("sum_quality_1e4"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
