@@ -35,66 +35,39 @@ from marketing_etl_analytics_spark.suite import funnels  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 
 # Priority prefix (everything registered but not listed here keeps its
-# module registration order after the prefix). Window policy for the
-# r4 driver grading (the driver grades a 50-slot prefix; r3 graded the
-# previous 50-slot prefix, CORRECTNESS_r03 — all green):
+# module registration order after the prefix). Window policy: the
+# external driver grades a 50-slot prefix per round (CORRECTNESS_r{N});
+# the standing invariant (VERDICT r3 #8 / r4 #1) is that EVERY suite
+# entry has a green driver row within the last two rounds — no
+# two-round-stale rows.
 #
-# Round-4 consolidation (VERDICT r3 #8): 25 single-assertion rows were
-# merged into 9 wide rows or retired outright, shrinking the suite
-# from 114 to 98 entries so that EVERY entry is driver-graded in
-# r3 ∪ r4 — no two-round-stale rows remain. The 50-slot r4 window
-# holds, in order:
-#   (a) the 8 standalone never-driver-graded entries (VERDICT r3 #1;
-#       5 more of the original 13 were absorbed into the merged rows
-#       below, which are themselves in-window),
-#   (b) the 9 merged consolidation rows plus rel_window_frames (which
-#       absorbed the RANGE-interval columns) — new names, never
-#       graded,
-#   (c) the 2 r3-green entries whose code changed this round
-#       (ext_semantic_dedup: k-means||-style seeding; stream_cdc_apply:
-#       deterministic winner tiebreak),
-#   (d) the 18 reference-parity core entries last graded in r2
-#       (q0-q5/q8-q11, the 5 ETL builds, the 3 views — all golden-
-#       tested against the reference's own CSV outputs, code
-#       unchanged, but two-round-stale without an r4 row),
-#   (e) the 12 remaining entries last graded in r2/r1 with unchanged
-#       code.
-# The 48 entries past the window are exactly the r3-green rows whose
-# code is unchanged since CORRECTNESS_r03 — every one of them carries
-# a current driver hash-exact row. stream_sessionize stays the
+# Round-5 rotation: the r4 window graded 50 rows (CORRECTNESS_r04, all
+# green); the 48 entries past it were r3-green and would be two-round
+# stale by end of r5, so they rotate in. To fit alongside the r5
+# additions, the three r3-green batch sketch singles (hll / countmin /
+# kmv set-ops) were merged into the wide ext_sketch_suite row (the
+# rel_stats_suite precedent), shrinking the suite 101 -> 99. The
+# 50-slot r5 window holds, in order:
+#   (a) the 4 never-driver-graded r5 entries: ext_semantic_dedup_ivf
+#       (VERDICT r4 #3 — graded IVF assignment), ext_bpe_encode
+#       (r4 #5 — tokenizer apply step), ext_quality_score (r4 #6 —
+#       learned-model gate), ext_sketch_suite (the consolidation row),
+#   (b) the 3 r4/r3-green entries whose code changed this round:
+#       ext_curation_pipeline (model gate composed in),
+#       ext_inverted_index / ext_bm25_search (served from the
+#       persisted bucketed term index, VERDICT r4 #4),
+#   (c) the remaining 43 r3-green tail entries with unchanged code.
+# The 49 entries past the window are exactly the r4-green rows whose
+# code is unchanged since CORRECTNESS_r04. stream_sessionize stays the
 # contract-allowed rows-only entry (pytest-equal to its oracled batch
 # twin; stream_session_window is its fully-oracled sibling).
 _PRIORITY = [
-    # (a) never-driver-graded standalone entries
-    "stream_sketch_hll", "ext_graph_label_propagation", "stream_topk_trending",
-    "ext_rolling_median", "stream_sketch_countmin", "stream_dedup_ingest",
-    "ext_rarity_score", "ext_bpe_merge_round",
-    # (b) round-4 merged consolidation rows (never graded under these
-    # names; each absorbs 2-3 retired r1/r2-green rows)
-    "rel_window_frames", "rel_rank_suite", "rel_join_variants",
-    "rel_semistructured", "rel_pivot_unpivot", "rel_grouping_lattice",
-    "rel_stats_suite", "rel_pandas_suite", "ext_text_stats",
-    "ext_doc_filters",
-    # (c) r3-green entries with code changed this round
-    "ext_semantic_dedup", "stream_cdc_apply",
-    # (d) reference-parity core, last graded r2 (golden-tested,
-    # unchanged, but two-round-stale without an r4 row)
-    "q0_pnl_summary", "q1_top_sellers", "q2_top_profit",
-    "q3_margin_having", "q4_channel_kpis", "q5_repeat_drivers",
-    "q8_spend_waste", "q9_retention",
-    "q10_demographics", "q11_frequency_segments",
-    "etl_dim_product", "etl_dim_date", "etl_dim_campaign_parse",
-    "etl_fact_sales", "etl_upsert_dedup",
-    "v_channel_daily", "v_kpi_channel", "v_kpi_campaign",
-    # (e) remaining r2/r1-graded entries, code unchanged
-    "rel_setops_all", "rel_asof_join", "rel_range_join",
-    "ext_dedup_exact", "ext_sessionize", "ext_curation_pipeline",
-    "ext_sample_stratified", "ext_multimodal_meta",
-    "stream_sessionize", "stream_enrich_join",
-    "rel_scalar_subquery", "rel_time_rollup",
-    # --- 50-slot grading window ends here ---
-    # tail: every entry below is r3-green (CORRECTNESS_r03 hash-exact)
-    # with code unchanged this round
+    # (a) never-driver-graded r5 entries
+    "ext_semantic_dedup_ivf", "ext_bpe_encode", "ext_quality_score",
+    "ext_sketch_suite",
+    # (b) code changed this round
+    "ext_curation_pipeline", "ext_inverted_index", "ext_bm25_search",
+    # (c) r3-green tail rotation (unchanged code, else two-round stale)
     "q6_category_performance", "q7_product_quadrant", "stream_dedup",
     "ext_dedup_eval", "ext_graph_pagerank", "stream_session_window",
     "ext_dedup_minhash_lsh", "ext_dedup_ngram_jaccard",
@@ -102,18 +75,42 @@ _PRIORITY = [
     "ext_dedup_incremental", "ext_ann_ivf", "ext_ann_ivf_kmeans",
     "ext_ann_cosine_topk", "ext_ann_lsh_bucketed", "ext_ann_recall",
     "ext_ann_pq_adc",
-    "ext_data_quality", "ext_sketch_kmv_setops", "stream_attribution_outer",
-    "ext_sample_reservoir", "rel_map_in_arrow", "ext_inverted_index",
+    "ext_data_quality", "stream_attribution_outer",
+    "ext_sample_reservoir", "rel_map_in_arrow",
     "rel_udtf", "ext_funnel", "ext_cohort_retention", "ext_rfm",
     "rel_setops",
     "ext_dedup_containment", "rel_salted_join",
     "ext_text_profile", "rel_scalar_funcs",
     "ext_attribution_multitouch", "ext_dedup_paragraph", "ext_rolling_dau",
-    "ext_bm25_search", "ext_anomaly_zscore", "ext_session_window_native",
+    "ext_anomaly_zscore", "ext_session_window_native",
     "ext_fuzzy_linkage", "v_channel_daily_incremental",
-    "ext_sketch_hll", "ext_sketch_countmin", "ext_graph_triangles",
+    "ext_graph_triangles",
     "ext_chunk_documents", "ext_domain_balance", "ext_sample_temperature",
     "etl_scd2",
+    # --- 50-slot grading window ends here ---
+    # tail: every entry below is r4-green (CORRECTNESS_r04 hash-exact
+    # or, for stream_sessionize, the contract-allowed rows-only row)
+    # with code unchanged this round
+    "stream_sketch_hll", "ext_graph_label_propagation", "stream_topk_trending",
+    "ext_rolling_median", "stream_sketch_countmin", "stream_dedup_ingest",
+    "ext_rarity_score", "ext_bpe_merge_round",
+    "rel_window_frames", "rel_rank_suite", "rel_join_variants",
+    "rel_semistructured", "rel_pivot_unpivot", "rel_grouping_lattice",
+    "rel_stats_suite", "rel_pandas_suite", "ext_text_stats",
+    "ext_doc_filters",
+    "ext_semantic_dedup", "stream_cdc_apply",
+    "q0_pnl_summary", "q1_top_sellers", "q2_top_profit",
+    "q3_margin_having", "q4_channel_kpis", "q5_repeat_drivers",
+    "q8_spend_waste", "q9_retention",
+    "q10_demographics", "q11_frequency_segments",
+    "etl_dim_product", "etl_dim_date", "etl_dim_campaign_parse",
+    "etl_fact_sales", "etl_upsert_dedup",
+    "v_channel_daily", "v_kpi_channel", "v_kpi_campaign",
+    "rel_setops_all", "rel_asof_join", "rel_range_join",
+    "ext_dedup_exact", "ext_sessionize",
+    "ext_sample_stratified", "ext_multimodal_meta",
+    "stream_sessionize", "stream_enrich_join",
+    "rel_scalar_subquery", "rel_time_rollup",
 ]
 
 _missing = [n for n in _PRIORITY if n not in SUITE]

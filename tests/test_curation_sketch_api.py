@@ -71,7 +71,9 @@ def test_hll_api_matches_suite(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     regs = hll_registers(ev, "user_id", ["event_type"])
     est = hll_estimate(regs, ["event_type"]).withColumnRenamed("event_type", "grp")
-    suite = SUITE["ext_sketch_hll"].fn(spark, SF_DIR).filter(F.col("grp") != "(all)")
+    from marketing_etl_analytics_spark.suite.timeseries import ext_sketch_hll
+
+    suite = ext_sketch_hll(spark, SF_DIR).filter(F.col("grp") != "(all)")
     cols = ["grp", "n_zero_registers", "hll_estimate"]
     assert _rows(est, cols) == _rows(suite.select(*cols), cols)
 
@@ -113,7 +115,9 @@ def test_countmin_api_matches_suite(spark):
         .limit(20)
     )
     est = countmin_query(counters, top.select("tok"), "tok")
-    suite = SUITE["ext_sketch_countmin"].fn(spark, SF_DIR)
+    from marketing_etl_analytics_spark.suite.timeseries import ext_sketch_countmin
+
+    suite = ext_sketch_countmin(spark, SF_DIR)
     cols = ["token", "cm_estimate"]
     lib = est.withColumnRenamed("tok", "token")
     assert _rows(lib, cols) == _rows(suite.select(*cols), cols)

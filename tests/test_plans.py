@@ -285,7 +285,13 @@ def test_countmin_counters_from_vocab_not_corpus(spark):
     side."""
     import re
 
-    plan = plan_of(spark, "ext_sketch_countmin")
+    from marketing_etl_analytics_spark.suite.timeseries import ext_sketch_countmin
+
+    df = ext_sketch_countmin(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     # formatted-plan operator ids increase bottom-up. The token explode
     # (Generate over split(text)) must have a LOWER id than some
     # HashAggregate which in turn is lower than the d-row explode
