@@ -1,6 +1,6 @@
 """Derive a larger scale factor from an existing testdata dir.
 
-Usage: python tools/make_sf.py SRC_DIR DST_DIR FACTOR
+Usage: python tools/make_sf.py SRC_DIR DST_DIR FACTOR [PERTURB] [DUP_CAP]
 
 Replicates every fact/entity table FACTOR times with key-shifted
 copies (foreign keys shift consistently, so join cardinalities scale
@@ -27,6 +27,19 @@ replicate intact inside every copy (ids shifted), and replicas are
 near-dups of their source — so the corpus carries exact dups,
 near-dups, AND an informative shingle band simultaneously. Pass
 perturb=0 as a 4th argument for the legacy pure-clone behavior.
+
+DUP_CAP (round-5, VERDICT r4 #7): at factor=100 every source doc gets
+100 mutually-near-dup replicas — C(100,2) TRUE pairs per doc (and 100
+EXACT embedding copies per vector), so sf10 dedup timings were
+output-bound: wall tracked the quadratic true-pair count, a generator
+artifact that drowned the plan signal. With DUP_CAP=k (5th argument,
+0 = legacy unlimited), only replicas _r < k stay near-dups of their
+source: beyond the cap, every document token is tagged (disjoint
+shingle sets — not a near-dup of anything) and embeddings are
+replaced with crc32-derived pseudo-vectors (distinct geometry). Data
+VOLUME still scales by FACTOR; true-dup-group size is bounded at k,
+as in a real corpus where duplication rate does not grow with corpus
+size.
 """
 
 from __future__ import annotations
@@ -69,18 +82,41 @@ PERTURB_PCT = 35
 
 # deterministic token-level mutation: position+content-addressed, so
 # reruns produce bit-identical corpora; the tag keeps tokens valid
-# whitespace-delimited words for every downstream tokenizer
-_MUTATE_TEXT = f"""
-CASE WHEN _r = 0 THEN text ELSE
-  concat_ws(' ', transform(split(text, ' '), (x, i) ->
+# whitespace-delimited words for every downstream tokenizer.
+# dup_cap > 0 bounds the near-dup group: replicas at or beyond the cap
+# tag EVERY token (disjoint shingles — distinct documents, volume
+# without quadratic true pairs).
+def _mutate_text(dup_cap: int) -> str:
+    tag_all = "concat_ws(' ', transform(split(text, ' '), x -> concat(x, '~', CAST(_r AS STRING))))"
+    partial = f"""concat_ws(' ', transform(split(text, ' '), (x, i) ->
     CASE WHEN crc32(concat(CAST(doc_id AS STRING), ':',
                            CAST(i AS STRING), ':', x)) % 100 < {PERTURB_PCT}
-         THEN concat(x, '~', CAST(_r AS STRING)) ELSE x END))
+         THEN concat(x, '~', CAST(_r AS STRING)) ELSE x END))"""
+    cap_arm = f"WHEN _r >= {dup_cap} THEN {tag_all}" if dup_cap > 0 else ""
+    return f"""
+CASE WHEN _r = 0 THEN text {cap_arm} ELSE
+  {partial}
 END
 """
 
 
-def main(src: str, dst: str, factor: int, perturb: bool = True) -> None:
+# beyond-cap embedding replicas become crc32-derived pseudo-vectors in
+# [-1, 1): distinct geometry, so cosine dedup sees bounded dup groups
+# while ANN/dedup scans still process FACTOR x the vectors
+def _mutate_embedding(dup_cap: int) -> str:
+    return f"""
+CASE WHEN _r < {dup_cap} THEN embedding ELSE
+  transform(sequence(1, size(embedding)), i ->
+    CAST((CAST(crc32(concat(CAST(vec_id AS STRING), ':',
+                            CAST(i AS STRING))) % 2001 AS DOUBLE)
+          - 1000.0) / 1000.0 AS FLOAT))
+END
+"""
+
+
+def main(
+    src: str, dst: str, factor: int, perturb: bool = True, dup_cap: int = 0
+) -> None:
     spark = get_spark(app_name="make_sf", shuffle_partitions=32)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     os.makedirs(dst, exist_ok=True)
@@ -114,8 +150,10 @@ def main(src: str, dst: str, factor: int, perturb: bool = True) -> None:
                 rep = rep.withColumn(col, F.col(col) + F.col("_r") * F.lit(off))
         if table == "documents" and perturb:
             # after the id shift, so the mutation hash differs per copy
-            rep = rep.withColumn("text", F.expr(_MUTATE_TEXT))
+            rep = rep.withColumn("text", F.expr(_mutate_text(dup_cap)))
             rep = rep.withColumn("n_chars", F.length("text").cast("long"))
+        if table == "embeddings" and dup_cap > 0:
+            rep = rep.withColumn("embedding", F.expr(_mutate_embedding(dup_cap)))
         # size output files from the cheap source count — counting the
         # replicated crossJoin would materialize it a second time
         n_src = df.count()
@@ -130,4 +168,5 @@ if __name__ == "__main__":
         sys.argv[2],
         int(sys.argv[3]),
         perturb=(len(sys.argv) < 5 or sys.argv[4] not in ("0", "false")),
+        dup_cap=(int(sys.argv[5]) if len(sys.argv) > 5 else 0),
     )
