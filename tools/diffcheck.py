@@ -48,7 +48,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app_name="diffcheck", shuffle_partitions=8)
+    # the gate COLLECTS full results for the multiset compare; at the
+    # 100x probe SFs a fact-table build serializes >1 GiB of rows,
+    # tripping the 1g maxResultSize safety default. The collect is the
+    # harness's comparison mechanism, not an engine data path — raise
+    # the cap here (knob: SPARK_MAX_RESULT), never in get_spark.
+    spark = get_spark(
+        app_name="diffcheck",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.driver.maxResultSize": os.environ.get("SPARK_MAX_RESULT", "8g")
+        },
+    )
     con = duckdb.connect()
     for tbl in TABLES:
         path = os.path.join(sf_dir, f"{tbl}.parquet")
