@@ -81,13 +81,13 @@ def _sql_iteration(prev: str, it: str) -> str:
     """One unrolled PageRank round (DuckDB side)."""
     contrib = sql_pround("CAST(r.r AS DOUBLE) / r.deg", 12)
     return f"""
-    s{it} AS (
+    s{it} AS MATERIALIZED (
       SELECT e.dst AS node,
         CAST(SUM(CAST({contrib} AS DECIMAL(38,12))) AS DOUBLE) AS s
       FROM edges e JOIN {prev} r ON e.src = r.node
       GROUP BY e.dst
     ),
-    {it} AS (
+    {it} AS MATERIALIZED (
       SELECT d.node, d.deg, nn.n,
         {sql_pround(f"0.15 / nn.n + {DAMPING} * COALESCE(s{it}.s, 0.0)", 12)} AS r
       FROM deg d CROSS JOIN nn LEFT JOIN s{it} ON d.node = s{it}.node
@@ -110,15 +110,23 @@ _SQL_EDGE_BLOCK = f"""
       SELECT sh FROM sh GROUP BY sh
       HAVING COUNT(*) BETWEEN 2 AND {BUCKET_CAP}
     ),
-    e2 AS (
+    sh_ok AS MATERIALIZED (
+      -- band filter applied to BOTH pair-join inputs explicitly: at
+      -- the 100x probe SF, letting the planner pick the join order on
+      -- raw sh x sh pairs a df~10^3 source-clone shingle into ~10^6
+      -- rows EACH before the filter, spilling ~80 GB of temp; with
+      -- the banded set materialized, pair fan-out is <= C(cap,2) per
+      -- shingle by construction (same shape the Spark side always had)
+      SELECT s.doc_id, s.sh FROM sh s JOIN ok_h USING (sh)
+    ),
+    e2 AS MATERIALIZED (
       SELECT x.doc_id AS a, y.doc_id AS b
-      FROM sh x
-      JOIN ok_h USING (sh)
-      JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      FROM sh_ok x
+      JOIN sh_ok y ON x.sh = y.sh AND x.doc_id < y.doc_id
       GROUP BY x.doc_id, y.doc_id
       HAVING COUNT(*) >= {MIN_SHARED}
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT a AS src, b AS dst FROM e2
       UNION ALL
       SELECT b AS src, a AS dst FROM e2
@@ -129,9 +137,11 @@ _SQL_EDGE_BLOCK = f"""
     "ext_graph_pagerank",
     f"""
     WITH {_SQL_EDGE_BLOCK},
-    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
-    nn AS (SELECT COUNT(*) AS n FROM deg),
-    r0 AS (SELECT node, deg, nn.n, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
+    deg AS MATERIALIZED (
+      SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+    r0 AS MATERIALIZED (
+      SELECT node, deg, nn.n, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
     {_sql_iteration("r0", "r1")},
     {_sql_iteration("r1", "r2")},
     {_sql_iteration("r2", "r3")}
