@@ -209,22 +209,23 @@ def farthest_first_from_pool(pool: list[tuple], k: int) -> list:
     return chosen
 
 
-def semantic_dedup(
+def semantic_assign(
     df: DataFrame,
     key: str = "vec_id",
     vec: str = "embedding",
     n_centroids: int = 32,
     cluster_cap: int = 128,
-    threshold: float = 0.35,
     seeding: str = "farthest",
     pool_factor: int = 8,
     assign: str = "exact",
     n_probe: int = 3,
 ) -> DataFrame:
-    """SemDeDup: nearest-seed-centroid clusters (broadcast argmax),
-    hot clusters re-split on 8 hyperplane sign bits, within-cluster
-    cosine pairs >= threshold flag the higher key as a duplicate of
-    the lower. Returns (key, cluster, n_dups_to_lower, is_kept).
+    """SemDeDup assignment stage: nearest-seed-centroid clusters
+    (broadcast argmax or IVF-probed), hot clusters re-split on 8
+    hyperplane sign bits. Returns (key, cluster, _ckey) — the
+    per-corpus cluster index. At cluster scale this IS a persisted
+    table built once per corpus version (the suite memoizes it via
+    memo_df and feeds it back to semantic_dedup(keyed=...)).
 
     Choose n_centroids ~ sqrt(n) (the SemDeDup regime); the cap
     bounds pairwise work at sum(c_i^2) regardless of corpus size.
@@ -375,6 +376,52 @@ def semantic_dedup(
         )
         .otherwise(F.col("cluster").cast("string"))
         .alias("_ckey"),
+    )
+    return keyed
+
+
+def semantic_dedup(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    n_centroids: int = 32,
+    cluster_cap: int = 128,
+    threshold: float = 0.35,
+    seeding: str = "farthest",
+    pool_factor: int = 8,
+    assign: str = "exact",
+    n_probe: int = 3,
+    keyed: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup: semantic_assign's clusters, then within-cluster
+    cosine pairs >= threshold flag the higher key as a duplicate of
+    the lower. Returns (key, cluster, n_dups_to_lower, is_kept).
+
+    ``keyed``: pass a precomputed/memoized semantic_assign result to
+    skip rebuilding the cluster index (the suite's memo_df pattern —
+    the index is the amortized artifact; assignment parameters are
+    then taken from it, not from this call's arguments).
+    """
+    dot = (
+        "CAST(aggregate(sequence(1, size({a})), CAST(0 AS DECIMAL(38,12)),"
+        " (acc, i) -> CAST(acc + CAST(CAST(element_at({a}, i) AS DOUBLE)"
+        " * CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(38,12))"
+        " AS DECIMAL(38,12))) AS DOUBLE)"
+    )
+    if keyed is None:
+        keyed = semantic_assign(
+            df,
+            key=key,
+            vec=vec,
+            n_centroids=n_centroids,
+            cluster_cap=cluster_cap,
+            seeding=seeding,
+            pool_factor=pool_factor,
+            assign=assign,
+            n_probe=n_probe,
+        )
+    b = df.select(
+        F.col(key), F.col(vec), F.expr(dot.format(a=vec, b=vec)).alias("_n2")
     )
     m = keyed.join(b.select(key, vec, "_n2"), key)
     mu = m.select(

@@ -1925,13 +1925,28 @@ _SQL_SUPER_POOL = """SELECT c.cent_id AS k,
     "and grades it hash-exact.",
 )
 def ext_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from marketing_etl_analytics_spark.ext.curation import semantic_dedup
+    from marketing_etl_analytics_spark.ext.curation import (
+        semantic_assign,
+        semantic_dedup,
+    )
 
+    # the IVF cluster index is memoized per corpus like the exact
+    # twin's sem_assign (at cluster scale: a persisted table built
+    # once per corpus version); the pairwise stage reads it back
+    keyed = memo_df(
+        spark,
+        sf_dir,
+        "sem_assign_ivf",
+        lambda: semantic_assign(
+            t(spark, sf_dir, "embeddings"),
+            n_centroids=SEM_CENTROIDS,
+            cluster_cap=SEM_CLUSTER_CAP,
+            assign="ivf",
+            n_probe=SEM_N_PROBE,
+        ),
+    )
     return semantic_dedup(
         t(spark, sf_dir, "embeddings"),
-        n_centroids=SEM_CENTROIDS,
-        cluster_cap=SEM_CLUSTER_CAP,
         threshold=SEM_DEDUP_T,
-        assign="ivf",
-        n_probe=SEM_N_PROBE,
+        keyed=keyed,
     ).orderBy("vec_id")
