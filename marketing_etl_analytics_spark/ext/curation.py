@@ -238,7 +238,9 @@ def semantic_assign(
     sum(c_i^2) bound actually buys: lowest-key seeds ('lowest', the
     legacy mode) can all land in one dense region, collapsing the
     rest of the space onto few giant clusters (pinned by the skewed-
-    synthetic pytest).
+    synthetic pytest). 'hashmod' (r5) is the distributed large-k
+    mode: hash-first row per md5 bucket, seeds stay a frame — no
+    driver greedy, no isin literals; the k~1e5 seeding path.
 
     ``assign``: 'exact' scores every row against all k centroids
     (O(n*k) dots — fine at k~sqrt(n) up to modest k). 'ivf' routes
@@ -295,6 +297,28 @@ def semantic_assign(
         )
     elif seeding == "lowest":
         cent = b.orderBy(key).limit(n_centroids).select(*cent_cols)
+    elif seeding == "hashmod":
+        # Distributed seeding for LARGE k (the ADVICE r4 path): k
+        # md5-derived buckets, seed = hash-first row per bucket. One
+        # shuffle on the bucket id, seeds stay a FRAME end-to-end —
+        # no driver-side greedy, no isin(<k literals>) plan-time
+        # blowup, so k~1e5 seeding costs the same as any groupBy.
+        # Trades farthest-first's k-center spread guarantee for full
+        # distribution; content-addressed, hence deterministic and
+        # engine-reproducible like every other seeding mode. Occupied
+        # buckets can be < k on small inputs (seeds = occupied count).
+        h = F.md5(F.col(key).cast("string"))
+        bkt = (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % F.lit(n_centroids)
+        )
+        ws = Window.partitionBy("_bkt").orderBy("_h", key)
+        cent = (
+            b.select(key, vec, "_n2", h.alias("_h"), bkt.alias("_bkt"))
+            .withColumn("_srn", F.row_number().over(ws))
+            .filter(F.col("_srn") == 1)
+            .select(*cent_cols)
+        )
     else:
         raise ValueError(f"unknown seeding mode: {seeding!r}")
     cos_c = F.expr(dot.format(a=vec, b="_ce")) / F.sqrt(F.col("_n2") * F.col("_cn2"))

@@ -256,3 +256,28 @@ def test_semantic_dedup_empty_input(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert semantic_dedup(df).count() == 0
     assert semantic_dedup(df, seeding="lowest").count() == 0
+
+
+def test_hashmod_seeding_is_distributed_and_deterministic(spark):
+    """'hashmod' seeding (r5, the large-k ADVICE path): seeds derived
+    as a frame (one bucket groupBy — no driver greedy, no isin
+    literals), deterministic across invocations, and the resulting
+    assignment covers every row with clusters drawn from the seed
+    set."""
+    from marketing_etl_analytics_spark.ext.curation import (
+        semantic_assign,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = emb.count()
+    a1 = semantic_assign(emb, n_centroids=16, seeding="hashmod")
+    a2 = semantic_assign(emb, n_centroids=16, seeding="hashmod")
+    r1 = sorted(map(tuple, a1.collect()))
+    assert r1 == sorted(map(tuple, a2.collect()))  # deterministic
+    assert len(r1) == n  # every row assigned
+    clusters = {r[1] for r in r1}
+    assert 1 < len(clusters) <= 16  # occupied buckets, bounded by k
+    # end-to-end: the full dedup runs on the hashmod index too
+    out = semantic_dedup(emb, n_centroids=16, seeding="hashmod")
+    assert out.count() == n
