@@ -313,3 +313,18 @@ def test_countmin_counters_from_vocab_not_corpus(spark):
                 j_gen = op[0] if j_gen is None else j_gen
     assert tok_gen is not None and j_gen is not None, plan
     assert any(tok_gen < a < j_gen for a in aggs), (tok_gen, aggs, j_gen)
+
+
+def test_quality_score_scan_prunes_to_three_columns(spark):
+    """ext_quality_score (r5) must stay one codegen projection over a
+    column-pruned scan: only doc_id, n_chars, text read (documents
+    also carries lang/source/the wide text metadata), no Exchange
+    anywhere in the plan."""
+    plan = plan_of(spark, "ext_quality_score")
+    scan_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan_lines
+    for line in scan_lines:
+        assert "lang" not in line and "source" not in line
+        assert "doc_id" in line and "n_chars" in line and "text" in line
+    body = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in body, body[:800]
