@@ -39,3 +39,111 @@ def token_counts(df: DataFrame, text: str = "text") -> DataFrame:
             ).cast("long"),
         }
     )
+
+
+# --- BPE tokenizer (train + encode), column-parameterized --------------------
+#
+# Library form of the suite's ext_bpe_merge_round / ext_bpe_encode
+# entries (r5): greedy BPE training iterates the pair-counting
+# primitive over the DISTINCT vocabulary weighted by word counts
+# (Heaps-law sublinear in corpus size — the scale trick), collecting
+# only the 1-row winning pair per round; encoding applies the learned
+# merges with delimiter-wrapped string replace, whose leftmost
+# non-overlapping semantics equal the classic greedy BPE fold in any
+# engine (after a merge the new symbol can never re-match the
+# pattern's left side, since ab != a).
+
+BPE_SEP = "\x1f"
+
+
+def _bpe_syms(col: str = "s"):
+    return F.split(F.expr(f"trim(BOTH '{BPE_SEP}' FROM {col})"), BPE_SEP + BPE_SEP)
+
+
+def bpe_vocab(df: DataFrame, text: str = "text") -> DataFrame:
+    """(w, freq, s) corpus vocabulary with char-split delimited symbol
+    strings — the training/encoding working set. One explode + one
+    map-side-combined aggregation; everything downstream runs on
+    |vocab| rows, never |corpus| rows."""
+    words = df.select(
+        F.explode(F.split(F.lower(F.col(text)), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn(
+            "s", F.regexp_replace("w", "(.)", f"{BPE_SEP}$1{BPE_SEP}")
+        )
+    )
+
+
+def bpe_apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one learned merge (a, b) -> ab to the vocabulary's symbol
+    strings (single non-overlapping leftmost replace per word)."""
+    return vocab.withColumn(
+        "s",
+        F.replace(
+            F.col("s"),
+            F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
+            F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+        ),
+    )
+
+
+def bpe_train(
+    df: DataFrame, text: str = "text", n_merges: int = 8
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Greedy BPE training: per round, one map-side-combined
+    aggregation over the vocabulary finds the most frequent adjacent
+    symbol pair (exact BIGINT counts, deterministic (n, a, b)
+    tiebreak — engine-reproducible), which is merged and recorded.
+    The per-round collect is ONE row (planning-sized). Returns the
+    ordered merge list and the post-merge vocabulary (w, freq, s)."""
+    v = bpe_vocab(df, text)
+    syms = _bpe_syms()
+    pair_structs = (
+        "transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, CAST(i AS INT)) AS a,"
+        " element_at(syms, CAST(i AS INT) + 1) AS b))"
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            v.withColumn("syms", syms)
+            .filter(F.size("syms") >= 2)
+            .select(F.explode(F.expr(pair_structs)).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged (tiny corpora)
+        merges.append((top[0]["a"], top[0]["b"]))
+        v = bpe_apply_merge(v, *merges[-1])
+    return merges, v
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    vocab: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document token counts under a trained vocabulary: explode
+    words, join the |vocab|-row word -> n_tok map, roll up per key.
+    Returns (key, n_words, n_chars, n_tokens)."""
+    enc = vocab.select("w", F.size(_bpe_syms()).cast("long").alias("n_tok"))
+    words = df.select(
+        F.col(key), F.explode(F.split(F.lower(F.col(text)), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.join(enc, "w")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

@@ -1178,54 +1178,17 @@ def _sql_bpe_round_ctes(n_rounds: int) -> str:
     "greedy training decision, not just the final arithmetic.",
 )
 def ext_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # engine API (ext/text.py, r5 promotion): bpe_train iterates the
+    # counting primitive with 1-row planning-sized collects;
+    # bpe_token_counts rolls documents up through the trained
+    # |vocab|-row word -> n_tok map
+    from marketing_etl_analytics_spark.ext.text import bpe_token_counts, bpe_train
+
     docs = t(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    vocab = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("freq"))
-    v = vocab.withColumn(
-        "s", F.regexp_replace("w", "(.)", f"{_SEP}$1{_SEP}")
-    )
-    syms = F.split(F.expr(f"trim(BOTH '{_SEP}' FROM s)"), _SEP + _SEP)
-    pair_structs = (
-        "transform(sequence(1, size(syms) - 1),"
-        " i -> struct(element_at(syms, CAST(i AS INT)) AS a,"
-        " element_at(syms, CAST(i AS INT) + 1) AS b))"
-    )
-    merges: list[tuple[str, str]] = []
-    for _ in range(BPE_ROUNDS):
-        # top pair this round: one map-side-combined agg over the
-        # vocab + a 1-row collect (planning-sized driver loop)
-        top = (
-            v.withColumn("syms", syms)
-            .filter(F.size("syms") >= 2)
-            .select(F.explode(F.expr(pair_structs)).alias("p"), "freq")
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("n"))
-            .orderBy(F.desc("n"), "a", "b")
-            .limit(1)
-            .collect()
-        )[0]
-        a, b = top["a"], top["b"]
-        merges.append((a, b))
-        v = v.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(f"{_SEP}{a}{_SEP}{_SEP}{b}{_SEP}"),
-                F.lit(f"{_SEP}{a}{b}{_SEP}"),
-            ),
-        )
-    enc = v.select("w", F.size(syms).cast("long").alias("n_tok"))
+    merges, vocab = bpe_train(docs, n_merges=BPE_ROUNDS)
     merge_list = ",".join(f"{a}+{b}" for a, b in merges)
     return (
-        words.join(enc, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum(F.length("w")).cast("long").alias("n_chars"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-        )
+        bpe_token_counts(docs, vocab)
         .withColumn("merges", F.lit(merge_list))
         .orderBy("doc_id")
     )
