@@ -6,7 +6,7 @@ no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -38,6 +38,86 @@ def token_counts(df: DataFrame, text: str = "text") -> DataFrame:
                 F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_RE), 0)
             ).cast("long"),
         }
+    )
+
+
+# --- sequence packing (concat-and-chop) --------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    seq_len: int = 128,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Concat-and-chop sequence packing: concatenate every document's
+    whitespace tokens in ``key`` order into one global token stream
+    and chop it into fixed-length training sequences of ``seq_len``
+    tokens — the document -> training-example layout step an LLM data
+    pipeline runs after tokenization. Per document returns
+    (key, n_tokens, tok_start, first_seq, offset_in_first, n_seqs).
+
+    The global running token offset is a prefix sum, and the naive
+    Spark spelling — ``SUM() OVER (ORDER BY key)`` with no
+    PARTITION BY — collapses the whole corpus into ONE task, the
+    classic 100 TB non-starter. This runs the textbook two-phase
+    distributed scan instead:
+
+    1. project (key, n_tokens) and range-partition on the pack-order
+       key; localCheckpoint the result (it is read twice, and
+       checkpointing pins the sampled range bounds so both passes see
+       the identical partitioning);
+    2. per-partition token totals -> exclusive partition offsets, via
+       a window over the PARTITION-COUNT-sized totals table
+       (planning-sized by construction — the ACID-manifest precedent)
+       broadcast back onto the data;
+    3. within-partition running sum + partition offset = the exact
+       global prefix sum, computed with per-partition parallelism.
+
+    Every sequence-index expression is integer arithmetic (DIV / %),
+    so any engine replays it bit-exactly.
+    """
+    toks = df.select(
+        F.col(key),
+        F.size(F.split(F.lower(F.col(text)), " ")).cast("long").alias("n_tokens"),
+    )
+    if n_parts is None:
+        n_parts = max(2, toks.sparkSession.sparkContext.defaultParallelism // 4)
+    part = (
+        toks.repartitionByRange(int(n_parts), key)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ptot = part.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    # n_parts rows: the one intentionally-serial window in the scan
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    poff = ptot.select(
+        "_pid",
+        F.coalesce(F.sum("_tot").over(woff), F.lit(0)).cast("long").alias("_off"),
+    )
+    wcum = (
+        Window.partitionBy("_pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = int(seq_len)
+    return (
+        part.join(F.broadcast(poff), "_pid")
+        .withColumn("_end", (F.col("_off") + F.sum("n_tokens").over(wcum)).cast("long"))
+        .withColumn("tok_start", (F.col("_end") - F.col("n_tokens")).cast("long"))
+        .select(
+            key,
+            "n_tokens",
+            "tok_start",
+            F.expr(f"tok_start DIV {seq}").cast("long").alias("first_seq"),
+            (F.col("tok_start") % seq).cast("long").alias("offset_in_first"),
+            (
+                F.expr(f"(_end - 1) DIV {seq}") - F.expr(f"tok_start DIV {seq}") + 1
+            )
+            .cast("long")
+            .alias("n_seqs"),
+        )
     )
 
 
@@ -98,8 +178,15 @@ def bpe_train(
     symbol pair (exact BIGINT counts, deterministic (n, a, b)
     tiebreak — engine-reproducible), which is merged and recorded.
     The per-round collect is ONE row (planning-sized). Returns the
-    ordered merge list and the post-merge vocabulary (w, freq, s)."""
-    v = bpe_vocab(df, text)
+    ordered merge list and the post-merge vocabulary (w, freq, s).
+
+    The initial vocabulary is localCheckpoint'ed once: it is the
+    Heaps-law-sublinear working set every round re-reads, and without
+    the checkpoint each round's aggregation would re-execute the full
+    corpus scan + explode + rollup (n_merges corpus scans instead of
+    one). At cluster scale this is the persisted vocab table a real
+    tokenizer-training job materializes before iterating."""
+    v = bpe_vocab(df, text).localCheckpoint(eager=True)
     syms = _bpe_syms()
     pair_structs = (
         "transform(sequence(1, size(syms) - 1),"

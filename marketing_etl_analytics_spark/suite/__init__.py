@@ -46,17 +46,22 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 # stale by end of r5, so they rotate in. To fit alongside the r5
 # additions, the three r3-green batch sketch singles (hll / countmin /
 # kmv set-ops) were merged into the wide ext_sketch_suite row (the
-# rel_stats_suite precedent), shrinking the suite 101 -> 99. The
-# 50-slot r5 window holds, in order:
-#   (a) the 4 never-driver-graded r5 entries: ext_semantic_dedup_ivf
+# rel_stats_suite precedent), shrinking the suite 101 -> 99; the two
+# r3-green non-pandas UDF singles (rel_map_in_arrow / rel_udtf) were
+# likewise merged into rel_udf_tiers, freeing the slot that admits
+# ext_pack_sequences (suite stays 99). The 50-slot r5 window holds,
+# in order:
+#   (a) the 6 never-driver-graded r5 entries: ext_semantic_dedup_ivf
 #       (VERDICT r4 #3 — graded IVF assignment), ext_bpe_encode
 #       (r4 #5 — tokenizer apply step), ext_quality_score (r4 #6 —
-#       learned-model gate), ext_sketch_suite (the consolidation row),
+#       learned-model gate), ext_pack_sequences (concat-and-chop
+#       packing via two-phase distributed prefix scan),
+#       ext_sketch_suite + rel_udf_tiers (the consolidation rows),
 #   (b) the 3 r4/r3-green entries whose code changed this round:
 #       ext_curation_pipeline (model gate composed in),
 #       ext_inverted_index / ext_bm25_search (served from the
 #       persisted bucketed term index, VERDICT r4 #4),
-#   (c) the remaining 43 r3-green tail entries with unchanged code.
+#   (c) the remaining 41 r3-green tail entries with unchanged code.
 # The 49 entries past the window are exactly the r4-green rows whose
 # code is unchanged since CORRECTNESS_r04. stream_sessionize stays the
 # contract-allowed rows-only entry (pytest-equal to its oracled batch
@@ -64,7 +69,7 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 _PRIORITY = [
     # (a) never-driver-graded r5 entries
     "ext_semantic_dedup_ivf", "ext_bpe_encode", "ext_quality_score",
-    "ext_sketch_suite",
+    "ext_pack_sequences", "ext_sketch_suite", "rel_udf_tiers",
     # (b) code changed this round
     "ext_curation_pipeline", "ext_inverted_index", "ext_bm25_search",
     # (c) r3-green tail rotation (unchanged code, else two-round stale)
@@ -76,8 +81,8 @@ _PRIORITY = [
     "ext_ann_cosine_topk", "ext_ann_lsh_bucketed", "ext_ann_recall",
     "ext_ann_pq_adc",
     "ext_data_quality", "stream_attribution_outer",
-    "ext_sample_reservoir", "rel_map_in_arrow",
-    "rel_udtf", "ext_funnel", "ext_cohort_retention", "ext_rfm",
+    "ext_sample_reservoir",
+    "ext_funnel", "ext_cohort_retention", "ext_rfm",
     "rel_setops",
     "ext_dedup_containment", "rel_salted_join",
     "ext_text_profile", "rel_scalar_funcs",

@@ -1259,6 +1259,69 @@ def ext_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sequence packing (concat-and-chop) --------------------------------------
+#
+# The OTHER document -> training-example layout: ext_chunk_documents
+# windows WITHIN each document; packing concatenates ACROSS documents
+# in key order and chops the global token stream at fixed sequence
+# boundaries (the layout GPT-style training actually feeds). The
+# interesting part at 100 TB is the global running token offset — an
+# exact prefix sum. The naive ``SUM() OVER (ORDER BY doc_id)`` with no
+# PARTITION BY plans a single-partition window (one task owns the
+# corpus); ext/text.py::pack_sequences runs the textbook two-phase
+# distributed scan instead: range-partition on the pack key,
+# per-partition totals -> exclusive offsets via a window over the
+# PARTITION-COUNT-sized totals table (planning-sized), broadcast the
+# offsets back, within-partition running sum + offset. The oracle IS
+# the naive single-window spelling — feasible for DuckDB at suite SFs
+# — so the compare proves the distributed scan computes the identical
+# global prefix sum.
+
+PACK_SEQ_LEN = 128
+
+
+@register(
+    "ext_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+        SUM(n_tokens) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS tok_end
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+      CAST(tok_end - n_tokens AS BIGINT) AS tok_start,
+      CAST((tok_end - n_tokens) // {PACK_SEQ_LEN} AS BIGINT) AS first_seq,
+      CAST((tok_end - n_tokens) % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_first,
+      CAST((tok_end - 1) // {PACK_SEQ_LEN}
+           - (tok_end - n_tokens) // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+    FROM c
+    ORDER BY doc_id
+    """,
+    doc=f"Sequence packing (concat-and-chop, seq_len={PACK_SEQ_LEN}): "
+    "concatenate all documents' whitespace tokens in doc_id order and "
+    "chop into fixed-length training sequences; per doc emits its "
+    "global token offset, first/spanned sequence ids, and offset "
+    "within its first sequence. Spark side computes the global prefix "
+    "sum with a two-phase distributed scan (range partition -> "
+    "partition totals -> broadcast exclusive offsets -> "
+    "within-partition running sum) — no single-partition window over "
+    "data ever; the oracle is the naive global-window spelling, so "
+    "the compare proves the scan's exactness.",
+)
+def ext_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.ext.text import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=PACK_SEQ_LEN).orderBy("doc_id")
+
+
 # --- context-window chunking ------------------------------------------------
 #
 # Fixed-size token-window chunking with overlap — the step that turns

@@ -360,24 +360,23 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Arrow-native mapInArrow -------------------------------------------------
 
-@register(
-    "rel_map_in_arrow",
-    """
+_SQL_MAP_IN_ARROW = """
     SELECT doc_id,
       CAST(length(text) AS BIGINT) AS n_chars_arrow,
       CAST(strlen(text) AS BIGINT) AS n_bytes,
       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
     FROM documents
-    ORDER BY doc_id
-    """,
-    doc="mapInArrow: per-batch pyarrow RecordBatch in/out with "
-    "pyarrow.compute kernels only (utf8_length, binary byte length, "
-    "count_substring) — no pandas conversion, no per-row Python. The "
-    "zero-copy tier of the UDF surface: when even a pandas round-trip "
-    "is too much, operate on the Arrow buffers the JVM already ships. "
-    "Integer outputs, so the oracle matches exactly.",
-)
+"""
+
+
 def rel_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: per-batch pyarrow RecordBatch in/out with
+    pyarrow.compute kernels only (utf8_length, binary byte length,
+    count_substring) — no pandas conversion, no per-row Python. The
+    zero-copy tier of the UDF surface: when even a pandas round-trip
+    is too much, operate on the Arrow buffers the JVM already ships.
+    Integer outputs, so the oracle matches exactly. Graded via the
+    rel_udf_tiers merged row (r5 consolidation)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -407,9 +406,7 @@ def rel_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Python UDTF (table function) --------------------------------------------
 
-@register(
-    "rel_udtf",
-    """
+_SQL_UDTF = """
     WITH w AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
       FROM documents WHERE doc_id % 50 = 0
@@ -417,16 +414,17 @@ def rel_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
     FROM w WHERE length(term) >= 6
     GROUP BY doc_id, term
-    ORDER BY doc_id, term
-    """,
-    doc="Python UDTF (CREATE FUNCTION ... RETURNS TABLE analog): a "
-    "lateral-joined table function exploding each document into "
-    "filtered term rows, aggregated to per-doc term frequencies. "
-    "UDTFs are the row-expanding tier of the UDF surface (scalar "
-    "pandas_udf -> grouped applyInPandas -> batch mapInArrow -> "
-    "table-generating udtf); integer outputs keep the oracle exact.",
-)
+"""
+
+
 def rel_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (CREATE FUNCTION ... RETURNS TABLE analog): a
+    lateral-joined table function exploding each document into
+    filtered term rows, aggregated to per-doc term frequencies.
+    UDTFs are the row-expanding tier of the UDF surface (scalar
+    pandas_udf -> grouped applyInPandas -> batch mapInArrow ->
+    table-generating udtf); integer outputs keep the oracle exact.
+    Graded via the rel_udf_tiers merged row (r5 consolidation)."""
     from pyspark.sql.functions import lit, udtf
 
     # Arrow-batched evaluation (ArrowEvalPythonUDTF, Spark 4) — the
@@ -458,6 +456,56 @@ def rel_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(lit(1)).cast("long").alias("tf"))
         .orderBy("doc_id", "term")
     )
+
+
+# --- merged non-pandas UDF-tier row (r5 consolidation) ------------------------
+#
+# The two remaining non-pandas UDF-surface singles (mapInArrow,
+# Python UDTF) were individually r3-green with unchanged code;
+# merging them into ONE wide driver row (the ext_sketch_suite /
+# rel_stats_suite precedent) keeps both API tiers under a single
+# CURRENT grading slot — freeing a window slot for the r5
+# ext_pack_sequences addition while every assertion survives at the
+# same grain. rel_pandas_suite keeps the pandas tiers (scalar
+# pandas_udf -> applyInPandas) standalone.
+
+@register(
+    "rel_udf_tiers",
+    f"""
+    SELECT 'arrow' AS kind, doc_id, CAST(NULL AS VARCHAR) AS term,
+      n_chars_arrow AS v1, n_bytes AS v2, n_tokens AS v3
+    FROM ({_SQL_MAP_IN_ARROW}) a
+    UNION ALL
+    SELECT 'udtf', doc_id, term, tf, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_SQL_UDTF}) u
+    ORDER BY kind, doc_id, term
+    """,
+    doc="Merged non-pandas UDF tiers (r5 consolidation of the "
+    "r3-green singles rel_map_in_arrow / rel_udtf): zero-copy "
+    "mapInArrow batch kernels and an Arrow-batched lateral-join "
+    "Python UDTF, union-tagged in one row. Integer outputs keep the "
+    "oracle exact on both branches.",
+)
+def rel_udf_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    arrow = rel_map_in_arrow(spark, sf_dir).select(
+        F.lit("arrow").alias("kind"),
+        "doc_id",
+        null_s.alias("term"),
+        F.col("n_chars_arrow").alias("v1"),
+        F.col("n_bytes").alias("v2"),
+        F.col("n_tokens").alias("v3"),
+    )
+    tf = rel_udtf(spark, sf_dir).select(
+        F.lit("udtf").alias("kind"),
+        "doc_id",
+        "term",
+        F.col("tf").alias("v1"),
+        null_l.alias("v2"),
+        null_l.alias("v3"),
+    )
+    return arrow.unionAll(tf).orderBy("kind", "doc_id", "term")
 
 
 # --- Structured Streaming native session windows (fully oracled) -------------
