@@ -476,3 +476,76 @@ def semantic_dedup(
         F.coalesce("_nd", F.lit(0)).cast("long").alias("n_dups_to_lower"),
         (F.coalesce("_nd", F.lit(0)) == 0).alias("is_kept"),
     )
+
+
+# --- deterministic global shuffle / split / shard ----------------------------
+#
+# The training-export layout step: before an LLM ever sees the corpus,
+# the pipeline (a) splits it into train/val/test, (b) SHUFFLES it into
+# a pseudo-random global order (so minibatches are i.i.d.-ish and no
+# shard is all-one-domain), and (c) lays it out as a fixed number of
+# shard files with a stable position for each example. All three
+# decisions here are content-addressed md5 arithmetic — no RNG state,
+# no driver: rerunning on any cluster, any partitioning, any engine
+# reproduces the identical layout bit-for-bit (the property that makes
+# resumable exports and cross-run diffing possible).
+#
+# Scale shape: one shuffle on (split, shard). The per-shard position
+# is a ROW_NUMBER window per (split, shard) — each shard is one window
+# task, which is exactly right because n_shards is chosen as
+# corpus_size / target_shard_file_size, so a shard IS the unit of
+# output work. There is no global sort and no driver-side state.
+
+SPLIT_PCT_TRAIN = 90
+SPLIT_PCT_VAL = 5  # test = 100 - train - val
+
+
+def _md5_48(prefix: str, col) -> "F.Column":
+    """48-bit integer from md5('<prefix>:' || key) — the sketches.py
+    hashing family; the prefix makes independent hash draws."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix + ":"), col.cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def global_shuffle_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    seed: int = 7,
+    n_shards: int = 8,
+    pct_train: int = SPLIT_PCT_TRAIN,
+    pct_val: int = SPLIT_PCT_VAL,
+) -> DataFrame:
+    """Per-row (split, shard, pos) assignment for training export.
+
+    Two independent md5 draws per row: the SPLIT key (percent bucket
+    on draw one — so changing n_shards never moves a document across
+    splits, the invariant eval-set hygiene depends on) and the
+    SHUFFLE key (draw two — shard = hs % n_shards, and the order
+    WITHIN a shard is ascending hs, i.e. pseudo-random, never
+    source/date order). ``pos`` is the 0-based offset of the row in
+    its shard file.
+    """
+    hk = _md5_48(f"split{seed}", F.col(key))
+    hs = _md5_48(f"shard{seed}", F.col(key))
+    split = (
+        F.when(hk % 100 < pct_train, "train")
+        .when(hk % 100 < pct_train + pct_val, "val")
+        .otherwise("test")
+    )
+    keyed = df.select(
+        F.col(key),
+        split.alias("split"),
+        (hs % n_shards).cast("long").alias("shard"),
+        hs.alias("_hs"),
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("split", "shard").orderBy("_hs", key)
+    )
+    return keyed.select(
+        key, "split", "shard", (pos - 1).cast("long").alias("pos")
+    )

@@ -61,7 +61,13 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 #       ext_curation_pipeline (model gate composed in),
 #       ext_inverted_index / ext_bm25_search (served from the
 #       persisted bucketed term index, VERDICT r4 #4),
-#   (c) the remaining 41 r3-green tail entries with unchanged code.
+#   (c) the remaining r3-green tail entries with unchanged code —
+#       with one more consolidation inside the window: the two
+#       r3-green singles ext_funnel / ext_cohort_retention merged
+#       into ext_funnel_cohort (the ext_sketch_suite precedent),
+#       freeing the slot that admits ext_shuffle_split (deterministic
+#       global shuffle + train/val/test split + shard layout — the
+#       training-export step; suite stays 99).
 # The 49 entries past the window are exactly the r4-green rows whose
 # code is unchanged since CORRECTNESS_r04. stream_sessionize stays the
 # contract-allowed rows-only entry (pytest-equal to its oracled batch
@@ -82,7 +88,7 @@ _PRIORITY = [
     "ext_ann_pq_adc",
     "ext_data_quality", "stream_attribution_outer",
     "ext_sample_reservoir",
-    "ext_funnel", "ext_cohort_retention", "ext_rfm",
+    "ext_funnel_cohort", "ext_shuffle_split", "ext_rfm",
     "rel_setops",
     "ext_dedup_containment", "rel_salted_join",
     "ext_text_profile", "rel_scalar_funcs",

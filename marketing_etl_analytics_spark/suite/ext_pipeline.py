@@ -1615,3 +1615,59 @@ def ext_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_rare_tokens").cast("double") / F.col("n_distinct_tokens"), 4
         ).alias("rare_fraction"),
     ).orderBy("doc_id")
+
+
+# --- deterministic global shuffle / train-val-test split / sharding ----------
+
+_SHUF_SEED = 7
+_SHUF_SHARDS = 8
+
+
+def _sql_md5_48(prefix: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}:' || CAST(doc_id AS VARCHAR)),"
+        " 1, 12)) AS BIGINT)"
+    )
+
+
+@register(
+    "ext_shuffle_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+        {_sql_md5_48(f"split{_SHUF_SEED}")} AS hk,
+        {_sql_md5_48(f"shard{_SHUF_SEED}")} AS hs
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id,
+        CASE WHEN hk % 100 < 90 THEN 'train'
+             WHEN hk % 100 < 95 THEN 'val'
+             ELSE 'test' END AS split,
+        CAST(hs % {_SHUF_SHARDS} AS BIGINT) AS shard, hs
+      FROM h
+    )
+    SELECT doc_id, split, shard,
+      CAST(ROW_NUMBER() OVER (PARTITION BY split, shard ORDER BY hs, doc_id)
+           - 1 AS BIGINT) AS pos
+    FROM assigned
+    ORDER BY split, shard, pos
+    """,
+    doc="Deterministic global shuffle + train/val/test split + shard "
+    "layout (ext/curation.py::global_shuffle_split): two independent "
+    "md5 draws per document — split by percent bucket on draw one (so "
+    "re-sharding never moves a document across splits), shard and "
+    "pseudo-random within-shard order by draw two. Content-addressed, "
+    "no RNG state, no driver: any engine, any partitioning reproduces "
+    "the identical export layout. One shuffle on (split, shard); the "
+    "per-shard ROW_NUMBER window is one task per shard, which is the "
+    "unit of output work by construction (n_shards ~ corpus / "
+    "shard-file size).",
+)
+def ext_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.ext.curation import global_shuffle_split
+
+    docs = t(spark, sf_dir, "documents")
+    return global_shuffle_split(
+        docs, key="doc_id", seed=_SHUF_SEED, n_shards=_SHUF_SHARDS
+    ).orderBy("split", "shard", "pos")

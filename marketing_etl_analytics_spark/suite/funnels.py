@@ -51,9 +51,7 @@ from marketing_etl_analytics_spark.suite.registry import register
 
 # --- strict-order conversion funnel -----------------------------------------
 
-@register(
-    "ext_funnel",
-    f"""
+_SQL_FUNNEL = f"""
     WITH ordered AS (
       SELECT user_id, event_id, ts, event_type,
         MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
@@ -87,13 +85,15 @@ from marketing_etl_analytics_spark.suite.registry import register
       {sql_ratio("SUM(clicked)", "SUM(viewed)", 4, "view_to_click")},
       {sql_ratio("SUM(purchased)", "SUM(clicked)", 4, "click_to_purchase")}
     FROM per_user
-    """,
-    doc="Strict-order view→click→purchase funnel: running-min windows "
-    "resolve 'after the first qualifying prior stage' in one shuffle "
-    "on user_id; per-stage self-joins would shuffle three times and "
-    "fan out on duplicate timestamps.",
-)
+    """
+
+
 def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order view→click→purchase funnel: running-min windows
+    resolve 'after the first qualifying prior stage' in one shuffle
+    on user_id; per-stage self-joins would shuffle three times and
+    fan out on duplicate timestamps. Graded via the ext_funnel_cohort
+    merged row (r5 consolidation)."""
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -140,9 +140,7 @@ def ext_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COHORT_MAX_OFFSET = 11
 
-@register(
-    "ext_cohort_retention",
-    f"""
+_SQL_COHORT = f"""
     WITH firsts AS (
       SELECT o_custkey, MIN(o_orderdate) AS first_dt
       FROM orders GROUP BY o_custkey
@@ -172,14 +170,16 @@ _COHORT_MAX_OFFSET = 11
       {sql_ratio("c.n_active", "s.cohort_size", 4, "retention")}
     FROM cells c JOIN sizes s ON s.cm = c.cm
     ORDER BY cohort_month, month_offset
-    """,
-    doc="Cohort retention matrix: customers cohorted by first-order "
-    "month, (cohort × month-offset) active counts and retention "
-    "rates. The first-order frame is customer-grained and joins back "
-    "broadcast-style; month arithmetic is integer (y*12+m), immune to "
-    "calendar-function divergence.",
-)
+    """
+
+
 def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers cohorted by first-order
+    month, (cohort × month-offset) active counts and retention
+    rates. The first-order frame is customer-grained and joins back
+    broadcast-style; month arithmetic is integer (y*12+m), immune to
+    calendar-function divergence. Graded via the ext_funnel_cohort
+    merged row (r5 consolidation)."""
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
     firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
     ym = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
@@ -218,6 +218,61 @@ def ext_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+# --- merged funnel + cohort row (r5 consolidation) ---------------------------
+
+@register(
+    "ext_funnel_cohort",
+    f"""
+    SELECT 'funnel' AS kind, CAST(NULL AS VARCHAR) AS k1,
+      CAST(NULL AS BIGINT) AS off,
+      n_users AS c1, n_viewed AS c2, n_clicked_after_view AS c3,
+      n_purchased_after_click AS c4,
+      view_to_click AS r1, click_to_purchase AS r2
+    FROM ({_SQL_FUNNEL}) f
+    UNION ALL
+    SELECT 'cohort', CAST(cohort_month AS VARCHAR), month_offset,
+      n_active, cohort_size, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+      retention, CAST(NULL AS DOUBLE)
+    FROM ({_SQL_COHORT}) c
+    ORDER BY kind, k1, off
+    """,
+    doc="Merged funnel + cohort-retention row (r5 consolidation of the "
+    "two r3-green singles ext_funnel / ext_cohort_retention — the "
+    "ext_sketch_suite precedent): the strict-order view→click→purchase "
+    "funnel (running-min windows, one shuffle on user_id) and the "
+    "(cohort × month-offset) retention matrix, union-tagged into one "
+    "graded row. Both underlying operators stay independently callable "
+    "(ext_funnel / ext_cohort_retention in this module).",
+)
+def ext_funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
+    null_d = F.lit(None).cast("double")
+    fu = ext_funnel(spark, sf_dir).select(
+        F.lit("funnel").alias("kind"),
+        null_s.alias("k1"),
+        null_l.alias("off"),
+        F.col("n_users").alias("c1"),
+        F.col("n_viewed").alias("c2"),
+        F.col("n_clicked_after_view").alias("c3"),
+        F.col("n_purchased_after_click").alias("c4"),
+        F.col("view_to_click").alias("r1"),
+        F.col("click_to_purchase").alias("r2"),
+    )
+    co = ext_cohort_retention(spark, sf_dir).select(
+        F.lit("cohort").alias("kind"),
+        F.col("cohort_month").cast("string").alias("k1"),
+        F.col("month_offset").alias("off"),
+        F.col("n_active").alias("c1"),
+        F.col("cohort_size").alias("c2"),
+        null_l.alias("c3"),
+        null_l.alias("c4"),
+        F.col("retention").alias("r1"),
+        null_d.alias("r2"),
+    )
+    return fu.unionAll(co).orderBy("kind", "k1", "off")
 
 
 # --- RFM segmentation --------------------------------------------------------

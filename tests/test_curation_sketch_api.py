@@ -281,3 +281,56 @@ def test_hashmod_seeding_is_distributed_and_deterministic(spark):
     # end-to-end: the full dedup runs on the hashmod index too
     out = semantic_dedup(emb, n_centroids=16, seeding="hashmod")
     assert out.count() == n
+
+
+# --- global shuffle / split / shard ------------------------------------------
+
+
+def test_shuffle_split_matches_suite(spark):
+    from marketing_etl_analytics_spark.ext.curation import global_shuffle_split
+
+    api = global_shuffle_split(_docs(spark), key="doc_id", seed=7, n_shards=8)
+    suite = SUITE["ext_shuffle_split"].fn(spark, SF_DIR)
+    cols = ["doc_id", "split", "shard", "pos"]
+    assert _rows(api, cols) == _rows(suite, cols)
+
+
+def test_shuffle_split_layout_invariants(spark):
+    from marketing_etl_analytics_spark.ext.curation import global_shuffle_split
+
+    docs = _docs(spark)
+    n_docs = docs.count()
+    out = global_shuffle_split(docs, key="doc_id", seed=7, n_shards=8)
+    rows = out.collect()
+    assert len(rows) == n_docs
+    # every (split, shard) file is positions 0..count-1, no gaps/dups
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault((r.split, r.shard), []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # split fractions near 90/5/5 (md5 is uniform; tolerance is loose)
+    frac = {
+        r["split"]: r["count"] / n_docs
+        for r in out.groupBy("split").count().collect()
+    }
+    assert abs(frac["train"] - 0.90) < 0.03
+    assert abs(frac["val"] - 0.05) < 0.02
+    assert abs(frac["test"] - 0.05) < 0.02
+    # within-shard order is NOT the natural key order (it was shuffled)
+    some = sorted(
+        (r.pos, r.doc_id) for r in rows if (r.split, r.shard) == ("train", 0)
+    )
+    ids_in_pos_order = [d for _, d in some]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
+
+
+def test_shuffle_split_resharding_never_moves_docs_across_splits(spark):
+    from marketing_etl_analytics_spark.ext.curation import global_shuffle_split
+
+    docs = _docs(spark)
+    a = global_shuffle_split(docs, key="doc_id", seed=7, n_shards=8)
+    b = global_shuffle_split(docs, key="doc_id", seed=7, n_shards=32)
+    sa = {r.doc_id: r.split for r in a.collect()}
+    sb = {r.doc_id: r.split for r in b.collect()}
+    assert sa == sb  # split depends only on the split draw, never shards
