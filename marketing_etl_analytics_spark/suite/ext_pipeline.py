@@ -566,10 +566,45 @@ def term_index_table(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     name = _TERM_INDEX.get(key)
     if name is None:
-        from marketing_etl_analytics_spark.ext.search import build_term_index
+        import atexit
+        import os
 
-        name = "term_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        from marketing_etl_analytics_spark.ext.search import (
+            build_term_index,
+            _drop_table_and_location,
+        )
+
+        # Per-PROCESS table name: the in-memory catalog cannot share
+        # bucketing metadata across sessions anyway (every process
+        # rebuilds), and a shared deterministic name lets a concurrent
+        # local session's drop-and-rebuild rmtree the directory this
+        # session is mid-scan on (observed: two pytest/diffcheck
+        # processes on one spark-warehouse). The suffix removes the
+        # collision at zero rebuild cost; atexit reclaims the layout.
+        name = (
+            "term_idx_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+            + f"_{os.getpid()}"
+        )
         build_term_index(t(spark, sf_dir, "documents"), name)
+        from urllib.parse import urlparse
+
+        wh_path = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+
+        def _cleanup(spark=spark, name=name, wh_path=wh_path):
+            for tbl in (name, f"{name}_meta"):
+                try:  # the JVM gateway may already be down at exit
+                    _drop_table_and_location(spark, tbl)
+                except Exception:
+                    if wh_path:  # still reclaim the on-disk layout
+                        import shutil
+
+                        shutil.rmtree(
+                            os.path.join(wh_path, tbl.lower()),
+                            ignore_errors=True,
+                        )
+
+        atexit.register(_cleanup)
         # scan-only lookups need the bucketed layout kept (Spark's
         # autoBucketedScan heuristic drops it when no join/agg
         # consumes the distribution); affects only bucketed-table
