@@ -62,12 +62,18 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 #       ext_inverted_index / ext_bm25_search (served from the
 #       persisted bucketed term index, VERDICT r4 #4),
 #   (c) the remaining r3-green tail entries with unchanged code —
-#       with one more consolidation inside the window: the two
+#       with two more consolidations inside the window: the two
 #       r3-green singles ext_funnel / ext_cohort_retention merged
 #       into ext_funnel_cohort (the ext_sketch_suite precedent),
 #       freeing the slot that admits ext_shuffle_split (deterministic
 #       global shuffle + train/val/test split + shard layout — the
-#       training-export step; suite stays 99).
+#       training-export step; suite stays 99); and the two r3-green
+#       sampling singles ext_sample_reservoir / ext_sample_temperature
+#       merged into ext_sampling_suite (functions and plans
+#       unchanged), freeing the slot that admits ext_embed_transform
+#       (embedding preprocessing: L2 norm / int8 quantization / JL
+#       sign projection — zero-shuffle per-row map, engine API
+#       ext/embedding.py; suite stays 99).
 # The 49 entries past the window are exactly the r4-green rows whose
 # code is unchanged since CORRECTNESS_r04. stream_sessionize stays the
 # contract-allowed rows-only entry (pytest-equal to its oracled batch
@@ -87,7 +93,7 @@ _PRIORITY = [
     "ext_ann_cosine_topk", "ext_ann_lsh_bucketed", "ext_ann_recall",
     "ext_ann_pq_adc",
     "ext_data_quality", "stream_attribution_outer",
-    "ext_sample_reservoir",
+    "ext_sampling_suite",
     "ext_funnel_cohort", "ext_shuffle_split", "ext_rfm",
     "rel_setops",
     "ext_dedup_containment", "rel_salted_join",
@@ -96,7 +102,7 @@ _PRIORITY = [
     "ext_anomaly_zscore", "ext_session_window_native",
     "ext_fuzzy_linkage", "v_channel_daily_incremental",
     "ext_graph_triangles",
-    "ext_chunk_documents", "ext_domain_balance", "ext_sample_temperature",
+    "ext_chunk_documents", "ext_domain_balance", "ext_embed_transform",
     "etl_scd2",
     # --- 50-slot grading window ends here ---
     # tail: every entry below is r4-green (CORRECTNESS_r04 hash-exact

@@ -496,9 +496,10 @@ _SQL_U1 = (
     " + 1) / CAST(4294967296 AS DOUBLE)"
 )
 
-@register(
-    "ext_sample_reservoir",
-    f"""
+# graded via the ext_sampling_suite merged row (r5 in-window
+# consolidation, the ext_funnel_cohort precedent); SQL kept as a
+# module var so the merged oracle composes it verbatim
+_SQL_SAMPLE_RES = f"""
     WITH keyed AS (
       SELECT lang, doc_id, n_chars,
         ln({_SQL_U1}) / n_chars AS es_key
@@ -511,18 +512,18 @@ _SQL_U1 = (
     )
     SELECT lang, doc_id, n_chars, {sql_pround("es_key", 6)} AS es_key
     FROM r WHERE rn <= {_RES_K}
-    ORDER BY lang, doc_id
-    """,
-    doc="Weighted per-group reservoir sample, k=8 per language "
-    "(Efraimidis-Spirakis A-ES: top-k by u^(1/w), equivalently "
-    "ln(u)/w, u content-addressed from md5 so the 'reservoir' is a "
-    "deterministic pure computation — same sample on any engine, run, "
-    "or partitioning; longer documents proportionally likelier). The "
-    "rank<=k filter compiles to WindowGroupLimit, i.e. a per-partition "
-    "k-heap before the group shuffle — per-group state is O(k) no "
-    "matter the corpus size.",
-)
+"""
+
+
 def ext_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-group reservoir sample, k=8 per language
+    (Efraimidis-Spirakis A-ES: top-k by u^(1/w), equivalently
+    ln(u)/w, u content-addressed from md5 so the 'reservoir' is a
+    deterministic pure computation — same sample on any engine, run,
+    or partitioning; longer documents proportionally likelier). The
+    rank<=k filter compiles to WindowGroupLimit, i.e. a per-partition
+    k-heap before the group shuffle — per-group state is O(k) no
+    matter the corpus size."""
     from pyspark.sql import Window
 
     from marketing_etl_analytics_spark.suite.common import pround
@@ -1507,9 +1508,9 @@ def ext_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-source counts (tiny) broadcast back onto the corpus; the keep
 # decision is a pushed-down filter, zero shuffle of the fact side.
 
-@register(
-    "ext_sample_temperature",
-    f"""
+# graded via the ext_sampling_suite merged row (r5 in-window
+# consolidation); SQL kept as a module var for the merged oracle
+_SQL_SAMPLE_TEMP = f"""
     WITH counts AS (
       SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
     ),
@@ -1525,17 +1526,17 @@ def ext_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
       {sql_pround("1.0 / rate", 6)} AS weight
     FROM rated
     WHERE u < rate
-    ORDER BY doc_id
-    """,
-    doc="Temperature mixture sampling, alpha=0.5 (p_s ∝ sqrt(n_s/N), "
-    "the mBERT/XLM-R multilingual re-weighting): per-doc keep rate "
-    "sqrt(n_min/n_s) from broadcast per-source counts, decided by a "
-    "content-addressed uniform — deterministic because sqrt and "
-    "divide are correctly-rounded IEEE ops on identical operands. "
-    "Emits the kept set with inverse-probability weights; the filter "
-    "pushes down, the corpus never shuffles.",
-)
+"""
+
+
 def ext_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture sampling, alpha=0.5 (p_s ∝ sqrt(n_s/N),
+    the mBERT/XLM-R multilingual re-weighting): per-doc keep rate
+    sqrt(n_min/n_s) from broadcast per-source counts, decided by a
+    content-addressed uniform — deterministic because sqrt and
+    divide are correctly-rounded IEEE ops on identical operands.
+    Emits the kept set with inverse-probability weights; the filter
+    pushes down, the corpus never shuffles."""
     # stratum = lang (see ext_domain_balance: sources are uniform in
     # the synthetic corpus, languages carry the real skew)
     docs = t(spark, sf_dir, "documents")
@@ -1706,3 +1707,47 @@ def ext_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_shuffle_split(
         docs, key="doc_id", seed=_SHUF_SEED, n_shards=_SHUF_SHARDS
     ).orderBy("split", "shard", "pos")
+
+
+# --- merged sampling row (r5 in-window consolidation) ------------------------
+
+@register(
+    "ext_sampling_suite",
+    f"""
+    SELECT 'reservoir' AS kind, lang AS stratum, doc_id,
+      n_chars, es_key AS r1, CAST(NULL AS DOUBLE) AS r2
+    FROM ({_SQL_SAMPLE_RES}) res
+    UNION ALL
+    SELECT 'temperature', stratum, doc_id,
+      CAST(NULL AS BIGINT), rate, weight
+    FROM ({_SQL_SAMPLE_TEMP}) tmp
+    ORDER BY kind, stratum, doc_id
+    """,
+    doc="Merged weighted-reservoir + temperature-mixture sampling row "
+    "(r5 in-window consolidation of the two r3-green singles "
+    "ext_sample_reservoir / ext_sample_temperature — the "
+    "ext_funnel_cohort precedent; both operators stay independently "
+    "callable in this module and their plans are unchanged): "
+    "Efraimidis-Spirakis per-group reservoir (O(k) per-group state "
+    "via WindowGroupLimit) and alpha=0.5 temperature re-weighting "
+    "(zero-shuffle pushdown filter), union-tagged into one graded "
+    "row.",
+)
+def ext_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = ext_sample_reservoir(spark, sf_dir).select(
+        F.lit("reservoir").alias("kind"),
+        F.col("lang").alias("stratum"),
+        "doc_id",
+        "n_chars",
+        F.col("es_key").alias("r1"),
+        F.lit(None).cast("double").alias("r2"),
+    )
+    tmp = ext_sample_temperature(spark, sf_dir).select(
+        F.lit("temperature").alias("kind"),
+        "stratum",
+        "doc_id",
+        F.lit(None).cast("long").alias("n_chars"),
+        F.col("rate").alias("r1"),
+        F.col("weight").alias("r2"),
+    )
+    return res.unionAll(tmp).orderBy("kind", "stratum", "doc_id")

@@ -1950,3 +1950,183 @@ def ext_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=SEM_DEDUP_T,
         keyed=keyed,
     ).orderBy("vec_id")
+
+
+# --- embedding preprocessing: normalize / quantize / JL-project --------------
+#
+# The vector-maintenance stage between "embeddings landed" and "ANN
+# index built" (ext/embedding.py is the engine API): L2 norms, int8
+# symmetric quantization (per-vector scale, the 4x memory/IO cut for
+# a serving tier), and an 8-dim Johnson-Lindenstrauss +/-1 sign
+# projection (Achlioptas 2003 database-friendly random projections —
+# the cheap routing geometry). Everything is a ZERO-SHUFFLE per-row
+# map over the corpus scan (the plan is Project over FileScan — at
+# 100 TB this is the embarrassingly-parallel shape; the BLAS matmul
+# twin ext/embedding.py::project_signs_arrow is the throughput form,
+# rank-equal by pytest). Determinism: the sign matrix is md5-derived
+# IN PYTHON and inlined as '0'/'1' string literals into BOTH engines'
+# SQL (no cross-engine hash/RNG to disagree); signed sums snap
+# per-term to DECIMAL(38,12) (order-free exact addition); int8
+# rounding is floor(x + 0.5) on identical IEEE doubles (no
+# HALF_UP-vs-banker's divergence); sqrt/divide are correctly-rounded
+# IEEE ops on identical operands.
+
+_EMB_P = 8  # JL output dims (64 -> 8)
+
+
+def _jl_signs() -> list:
+    from marketing_etl_analytics_spark.ext.embedding import sign_matrix
+
+    return sign_matrix(64, _EMB_P)  # pure Python/md5, cheap + deterministic
+
+
+def _emb_sql(dialect: str) -> dict:
+    """Mirrored expression fragments for the two engines."""
+    from marketing_etl_analytics_spark.ext.embedding import sign_dot_expr
+
+    spark = dialect == "spark"
+    cast_int = "INT" if spark else "INTEGER"
+    max_abs = (
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+        if spark
+        else "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    )
+    qcode = (
+        "CAST(greatest(-127.0, least(127.0,"
+        f" floor(CAST(x AS DOUBLE) / scl + 0.5))) AS {cast_int})"
+    )
+    if spark:
+        q_min = f"array_min(transform(embedding, x -> {qcode}))"
+        q_max = f"array_max(transform(embedding, x -> {qcode}))"
+        q_sum = (
+            "aggregate(embedding, CAST(0 AS BIGINT),"
+            f" (acc, x) -> acc + CAST({qcode} AS BIGINT))"
+        )
+        mse_sum = (
+            "CAST(aggregate(embedding, CAST(0 AS DECIMAL(38,18)),"
+            " (acc, x) -> CAST(acc + CAST("
+            f"(CAST(x AS DOUBLE) - CAST({qcode} AS DOUBLE) * scl)"
+            f" * (CAST(x AS DOUBLE) - CAST({qcode} AS DOUBLE) * scl)"
+            " AS DECIMAL(38,18)) AS DECIMAL(38,18))) AS DOUBLE)"
+        )
+    else:
+        q_min = f"list_min(list_transform(embedding, x -> {qcode}))"
+        q_max = f"list_max(list_transform(embedding, x -> {qcode}))"
+        q_sum = (
+            "CAST(list_sum(list_transform(embedding,"
+            f" x -> CAST({qcode} AS BIGINT))) AS BIGINT)"
+        )
+        mse_sum = (
+            "CAST(list_sum(list_transform(embedding, x -> CAST("
+            f"(CAST(x AS DOUBLE) - CAST({qcode} AS DOUBLE) * scl)"
+            f" * (CAST(x AS DOUBLE) - CAST({qcode} AS DOUBLE) * scl)"
+            " AS DECIMAL(38,18)))) AS DOUBLE)"
+        )
+    projs = [
+        f"({sign_dot_expr('embedding', s, dialect)})"
+        f" / sqrt(CAST({_EMB_P} AS DOUBLE))"
+        for s in _jl_signs()
+    ]
+    # exact order-free sum of the 8 squared projections: per-term
+    # decimal snap + re-CAST per partial sum (the SPARK_DOT widening
+    # discipline, mirrored verbatim in both dialects)
+    energy = f"CAST(p0 * p0 AS DECIMAL(38,12))"
+    for j in range(1, _EMB_P):
+        energy = f"CAST({energy} + CAST(p{j} * p{j} AS DECIMAL(38,12)) AS DECIMAL(38,12))"
+    return {
+        "max_abs": max_abs,
+        "q_min": q_min,
+        "q_max": q_max,
+        "q_sum": q_sum,
+        "mse_sum": mse_sum,
+        "projs": projs,
+        "energy_sum": f"CAST({energy} AS DOUBLE)",
+    }
+
+
+def _emb_oracle() -> str:
+    f = _emb_sql("duck")
+    proj_cols = ", ".join(f"{p} AS p{j}" for j, p in enumerate(f["projs"]))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+        {SQL_DOT.format(a="embedding", b="embedding")} AS n2,
+        {f["max_abs"]} AS max_abs
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT *, max_abs / 127.0 AS scl FROM base
+    ),
+    proj AS (
+      SELECT *, {proj_cols} FROM scaled
+    )
+    SELECT vec_id,
+      {sql_pround("sqrt(n2)", 6)} AS l2_norm,
+      {sql_pround("scl", 9)} AS scale,
+      CASE WHEN max_abs = 0.0 THEN 0 ELSE {f["q_min"]} END AS q_min,
+      CASE WHEN max_abs = 0.0 THEN 0 ELSE {f["q_max"]} END AS q_max,
+      CASE WHEN max_abs = 0.0 THEN CAST(0 AS BIGINT) ELSE {f["q_sum"]} END AS q_sum,
+      CASE WHEN max_abs = 0.0 THEN 0.0
+           ELSE {sql_pround(f["mse_sum"] + " / CAST(len(embedding) AS DOUBLE)", 12)}
+      END AS quant_mse,
+      {sql_pround("p0", 6)} AS proj0,
+      {sql_pround("p3", 6)} AS proj3,
+      {sql_pround("p7", 6)} AS proj7,
+      {sql_pround(f["energy_sum"] + " / nullif(n2, 0.0)", 4)} AS proj_energy_ratio
+    FROM proj
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "ext_embed_transform",
+    _emb_oracle(),
+    doc="Embedding preprocessing suite (engine API ext/embedding.py): "
+    "L2 norm, int8 symmetric quantization (per-vector scale = "
+    "max|v|/127, codes summarized as min/max/sum + exact-decimal "
+    "reconstruction MSE — the 4x memory/IO cut for a 100 TB vector "
+    "serving tier), and an 8-dim Johnson-Lindenstrauss +/-1 sign "
+    "projection (Achlioptas 2003) with energy-preservation ratio. "
+    "ZERO-shuffle per-row map (Project over the scan — the "
+    "embarrassingly-parallel shape at any corpus size); the BLAS "
+    "matmul twin project_signs_arrow is the bulk-throughput form "
+    "(~1e-12-equal, pinned by tests/test_embedding_api.py). "
+    "Deterministic cross-engine: Python-md5 sign literals, per-term "
+    "decimal snapping, floor(x+0.5) rounding.",
+)
+def ext_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _emb_sql("spark")
+    base = embedding_norms(spark, sf_dir).withColumn(
+        "max_abs", F.expr(f["max_abs"])
+    )
+    scaled = base.withColumn("scl", F.col("max_abs") / F.lit(127.0))
+    proj = scaled.select(
+        "*", *[F.expr(p).alias(f"p{j}") for j, p in enumerate(f["projs"])]
+    )
+    zero = F.col("max_abs") == 0.0
+    return proj.select(
+        "vec_id",
+        pround(F.sqrt(F.col("n2")), 6).alias("l2_norm"),
+        pround(F.col("scl"), 9).alias("scale"),
+        F.when(zero, F.lit(0)).otherwise(F.expr(f["q_min"])).alias("q_min"),
+        F.when(zero, F.lit(0)).otherwise(F.expr(f["q_max"])).alias("q_max"),
+        F.when(zero, F.lit(0).cast("long"))
+        .otherwise(F.expr(f["q_sum"]))
+        .alias("q_sum"),
+        F.when(zero, F.lit(0.0))
+        .otherwise(
+            pround(
+                F.expr(f["mse_sum"])
+                / F.expr("CAST(size(embedding) AS DOUBLE)"),
+                12,
+            )
+        )
+        .alias("quant_mse"),
+        pround(F.col("p0"), 6).alias("proj0"),
+        pround(F.col("p3"), 6).alias("proj3"),
+        pround(F.col("p7"), 6).alias("proj7"),
+        pround(
+            F.expr(f["energy_sum"]) / F.nullif(F.col("n2"), F.lit(0.0)), 4
+        ).alias("proj_energy_ratio"),
+    ).orderBy("vec_id")

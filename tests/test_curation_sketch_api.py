@@ -45,12 +45,17 @@ def test_domain_balance_matches_suite(spark):
 
 
 def test_temperature_sample_matches_suite(spark):
+    # graded via the ext_sampling_suite merged row since r5; the
+    # single stays callable and must keep matching the library path
     from marketing_etl_analytics_spark.ext import temperature_sample
+    from marketing_etl_analytics_spark.suite.ext_pipeline import (
+        ext_sample_temperature,
+    )
 
     lib = temperature_sample(_docs(spark)).select(
         "doc_id", F.col("lang").alias("stratum")
     )
-    suite = SUITE["ext_sample_temperature"].fn(spark, SF_DIR)
+    suite = ext_sample_temperature(spark, SF_DIR)
     cols = ["doc_id", "stratum"]
     assert _rows(lib, cols) == _rows(suite.select(*cols), cols)
 
