@@ -73,7 +73,14 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 #       unchanged), freeing the slot that admits ext_embed_transform
 #       (embedding preprocessing: L2 norm / int8 quantization / JL
 #       sign projection — zero-shuffle per-row map, engine API
-#       ext/embedding.py; suite stays 99).
+#       ext/embedding.py; suite stays 99); and the two r3-green IVF
+#       ANN singles ext_ann_ivf / ext_ann_ivf_kmeans merged into
+#       ext_ann_ivf_suite (plans unchanged, singles stay callable;
+#       ext_ann_recall still grades the seeded path), freeing the
+#       slot that admits ext_lm_perplexity (CCNet/KenLM-style
+#       statistical-LM quality filter: held-out unigram LM + OOV
+#       smoothing, per-doc cross-entropy + keep verdict; suite
+#       stays 99).
 # The 49 entries past the window are exactly the r4-green rows whose
 # code is unchanged since CORRECTNESS_r04. stream_sessionize stays the
 # contract-allowed rows-only entry (pytest-equal to its oracled batch
@@ -89,8 +96,9 @@ _PRIORITY = [
     "ext_dedup_eval", "ext_graph_pagerank", "stream_session_window",
     "ext_dedup_minhash_lsh", "ext_dedup_ngram_jaccard",
     "ext_dedup_simhash", "ext_dedup_embedding_cosine", "ext_dedup_cluster",
-    "ext_dedup_incremental", "ext_ann_ivf", "ext_ann_ivf_kmeans",
+    "ext_dedup_incremental", "ext_ann_ivf_suite",
     "ext_ann_cosine_topk", "ext_ann_lsh_bucketed", "ext_ann_recall",
+    "ext_lm_perplexity",
     "ext_ann_pq_adc",
     "ext_data_quality", "stream_attribution_outer",
     "ext_sampling_suite",

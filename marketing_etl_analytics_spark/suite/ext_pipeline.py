@@ -1751,3 +1751,186 @@ def ext_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").alias("r2"),
     )
     return res.unionAll(tmp).orderBy("kind", "stratum", "doc_id")
+
+
+
+# --- statistical-LM quality filter (CCNet / KenLM-style) ----------------------
+#
+# The third quality tier next to the heuristic gates (ext_doc_filters)
+# and the learned linear gate (ext_quality_score): score every document
+# by its cross-entropy under an n-gram LM trained on a HELD-OUT split
+# of the corpus, then bucket the corpus into head/middle/tail by
+# perplexity percentile — the CCNet recipe verbatim (Wenzek et al.
+# 2020: a KenLM trained on Wikipedia scores CommonCrawl; the tail
+# third is dropped, the head third is the premium training slice).
+# Bigram units (the synthetic corpus has a 31-word vocabulary, so
+# unigrams carry no signal; 31^2 bigram types do — and the shape is
+# identical for any n, only the vocab key widens).
+#
+# Scale shape: the LM itself is the pruned train-split vocabulary
+# (min-count floor => Heaps'-law-sublinear, MB-sized at any corpus
+# size => BROADCAST); the corpus explodes to (doc, bigram, count) with
+# map-side partial aggregation (the shuffle carries per-doc DISTINCT
+# bigrams, not raw tokens), joins the broadcast vocab, and re-groups
+# on doc_id — the corpus never shuffles on content. The tertile cut
+# uses exact interpolated percentiles here (both engines implement the
+# standard type-7 quantile; the cutoff lands strictly between two
+# 6-dp data points, so last-ulp drift cannot flip a bucket); at
+# 100 TB the cutoffs come from approx_percentile over a sample, as in
+# CCNet itself.
+#
+# Determinism: ln() is evaluated on ONE IEEE double per distinct
+# count value ((c+1)/denom — integers, one correctly-rounded divide),
+# snapped to 6 dp and re-snapped to DECIMAL(18,6) so the per-doc
+# weighted sum is exact order-free decimal addition; the final
+# division is one IEEE op (the same budget as the reservoir entry's
+# ln, and the distinct-argument set is count-valued — a few hundred).
+
+_LM_TRAIN_PRED = "doc_id % 10 < 7"  # 70% held-in training split
+_LM_MIN_COUNT = 5  # vocab floor: rarer train bigrams fold into OOV mass
+
+_SQL_LM_LNP = (
+    "ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)"
+    " / CAST(t_tokens + v_types + 1 AS DOUBLE))"
+)
+
+@register(
+    "ext_lm_perplexity",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS b
+      FROM tk, LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2
+    ),
+    doc_bg AS (
+      SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY doc_id, b
+    ),
+    train_counts AS (
+      SELECT b, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM doc_bg WHERE {_LM_TRAIN_PRED} GROUP BY b
+    ),
+    vocab AS (SELECT b, c FROM train_counts WHERE c >= {_LM_MIN_COUNT}),
+    stats AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM train_counts) AS t_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS v_types
+    ),
+    scored AS (
+      SELECT d.doc_id, d.cnt,
+        CASE WHEN v.b IS NULL THEN 1 ELSE 0 END AS is_oov,
+        CAST({sql_pround(_SQL_LM_LNP, 6)} AS DECIMAL(18,6)) AS lnp
+      FROM doc_bg d LEFT JOIN vocab v USING (b) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        CAST(SUM(is_oov * cnt) AS BIGINT) AS n_oov,
+        {sql_pround(
+            "-CAST(SUM(CAST(cnt * lnp AS DECIMAL(28,6))) AS DOUBLE)"
+            " / SUM(cnt)", 6)} AS cross_entropy
+      FROM scored GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT quantile_cont(cross_entropy, 0.33) AS p33,
+             quantile_cont(cross_entropy, 0.67) AS p67
+      FROM agg
+    )
+    SELECT doc_id, n_bigrams, n_oov,
+      {sql_pround("CAST(n_oov AS DOUBLE) / n_bigrams", 4)} AS oov_rate,
+      cross_entropy,
+      CASE WHEN cross_entropy <= p33 THEN 'head'
+           WHEN cross_entropy <= p67 THEN 'middle'
+           ELSE 'tail' END AS ppl_bucket,
+      CASE WHEN cross_entropy <= p67 THEN 1 ELSE 0 END AS keep_lm
+    FROM agg CROSS JOIN cut
+    ORDER BY doc_id
+    """,
+    doc="Statistical-LM quality filter (the CCNet recipe, Wenzek et "
+    "al. 2020): a bigram LM with add-one smoothing and an OOV class "
+    "is trained on the 70% held-in split (doc_id %% 10 < 7, "
+    "min-count-5 vocabulary floor), every document is scored by "
+    "per-bigram cross-entropy -mean ln p(b), and the corpus is cut "
+    "into head/middle/tail perplexity tertiles (keep = not tail — "
+    "low cross-entropy is fluent, high is gibberish). The LM is the "
+    "pruned vocabulary — Heaps'-law sublinear, broadcast-sized at any "
+    "corpus scale — so the corpus only shuffles on (doc_id, bigram) "
+    "with map-side combine, never on content. ln() hits one double "
+    "per distinct count value, snapped to DECIMAL(18,6); per-doc sums "
+    "are exact decimal addition; the tertile cutoffs are exact "
+    "interpolated percentiles (approx_percentile over a sample at "
+    "100 TB, as in CCNet itself), hence oracle-exact.",
+)
+def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bg_expr = (
+        f"transform(sequence(1, size({_TOKS}) - 1),"
+        f" i -> concat(element_at({_TOKS}, i), ' ',"
+        f" element_at({_TOKS}, i + 1)))"
+    )
+    doc_bg = (
+        docs.filter(F.expr(f"size({_TOKS}) >= 2"))
+        .select("doc_id", F.explode(F.expr(bg_expr)).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    train_counts = (
+        doc_bg.filter(F.expr(_LM_TRAIN_PRED))
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+    vocab = train_counts.filter(F.col("c") >= _LM_MIN_COUNT)
+    stats = train_counts.agg(
+        F.sum("c").cast("long").alias("t_tokens"),
+        F.sum(F.when(F.col("c") >= _LM_MIN_COUNT, 1).otherwise(0))
+        .cast("long")
+        .alias("v_types"),
+    )
+    scored = (
+        doc_bg.join(F.broadcast(vocab), "b", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "cnt",
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("is_oov"),
+            pround(F.expr(_SQL_LM_LNP), 6)
+            .cast("decimal(18,6)")
+            .alias("lnp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum(F.col("is_oov") * F.col("cnt")).cast("long").alias("n_oov"),
+        pround(
+            -F.sum((F.col("cnt") * F.col("lnp")).cast("decimal(28,6)"))
+            .cast("double")
+            / F.sum("cnt"),
+            6,
+        ).alias("cross_entropy"),
+    )
+    cut = agg.agg(
+        F.expr("percentile(cross_entropy, 0.33)").alias("p33"),
+        F.expr("percentile(cross_entropy, 0.67)").alias("p67"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_oov",
+            pround(F.col("n_oov").cast("double") / F.col("n_bigrams"), 4).alias(
+                "oov_rate"
+            ),
+            "cross_entropy",
+            F.when(F.col("cross_entropy") <= F.col("p33"), "head")
+            .when(F.col("cross_entropy") <= F.col("p67"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+            F.when(F.col("cross_entropy") <= F.col("p67"), 1)
+            .otherwise(0)
+            .alias("keep_lm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -530,21 +530,23 @@ _SQL_IVF_CTES = f"""b AS (
     )"""
 
 
-@register(
-    "ext_ann_ivf",
-    f"""
+# graded via the ext_ann_ivf_suite merged row (r5 in-window
+# consolidation, the ext_sampling_suite precedent); SQL kept as a
+# module var so the merged oracle composes it verbatim
+_SQL_ANN_IVF = f"""
     WITH {_SQL_IVF_CTES}
     SELECT qid, cid, CAST(cluster AS BIGINT) AS cluster,
       {sql_pround("cos_raw", 6)} AS cosine, CAST(rn AS INT) AS rn
     FROM scored WHERE rn <= {IVF_TOPK}
-    """,
-    doc="IVF ANN: deterministic centroid seed (first 8 vectors), every "
-    "vector assigned to its argmax-cosine centroid, queries probe their "
-    "2 nearest centroids and rank candidates inside probed clusters "
-    "only. Assignment is a broadcast join vs 8 centroids (map-side); "
-    "search joins on the cluster key — the inverted-file scale path.",
-)
+"""
+
+
 def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic centroid seed (first 8 vectors), every
+    vector assigned to its argmax-cosine centroid, queries probe their
+    2 nearest centroids and rank candidates inside probed clusters
+    only. Assignment is a broadcast join vs 8 centroids (map-side);
+    search joins on the cluster key — the inverted-file scale path."""
     b = embedding_norms(spark, sf_dir)
     cent = (
         b.filter(F.col("vec_id") < N_CENTROIDS)
@@ -709,9 +711,9 @@ def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DIM = 64
 
 
-@register(
-    "ext_ann_ivf_kmeans",
-    f"""
+# graded via the ext_ann_ivf_suite merged row (r5 in-window
+# consolidation); SQL kept as a module var for the merged oracle
+_SQL_ANN_IVF_KMEANS = f"""
     WITH b AS (
       SELECT vec_id, embedding,
         {SQL_DOT.format(a="embedding", b="embedding")} AS n2
@@ -783,15 +785,16 @@ EMB_DIM = 64
     SELECT qid, cid, CAST(cluster AS BIGINT) AS cluster,
       {sql_pround("cos_raw", 6)} AS cosine, CAST(rn AS INT) AS rn
     FROM final WHERE rn <= {IVF_TOPK}
-    """,
-    doc="IVF with TRAINED centroids: one unrolled Lloyd round "
-    "(assign to seeds -> exact-decimal per-dimension means -> "
-    "re-assign), then probe-2 top-5 search inside the trained "
-    "clusters. Centroid means snap components to DECIMAL(38,12) so "
-    "training is bit-identical across engines; at scale each round is "
-    "one broadcast-assign pass + one (cluster, dim) aggregation.",
-)
+"""
+
+
 def ext_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with TRAINED centroids: one unrolled Lloyd round
+    (assign to seeds -> exact-decimal per-dimension means ->
+    re-assign), then probe-2 top-5 search inside the trained
+    clusters. Centroid means snap components to DECIMAL(38,12) so
+    training is bit-identical across engines; at scale each round is
+    one broadcast-assign pass + one (cluster, dim) aggregation."""
     b = embedding_norms(spark, sf_dir)
     cent0 = b.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"),
@@ -875,6 +878,38 @@ def ext_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# --- merged IVF ANN row (r5 in-window consolidation) --------------------------
+
+@register(
+    "ext_ann_ivf_suite",
+    f"""
+    SELECT 'seeded' AS kind, qid, cid, cluster, cosine, rn
+    FROM ({_SQL_ANN_IVF}) s
+    UNION ALL
+    SELECT 'kmeans', qid, cid, cluster, cosine, rn
+    FROM ({_SQL_ANN_IVF_KMEANS}) k
+    ORDER BY kind, qid, rn
+    """,
+    doc="Merged IVF ANN row (r5 in-window consolidation of the two "
+    "r3-green singles ext_ann_ivf / ext_ann_ivf_kmeans — the "
+    "ext_sampling_suite precedent; both operators stay independently "
+    "callable in this module with unchanged plans): seeded IVF "
+    "(broadcast argmax assignment, probe-2 top-5 inside probed "
+    "clusters) and the trained variant (one unrolled exact-decimal "
+    "Lloyd round before assignment), union-tagged into one graded "
+    "row. ext_ann_recall keeps grading the seeded path's recall@5 "
+    "against brute-force ground truth.",
+)
+def ext_ann_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeded = ext_ann_ivf(spark, sf_dir).select(
+        F.lit("seeded").alias("kind"), "qid", "cid", "cluster", "cosine", "rn"
+    )
+    kmeans = ext_ann_ivf_kmeans(spark, sf_dir).select(
+        F.lit("kmeans").alias("kind"), "qid", "cid", "cluster", "cosine", "rn"
+    )
+    return seeded.unionAll(kmeans).orderBy("kind", "qid", "rn")
 
 
 # --- batch sessionization (gaps-and-islands) ---------------------------------

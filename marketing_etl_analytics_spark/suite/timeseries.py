@@ -824,6 +824,153 @@ def ext_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- mergeable quantile histogram sketch -------------------------------------
+#
+# The fourth classic sketch next to cardinality (HLL), frequency
+# (Count-Min), and set ops (KMV): quantiles. The scale-correct
+# structures are KLL/t-digest; their deterministic, SQL-replayable
+# stand-in with the same system shape is a FIXED-WIDTH histogram —
+# counters keyed by floor(value/width), mergeable by plain addition
+# (associative/commutative, replay-safe under batchId-keyed writes),
+# size bounded by range/width at any corpus size. This entry runs the
+# merge for real: per-priority histograms are built once, and the
+# '(all)' sketch is their BUCKET-WISE SUM (never a re-scan); quantile
+# estimates interpolate inside the selected bucket with pure integer
+# arithmetic (cents, integer div), so estimates — not just plumbing —
+# verify hash-exactly. The exact-rank truth column (row_number over a
+# per-group sort) is the verification cost, not the sketch cost; at
+# 100 TB the truth side is sampled or dropped while the sketch side
+# stays one groupBy + histogram-sized windows.
+
+QH_W = 250_000  # bucket width in cents ($2,500)
+QH_PROBES = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100))
+
+_SQL_QH_PROBES = ", ".join(f"('{n}', {a}, {b})" for n, a, b in QH_PROBES)
+
+_SQL_QSKETCH = f"""
+    WITH pr AS (
+      SELECT o_orderpriority AS grp,
+        CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    hist_g AS (
+      SELECT grp, cents // {QH_W} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pr GROUP BY grp, bucket
+    ),
+    hist AS (
+      SELECT grp, bucket, cnt FROM hist_g
+      UNION ALL
+      SELECT '(all)', bucket, CAST(SUM(cnt) AS BIGINT)
+      FROM hist_g GROUP BY bucket
+    ),
+    cum AS (
+      SELECT grp, bucket, cnt,
+        SUM(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+        SUM(cnt) OVER (PARTITION BY grp) AS n
+      FROM hist
+    ),
+    probes(name, num, den) AS (VALUES {_SQL_QH_PROBES}),
+    hit AS (
+      SELECT grp, name, bucket, cnt, cum, n, r,
+        row_number() OVER (PARTITION BY grp, name ORDER BY bucket) AS rn
+      FROM (
+        SELECT c.*, p.name, (p.num * c.n + p.den - 1) // p.den AS r
+        FROM cum c CROSS JOIN probes p
+      ) WHERE cum >= r
+    ),
+    sel AS (
+      SELECT grp, name, n, r,
+        bucket * {QH_W} + ({QH_W} * (r - (cum - cnt))) // cnt AS est_cents
+      FROM hit WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT grp, cents,
+        row_number() OVER (PARTITION BY grp ORDER BY cents) AS rk
+      FROM (
+        SELECT grp, cents FROM pr
+        UNION ALL
+        SELECT '(all)', cents FROM pr
+      )
+    )
+    SELECT s.grp AS grp, s.name AS probe, s.n AS n, s.est_cents AS est_cents,
+      k.cents AS exact_cents,
+      s.est_cents - k.cents AS err_cents
+    FROM sel s JOIN ranked k ON k.grp = s.grp AND k.rk = s.r
+    ORDER BY s.grp, probe
+    """
+
+
+def ext_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-width quantile histogram (the KLL/t-digest role
+    in deterministic form): per-priority cent-bucket counters, the
+    '(all)' sketch materialized as their bucket-wise SUM (the merge),
+    rank targets ceil(p*n) in pure integer arithmetic, in-bucket
+    integer interpolation, exact-rank truth + signed error columns.
+    Graded via the ext_sketch_suite merged row."""
+    orders = t(spark, sf_dir, "orders")
+    pr = orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    hist_g = pr.groupBy(
+        "grp", F.expr(f"cents div {QH_W}").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    hist = hist_g.unionAll(
+        hist_g.groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select(F.lit("(all)").alias("grp"), "bucket", "cnt")
+    )
+    wc = Window.partitionBy("grp").orderBy("bucket")
+    wn = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp", "bucket", "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    probes = spark.createDataFrame(
+        list(QH_PROBES), "name string, num long, den long"
+    )
+    scored = cum.crossJoin(F.broadcast(probes)).withColumn(
+        "r", F.expr("(num * n + den - 1) div den")
+    )
+    whit = Window.partitionBy("grp", "name").orderBy("bucket")
+    sel = (
+        scored.filter(F.col("cum") >= F.col("r"))
+        .withColumn("rn", F.row_number().over(whit))
+        .filter(F.col("rn") == 1)
+        .select(
+            "grp", "name", "n", "r",
+            F.expr(
+                f"bucket * {QH_W} + ({QH_W} * (r - (cum - cnt))) div cnt"
+            ).alias("est_cents"),
+        )
+    )
+    ranked = (
+        pr.unionAll(pr.select(F.lit("(all)").alias("grp"), "cents"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("grp").orderBy("cents")),
+        )
+    )
+    return (
+        sel.join(
+            ranked,
+            (sel["grp"] == ranked["grp"]) & (ranked["rk"] == sel["r"]),
+        )
+        .select(
+            sel["grp"],
+            F.col("name").alias("probe"),
+            "n",
+            "est_cents",
+            F.col("cents").alias("exact_cents"),
+            (F.col("est_cents") - F.col("cents")).cast("long").alias("err_cents"),
+        )
+        .orderBy("grp", "probe")
+    )
+
+
 # --- merged sketch row (r5 consolidation) ------------------------------------
 #
 # The three batch sketch singles (KMV set-ops, HLL, Count-Min) were
@@ -854,18 +1001,28 @@ def ext_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
       union_est, exact_union, intersect_est, exact_intersect,
       jaccard_est
     FROM ({_SQL_KMV_SETOPS}) k
+    UNION ALL
+    SELECT 'quantile', grp, probe,
+      est_cents, exact_cents, err_cents, n, CAST(NULL AS DOUBLE)
+    FROM ({_SQL_QSKETCH}) q
     ORDER BY kind, k1, k2
     """,
     doc="Merged sketch suite (r5 consolidation of the three r3-green "
     "singles ext_sketch_hll / ext_sketch_countmin / "
-    "ext_sketch_kmv_setops — the rel_stats_suite precedent): "
-    "HyperLogLog cardinality with register-wise merge and "
-    "linear-counting correction; Count-Min frequency estimates with "
-    "one-sided error; KMV k-minimum set operations (union/intersect/"
-    "Jaccard). All hashing is md5-derived so every ESTIMATE (not just "
-    "plumbing) is verified exactly, with exact-truth error columns in "
-    "the same row. Constant-size mergeable state — the 100 TB "
-    "cardinality/frequency/set-cardinality answer.",
+    "ext_sketch_kmv_setops — the rel_stats_suite precedent — plus, "
+    "late-r5, the fourth classic: a mergeable fixed-width quantile "
+    "histogram, the deterministic KLL/t-digest stand-in, whose "
+    "'(all)' sketch is the bucket-wise SUM of the per-group "
+    "histograms — the merge run for real): HyperLogLog cardinality "
+    "with register-wise merge and linear-counting correction; "
+    "Count-Min frequency estimates with one-sided error; KMV "
+    "k-minimum set operations (union/intersect/Jaccard); p50/p90/p99 "
+    "integer-interpolated quantile estimates with exact-rank truth. "
+    "All hashing md5-derived and all quantile arithmetic pure "
+    "integer, so every ESTIMATE (not just plumbing) is verified "
+    "exactly, with exact-truth error columns in the same row. "
+    "Constant-size mergeable state — the 100 TB cardinality/"
+    "frequency/set-cardinality/quantile answer.",
 )
 def ext_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_s = F.lit(None).cast("string")
@@ -901,7 +1058,19 @@ def ext_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_intersect").alias("aux2"),
         F.col("jaccard_est").alias("jaccard"),
     )
-    return hll.unionAll(cm).unionAll(kmv).orderBy("kind", "k1", "k2")
+    qh = ext_sketch_quantile(spark, sf_dir).select(
+        F.lit("quantile").alias("kind"),
+        F.col("grp").alias("k1"),
+        F.col("probe").alias("k2"),
+        F.col("est_cents").alias("est"),
+        F.col("exact_cents").alias("exact"),
+        F.col("err_cents").alias("aux1"),
+        F.col("n").alias("aux2"),
+        null_d.alias("jaccard"),
+    )
+    return (
+        hll.unionAll(cm).unionAll(kmv).unionAll(qh).orderBy("kind", "k1", "k2")
+    )
 
 
 # --- streaming HLL maintenance ----------------------------------------------
