@@ -18,6 +18,8 @@ from marketing_etl_analytics_spark.ext.similarity import (  # noqa: F401
     with_sign_bucket,
 )
 from marketing_etl_analytics_spark.ext.text import (  # noqa: F401
+    lm_bigram_counts,
+    lm_perplexity_scores,
     quality_features,
     token_counts,
 )

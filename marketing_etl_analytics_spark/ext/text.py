@@ -234,3 +234,89 @@ def bpe_token_counts(
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --- statistical-LM scoring (CCNet-style) -------------------------------------
+
+
+def lm_bigram_counts(
+    df: DataFrame, key: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Per-document bigram counts ``(key, b, cnt)`` over the
+    space-split lowercased ``text`` — the stage table both LM training
+    and LM scoring read. At scale this is a persisted intermediate
+    (the suite memoizes it); the shuffle carries per-doc DISTINCT
+    bigrams via map-side combine, never raw tokens."""
+    toks = f"split(lower({text}), ' ')"
+    bg = (
+        f"transform(sequence(1, size({toks}) - 1),"
+        f" i -> concat(element_at({toks}, i), ' ',"
+        f" element_at({toks}, i + 1)))"
+    )
+    return (
+        df.filter(F.expr(f"size({toks}) >= 2"))
+        .select(key, F.explode(F.expr(bg)).alias("b"))
+        .groupBy(key, "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def lm_perplexity_scores(
+    doc_bigrams: DataFrame,
+    key: str = "doc_id",
+    train=None,
+    min_count: int = 5,
+) -> DataFrame:
+    """CCNet-style statistical-LM quality scores (Wenzek et al. 2020):
+    train a bigram LM with add-one smoothing and an OOV class on the
+    rows matching ``train`` (a boolean Column over ``doc_bigrams``;
+    None = train on everything), then score EVERY document by
+    per-bigram cross-entropy ``-mean ln p(b)`` — low = fluent, high =
+    gibberish/boilerplate. Returns
+    ``(key, n_bigrams, n_oov, cross_entropy)``.
+
+    The LM is the pruned train vocabulary — Heaps'-law sublinear,
+    BROADCAST at any corpus size — so the corpus never shuffles on
+    content. Deterministic cross-engine: ln() is evaluated on one IEEE
+    double per distinct count value ((c+1)/denom — integer operands,
+    one correctly-rounded divide), snapped to 6 dp and re-snapped to
+    DECIMAL(18,6); per-doc sums are exact order-free decimal addition;
+    the final division is one IEEE op. The graded suite twin
+    (``ext_lm_perplexity``) adds head/middle/tail perplexity tertiles
+    on top of these scores."""
+    src = doc_bigrams if train is None else doc_bigrams.filter(train)
+    train_counts = src.groupBy("b").agg(F.sum("cnt").cast("long").alias("c"))
+    vocab = train_counts.filter(F.col("c") >= min_count)
+    stats = train_counts.agg(
+        F.sum("c").cast("long").alias("t_tokens"),
+        F.sum(F.when(F.col("c") >= min_count, 1).otherwise(0))
+        .cast("long")
+        .alias("v_types"),
+    )
+    lnp = (
+        "ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)"
+        " / CAST(t_tokens + v_types + 1 AS DOUBLE))"
+    )
+    lnp6 = (
+        F.floor(F.expr(lnp) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    ).cast("decimal(18,6)")
+    scored = (
+        doc_bigrams.join(F.broadcast(vocab), "b", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            key,
+            "cnt",
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("is_oov"),
+            lnp6.alias("lnp"),
+        )
+    )
+    ce = -F.sum((F.col("cnt") * F.col("lnp")).cast("decimal(28,6)")).cast(
+        "double"
+    ) / F.sum("cnt")
+    return scored.groupBy(key).agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum(F.col("is_oov") * F.col("cnt")).cast("long").alias("n_oov"),
+        (F.floor(ce * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "cross_entropy"
+        ),
+    )

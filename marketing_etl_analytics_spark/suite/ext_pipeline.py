@@ -1805,58 +1805,22 @@ def _lm_doc_scores(spark: SparkSession, sf_dir: str, docs: DataFrame) -> DataFra
     consumers (LM training, vocab stats, scoring, and the percentile
     cut + final join both re-deriving the scores)."""
 
-    def build_bg() -> DataFrame:
-        bg_expr = (
-            f"transform(sequence(1, size({_TOKS}) - 1),"
-            f" i -> concat(element_at({_TOKS}, i), ' ',"
-            f" element_at({_TOKS}, i + 1)))"
-        )
-        return (
-            docs.filter(F.expr(f"size({_TOKS}) >= 2"))
-            .select("doc_id", F.explode(F.expr(bg_expr)).alias("b"))
-            .groupBy("doc_id", "b")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        )
+    from marketing_etl_analytics_spark.ext.text import (
+        lm_bigram_counts,
+        lm_perplexity_scores,
+    )
 
-    doc_bg = memo_df(spark, sf_dir, "lm_doc_bigrams", build_bg)
-
-    def build_scores() -> DataFrame:
-        train_counts = (
-            doc_bg.filter(F.expr(_LM_TRAIN_PRED))
-            .groupBy("b")
-            .agg(F.sum("cnt").cast("long").alias("c"))
-        )
-        vocab = train_counts.filter(F.col("c") >= _LM_MIN_COUNT)
-        stats = train_counts.agg(
-            F.sum("c").cast("long").alias("t_tokens"),
-            F.sum(F.when(F.col("c") >= _LM_MIN_COUNT, 1).otherwise(0))
-            .cast("long")
-            .alias("v_types"),
-        )
-        scored = (
-            doc_bg.join(F.broadcast(vocab), "b", "left")
-            .crossJoin(F.broadcast(stats))
-            .select(
-                "doc_id",
-                "cnt",
-                F.when(F.col("c").isNull(), 1).otherwise(0).alias("is_oov"),
-                pround(F.expr(_SQL_LM_LNP), 6)
-                .cast("decimal(18,6)")
-                .alias("lnp"),
-            )
-        )
-        return scored.groupBy("doc_id").agg(
-            F.sum("cnt").cast("long").alias("n_bigrams"),
-            F.sum(F.col("is_oov") * F.col("cnt")).cast("long").alias("n_oov"),
-            pround(
-                -F.sum((F.col("cnt") * F.col("lnp")).cast("decimal(28,6)"))
-                .cast("double")
-                / F.sum("cnt"),
-                6,
-            ).alias("cross_entropy"),
-        )
-
-    return memo_df(spark, sf_dir, "lm_doc_scores", build_scores)
+    doc_bg = memo_df(
+        spark, sf_dir, "lm_doc_bigrams", lambda: lm_bigram_counts(docs)
+    )
+    return memo_df(
+        spark,
+        sf_dir,
+        "lm_doc_scores",
+        lambda: lm_perplexity_scores(
+            doc_bg, train=F.expr(_LM_TRAIN_PRED), min_count=_LM_MIN_COUNT
+        ),
+    )
 
 @register(
     "ext_lm_perplexity",

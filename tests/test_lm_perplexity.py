@@ -106,3 +106,27 @@ def test_quantile_sketch_error_bounded_by_bucket_width(spark):
     for r in rows:
         assert abs(r["err_cents"]) < QH_W, r
         assert r["n"] > 0
+
+
+def test_library_api_matches_suite(spark):
+    """ext/text.py::lm_bigram_counts + lm_perplexity_scores (the
+    column-parameterized engine API) reproduce the graded entry's
+    score columns exactly."""
+    from pyspark.sql import functions as F
+
+    from marketing_etl_analytics_spark.ext import (
+        lm_bigram_counts,
+        lm_perplexity_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    lib = lm_perplexity_scores(
+        lm_bigram_counts(docs), train=F.expr(_LM_TRAIN_PRED), min_count=_LM_MIN_COUNT
+    )
+    cols = ["doc_id", "n_bigrams", "n_oov", "cross_entropy"]
+    suite_rows = sorted(
+        (r["doc_id"], r["n_bigrams"], r["n_oov"], r["cross_entropy"])
+        for r in _result(spark)
+    )
+    lib_rows = sorted(tuple(r[c] for c in cols) for r in lib.collect())
+    assert lib_rows == suite_rows
