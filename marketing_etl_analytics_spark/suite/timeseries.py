@@ -879,23 +879,27 @@ _SQL_QSKETCH = f"""
       ) WHERE cum >= r
     ),
     sel AS (
-      SELECT grp, name, n, r,
+      SELECT grp, name, n, r, bucket, cum - cnt AS lo_cum,
         bucket * {QH_W} + ({QH_W} * (r - (cum - cnt))) // cnt AS est_cents
       FROM hit WHERE rn = 1
     ),
-    ranked AS (
-      SELECT grp, cents,
-        row_number() OVER (PARTITION BY grp ORDER BY cents) AS rk
-      FROM (
+    -- two-phase exact selection: the sketch already knows WHICH bucket
+    -- holds rank r, so only that bucket's rows are sorted (n/#buckets
+    -- per probe), never the whole group
+    exactv AS (
+      SELECT s.grp, s.name, v.cents, s.r - s.lo_cum AS want,
+        row_number() OVER (PARTITION BY s.grp, s.name ORDER BY v.cents) AS rk
+      FROM sel s JOIN (
         SELECT grp, cents FROM pr
         UNION ALL
         SELECT '(all)', cents FROM pr
-      )
+      ) v ON v.grp = s.grp AND v.cents // {QH_W} = s.bucket
     )
     SELECT s.grp AS grp, s.name AS probe, s.n AS n, s.est_cents AS est_cents,
       k.cents AS exact_cents,
       s.est_cents - k.cents AS err_cents
-    FROM sel s JOIN ranked k ON k.grp = s.grp AND k.rk = s.r
+    FROM sel s JOIN exactv k
+      ON k.grp = s.grp AND k.name = s.name AND k.rk = k.want
     ORDER BY s.grp, probe
     """
 
@@ -941,23 +945,43 @@ def ext_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(whit))
         .filter(F.col("rn") == 1)
         .select(
-            "grp", "name", "n", "r",
+            "grp", "name", "n", "r", "bucket",
+            (F.col("cum") - F.col("cnt")).alias("lo_cum"),
             F.expr(
                 f"bucket * {QH_W} + ({QH_W} * (r - (cum - cnt))) div cnt"
             ).alias("est_cents"),
         )
     )
-    ranked = (
-        pr.unionAll(pr.select(F.lit("(all)").alias("grp"), "cents"))
+    # two-phase exact selection: the sketch already knows WHICH bucket
+    # holds rank r, so only that bucket's rows are sorted (n/#buckets
+    # rows per probe, via the broadcast 18-row probe table) — never a
+    # whole-group row_number
+    vals = pr.unionAll(pr.select(F.lit("(all)").alias("grp"), "cents"))
+    selb = F.broadcast(
+        sel.select(
+            F.col("grp").alias("sg"), "name", "r", "lo_cum",
+            F.col("bucket").alias("sb"),
+        )
+    )
+    exactv = (
+        vals.join(
+            selb,
+            (F.col("grp") == F.col("sg"))
+            & (F.expr(f"cents div {QH_W}") == F.col("sb")),
+        )
         .withColumn(
             "rk",
-            F.row_number().over(Window.partitionBy("grp").orderBy("cents")),
+            F.row_number().over(
+                Window.partitionBy("grp", "name").orderBy("cents")
+            ),
         )
+        .filter(F.col("rk") == F.col("r") - F.col("lo_cum"))
+        .select(F.col("grp").alias("eg"), F.col("name").alias("en"), "cents")
     )
     return (
         sel.join(
-            ranked,
-            (sel["grp"] == ranked["grp"]) & (ranked["rk"] == sel["r"]),
+            exactv,
+            (sel["grp"] == exactv["eg"]) & (sel["name"] == exactv["en"]),
         )
         .select(
             sel["grp"],
