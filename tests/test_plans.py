@@ -328,3 +328,42 @@ def test_quality_score_scan_prunes_to_three_columns(spark):
         assert "doc_id" in line and "n_chars" in line and "text" in line
     body = plan.split("== Initial Plan ==")[0]
     assert "Exchange hashpartitioning" not in body, body[:800]
+
+
+def test_embed_transform_is_projection_over_scan(spark):
+    """ext_embed_transform is the embarrassingly-parallel shape: a
+    per-row map with no joins and no aggregation — its only Exchange
+    is the final presentation sort, and nothing shuffles on data
+    keys (no HashAggregate, no join operator of any kind)."""
+    plan = plan_of(spark, "ext_embed_transform")
+    for op in ("Join", "HashAggregate", "CartesianProduct"):
+        assert op not in plan, op
+    # one Exchange allowed: rangepartitioning for the ORDER BY
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_lm_perplexity_vocab_join_broadcasts(spark):
+    """The LM scoring join must broadcast the pruned vocabulary —
+    a SortMergeJoin would shuffle the corpus-sized bigram table on
+    content (the exact thing the broadcast-LM design avoids)."""
+    from pyspark.sql import functions as F
+
+    from marketing_etl_analytics_spark.ext import (
+        lm_bigram_counts,
+        lm_perplexity_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = lm_perplexity_scores(lm_bigram_counts(docs), train=F.expr("doc_id % 10 < 7"))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
