@@ -78,9 +78,14 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 #       ext_ann_ivf_suite (plans unchanged, singles stay callable;
 #       ext_ann_recall still grades the seeded path), freeing the
 #       slot that admits ext_lm_perplexity (CCNet/KenLM-style
-#       statistical-LM quality filter: held-out unigram LM + OOV
-#       smoothing, per-doc cross-entropy + keep verdict; suite
-#       stays 99).
+#       statistical-LM quality filter: held-out bigram LM + OOV
+#       smoothing, per-doc cross-entropy + perplexity tertiles; suite
+#       stays 99); and the two search entries ext_inverted_index /
+#       ext_bm25_search (r5-changed, both served from the persisted
+#       bucketed term index) merged into ext_search_suite, freeing
+#       the slot that admits ext_hybrid_search (BM25 + dense-cosine
+#       shortlists fused by Reciprocal Rank Fusion — the RAG-era
+#       retrieval shape; suite stays 99).
 # The 49 entries past the window are exactly the r4-green rows whose
 # code is unchanged since CORRECTNESS_r04. stream_sessionize stays the
 # contract-allowed rows-only entry (pytest-equal to its oracled batch
@@ -90,7 +95,7 @@ _PRIORITY = [
     "ext_semantic_dedup_ivf", "ext_bpe_encode", "ext_quality_score",
     "ext_pack_sequences", "ext_sketch_suite", "rel_udf_tiers",
     # (b) code changed this round
-    "ext_curation_pipeline", "ext_inverted_index", "ext_bm25_search",
+    "ext_curation_pipeline", "ext_search_suite", "ext_hybrid_search",
     # (c) r3-green tail rotation (unchanged code, else two-round stale)
     "q6_category_performance", "q7_product_quadrant", "stream_dedup",
     "ext_dedup_eval", "ext_graph_pagerank", "stream_session_window",

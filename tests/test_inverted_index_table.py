@@ -120,12 +120,16 @@ def test_bm25_over_persisted_index_matches_suite_entry(postings_table):
     broadcast meta — row-local scoring, one doc aggregation) is
     row-identical to the driver-graded ext_bm25_search suite entry:
     the oracle evidence transfers to the persisted path."""
-    from marketing_etl_analytics_spark.suite import SUITE
-    from marketing_etl_analytics_spark.suite.ext_pipeline import _IDX_TERMS
+    from marketing_etl_analytics_spark.suite.ext_pipeline import (
+        _IDX_TERMS,
+        ext_bm25_search,
+    )
 
     spark = postings_table
     via_index = bm25_search(spark, "postings_b", list(_IDX_TERMS))
-    suite = SUITE["ext_bm25_search"].fn(spark, SF_DIR)
+    # graded via the ext_search_suite merged row since late-r5; the
+    # single stays callable and must keep matching the persisted path
+    suite = ext_bm25_search(spark, SF_DIR)
     cols = ["doc_id", "n_terms", "score"]
     got = [tuple(r[c] for c in cols) for r in via_index.collect()]
     want = [tuple(r[c] for c in cols) for r in suite.collect()]
@@ -139,10 +143,16 @@ def test_suite_search_entries_scan_pruned_buckets(spark):
     scan (SelectedBucketsCount k < n), not a corpus re-tokenization."""
     import re
 
-    from marketing_etl_analytics_spark.suite import SUITE
+    from marketing_etl_analytics_spark.suite.ext_pipeline import (
+        ext_bm25_search,
+        ext_inverted_index,
+    )
 
-    for name in ("ext_inverted_index", "ext_bm25_search"):
-        df = SUITE[name].fn(spark, SF_DIR)
+    for name, fn in (
+        ("ext_inverted_index", ext_inverted_index),
+        ("ext_bm25_search", ext_bm25_search),
+    ):
+        df = fn(spark, SF_DIR)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)

@@ -214,7 +214,13 @@ def test_bm25_plans_topk_and_broadcast_stats(spark):
     shuffle of the postings on a stats key), the term filter is pushed
     into the token pipeline, and the final top-20 plans as
     TakeOrderedAndProject, not a global sort."""
-    plan = plan_of(spark, "ext_bm25_search")
+    from marketing_etl_analytics_spark.suite.ext_pipeline import ext_bm25_search
+
+    df = ext_bm25_search(spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
