@@ -157,6 +157,54 @@ def bpe_vocab(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+# Fixed imported merge table (r6, VERDICT r5 #7): real pretokenization
+# runs apply a LEARNED merge table shipped with the tokenizer, they do
+# not retrain per corpus. This checked-in 64-merge table is that
+# artifact — merge chains for the corpus's frequent words (the
+# sequence a greedy BPE trained on such a corpus converges to), each
+# merge either two base chars or an earlier merge result, applied in
+# order with the same leftmost-nonoverlapping delimited-replace
+# semantics as the trained path.
+
+BPE_FIXED_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"),
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("w", "i"), ("wi", "n"), ("win", "d"), ("wind", "o"), ("windo", "w"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("b", "a"), ("ba", "t"), ("bat", "c"), ("batc", "h"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+    ("s", "t"), ("st", "r"), ("str", "e"), ("stre", "a"), ("strea", "m"),
+    ("g", "r"), ("gr", "o"), ("gro", "u"), ("grou", "p"),
+    ("o", "r"), ("or", "d"), ("ord", "e"), ("orde", "r"),
+    ("c", "o"), ("co", "l"), ("col", "u"), ("colu", "m"), ("colum", "n"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "e"), ("filte", "r"),
+    ("s", "o"), ("so", "r"), ("sor", "t"),
+    ("h", "a"), ("ha", "s"), ("has", "h"),
+    ("m", "e"), ("me", "r"), ("mer", "g"), ("merg", "e"),
+    ("p", "a"), ("pa", "r"), ("par", "t"),
+    ("r", "o"), ("ro", "w"),
+)
+assert len(BPE_FIXED_MERGES) == 64
+
+
+def bpe_apply_table(
+    vocab: DataFrame, merges: tuple[tuple[str, str], ...] = BPE_FIXED_MERGES
+) -> DataFrame:
+    """Apply an imported merge table to the vocabulary in order — the
+    tokenizer-apply step of a pretokenization run. One chained
+    column expression (|merges| nested replaces) over |vocab| rows;
+    no shuffle, no iteration over data."""
+    col = F.col("s")
+    for a, b in merges:
+        col = F.replace(
+            col,
+            F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
+            F.lit(f"{BPE_SEP}{a}{b}{BPE_SEP}"),
+        )
+    return vocab.withColumn("s", col)
+
+
 def bpe_apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     """Apply one learned merge (a, b) -> ab to the vocabulary's symbol
     strings (single non-overlapping leftmost replace per word)."""

@@ -142,6 +142,7 @@ def dedup_ingest_sink(
     checkpoint_dir: str,
     available_now: bool = True,
     cap_buckets: bool = False,
+    compact_index: bool = False,
 ):
     """Continuous dedup ingest: per micro-batch, compute the arriving
     documents' MinHash band signatures, flag each doc against ALL
@@ -178,6 +179,21 @@ def dedup_ingest_sink(
     signature can be informative early and spam later, which is
     again decisions-at-time semantics (the batch oracle of the suite
     entry corresponds to cap_buckets=False).
+
+    ``compact_index=True`` (r6, VERDICT r5 #5) switches to the
+    production MinHash-index shape: the standing index keeps ONE
+    REPRESENTATIVE per (band, band_sig) — the first arrival — instead
+    of every member's band rows, so index size tracks UNIQUE CONTENT
+    (distinct signatures), not feed volume: a clone-heavy feed grows
+    the index sublinearly while the uncompacted index grows linearly.
+    The novelty decision is unchanged (a doc's band matches iff its
+    signature was seen by ANY earlier arrival iff the representative
+    exists — flag-equivalence pinned by pytest); the per-doc count
+    column becomes ``n_matched_bands`` (how many of the doc's band
+    signatures were previously seen) rather than a duplicate-DOC
+    count, which a representative index cannot know — the honest
+    information content of a compacted index. Decisions land as
+    (doc_id, n_matched_bands, is_new).
     """
     import os
 
@@ -187,6 +203,71 @@ def dedup_ingest_sink(
         minhash_bands_frame,
         minhash_signatures_frame,
     )
+
+    def ingest_batch_compact(batch_df: DataFrame, batch_id: int) -> None:
+        # batchId-keyed OVERWRITE subdirs + own-subdir exclusion: the
+        # same two replay shields as the uncompacted path below
+        sp = batch_df.sparkSession
+        bands = minhash_bands_frame(
+            minhash_signatures_frame(batch_df)
+        ).localCheckpoint(eager=True)
+        this_sub = f"b{batch_id:06d}"
+        prior_subs = (
+            [
+                os.path.join(index_dir, d)
+                for d in sorted(os.listdir(index_dir))
+                if d != this_sub
+            ]
+            if os.path.isdir(index_dir)
+            else []
+        )
+        idx = sp.read.parquet(*prior_subs) if prior_subs else None
+        # same-batch "earlier": the batch's own first arrival per sig
+        batch_firsts = bands.groupBy("band", "band_sig").agg(
+            F.min("doc_id").alias("brep")
+        )
+        m = bands.join(batch_firsts, ["band", "band_sig"])
+        if idx is not None:
+            e_idx = idx.select(
+                "band", "band_sig", F.col("rep_doc").alias("irep")
+            )
+            m = m.join(e_idx, ["band", "band_sig"], "left")
+        else:
+            m = m.withColumn("irep", F.lit(None).cast("long"))
+        # a band matches iff an earlier arrival carried its signature:
+        # a smaller same-batch doc_id, or any standing representative
+        # (irep != doc_id shields source-level re-delivery of the rep
+        # itself under a new batch id — the e_doc != doc_id analog)
+        matched = (F.col("doc_id") > F.col("brep")) | (
+            F.col("irep").isNotNull() & (F.col("irep") != F.col("doc_id"))
+        )
+        perdoc = m.groupBy("doc_id").agg(
+            F.sum(matched.cast("int")).cast("long").alias("nmb")
+        )
+        (
+            batch_df.select("doc_id")
+            .join(perdoc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("nmb", F.lit(0)).cast("long").alias("n_matched_bands"),
+                (F.coalesce("nmb", F.lit(0)) == 0).alias("is_new"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(decisions_dir, this_sub))
+        )
+        # index compaction: persist ONLY the signatures this batch saw
+        # first (anti-join against the standing reps) — the index is
+        # one row per distinct signature forever
+        new_reps = batch_firsts.select(
+            "band", "band_sig", F.col("brep").alias("rep_doc")
+        )
+        if idx is not None:
+            new_reps = new_reps.join(
+                idx.select("band", "band_sig"), ["band", "band_sig"], "anti"
+            )
+        new_reps.write.mode("overwrite").parquet(
+            os.path.join(index_dir, this_sub)
+        )
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch is AT-LEAST-ONCE: a crash between these writes
@@ -273,7 +354,7 @@ def dedup_ingest_sink(
 
     writer = (
         doc_stream.writeStream.outputMode("append")
-        .foreachBatch(ingest_batch)
+        .foreachBatch(ingest_batch_compact if compact_index else ingest_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:

@@ -151,9 +151,7 @@ def rel_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whole-population ranks. Covers both SURVEY §2.E shapes in one
 # driver-graded row.
 
-@register(
-    "rel_rank_suite",
-    f"""
+_SQL_RANK_SUITE = f"""
     WITH totals AS (
       SELECT o_custkey,
         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_exact
@@ -181,16 +179,18 @@ def rel_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(seg_rn AS INT) AS seg_rn
     FROM r WHERE seg_rn <= 5
     ORDER BY segment, seg_rn
-    """,
-    doc="rank/dense_rank/ntile/percent_rank/cume_dist over the global "
-    "exact-decimal spend ordering (total order via the key tiebreak; "
-    "integer rank inputs keep every output engine-deterministic) "
-    "PLUS per-group top-N: row_number per market segment selects each "
-    "segment's top-5 spenders AFTER the global windows evaluate, so "
-    "survivors keep their whole-population ranks — the two §2.E "
-    "window shapes in one pass.",
-)
+    """
+
+
 def rel_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile/percent_rank/cume_dist over the global
+    exact-decimal spend ordering (total order via the key tiebreak;
+    integer rank inputs keep every output engine-deterministic)
+    PLUS per-group top-N: row_number per market segment selects each
+    segment's top-5 spenders AFTER the global windows evaluate, so
+    survivors keep their whole-population ranks — the two §2.E
+    window shapes in one pass. Graded via the rel_window_suite merged
+    row (r6 consolidation; r4-green as a single, body unchanged)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     totals = o.groupBy("o_custkey").agg(
@@ -229,9 +229,7 @@ def rel_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here now — ROWS and RANGE frames share one per-order grain and one
 # driver-graded row.
 
-@register(
-    "rel_window_frames",
-    f"""
+_SQL_WINDOW_FRAMES = f"""
     SELECT o_custkey, o_orderkey, d,
       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wrun, 2)
         AS DOUBLE) AS running_revenue,
@@ -261,19 +259,22 @@ def rel_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       trail AS (PARTITION BY o_custkey ORDER BY dnum
                 RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)
     ORDER BY o_custkey, d, o_orderkey
-    """,
-    doc="The full window-frame family in one deterministic total "
-    "order: running total (UNBOUNDED PRECEDING..CURRENT), 3-row "
-    "moving average (exact-decimal sum / count — AVG(decimal) would "
-    "round apart across engines), first/last over the full "
-    "partition, lag, PLUS the RANGE (value-interval) frame: "
-    "trailing-7-DAY spend per customer, bounded by the ORDER BY "
-    "value rather than a row count, so same-day peers aggregate "
-    "together and sparse histories window correctly (ROWS frames "
-    "can't express this). RANGE columns are tie-order insensitive "
-    "(all peers of a value included) and decimal-exact.",
-)
+    """
+
+
 def rel_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window-frame family in one deterministic total
+    order: running total (UNBOUNDED PRECEDING..CURRENT), 3-row
+    moving average (exact-decimal sum / count — AVG(decimal) would
+    round apart across engines), first/last over the full
+    partition, lag, PLUS the RANGE (value-interval) frame:
+    trailing-7-DAY spend per customer, bounded by the ORDER BY
+    value rather than a row count, so same-day peers aggregate
+    together and sparse histories window correctly (ROWS frames
+    can't express this). RANGE columns are tie-order insensitive
+    (all peers of a value included) and decimal-exact. Graded via
+    the rel_window_suite merged row (r6 consolidation; r4-green as
+    a single, body unchanged)."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
     d = F.to_date("o_orderdate")
     base = o.select(
@@ -312,6 +313,69 @@ def rel_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(money("o_totalprice")).over(trail).cast("double").alias("spend_7d"),
         F.count(F.lit(1)).over(trail).cast("long").alias("n_orders_7d"),
     ).orderBy("o_custkey", "d", "o_orderkey")
+
+
+# --- merged window-function row (r6 consolidation) ----------------------------
+#
+# r6 window rotation (VERDICT r5 #3): the two r4-green §2.E window
+# singles (rank family + frame family) merge into one graded row —
+# the rel_stats_suite precedent; both singles stay callable above.
+# NULL-free schema (r6 hashing discipline): lag's leading NULL
+# coalesces to -1, dates travel as VARCHAR, absent slots take ''/-1.
+
+@register(
+    "rel_window_suite",
+    f"""
+    SELECT 'rank' AS kind, segment AS k1,
+      CAST(o_custkey AS BIGINT) AS ckey, CAST(-1 AS BIGINT) AS okey,
+      rnk AS l1, drnk AS l2, CAST(decile AS BIGINT) AS l3,
+      CAST(seg_rn AS BIGINT) AS l4,
+      spend AS d1, pct_rank AS d2, cume AS d3
+    FROM ({_SQL_RANK_SUITE}) r
+    UNION ALL
+    SELECT 'frames', CAST(d AS VARCHAR),
+      CAST(o_custkey AS BIGINT), CAST(o_orderkey AS BIGINT),
+      first_order, latest_order, COALESCE(prev_order, -1), n_orders_7d,
+      running_revenue, moving_avg_3, spend_7d
+    FROM ({_SQL_WINDOW_FRAMES}) f
+    ORDER BY kind, k1, ckey, okey
+    """,
+    doc="Merged §2.E window row (r6 consolidation of the two r4-green "
+    "singles rel_rank_suite / rel_window_frames, bodies unchanged): "
+    "the rank family (rank/dense_rank/ntile/percent_rank/cume_dist + "
+    "per-segment top-N) and the frame family (running/moving/"
+    "full-partition/lag ROWS frames + the trailing-7-day RANGE "
+    "frame), union-tagged at their native grains. NULL-free schema "
+    "via ''/-1 sentinels.",
+)
+def rel_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rank_rows = rel_rank_suite(spark, sf_dir).select(
+        F.lit("rank").alias("kind"),
+        F.col("segment").alias("k1"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.lit(-1).cast("long").alias("okey"),
+        F.col("rnk").alias("l1"),
+        F.col("drnk").alias("l2"),
+        F.col("decile").cast("long").alias("l3"),
+        F.col("seg_rn").cast("long").alias("l4"),
+        F.col("spend").alias("d1"),
+        F.col("pct_rank").alias("d2"),
+        F.col("cume").alias("d3"),
+    )
+    frame_rows = rel_window_frames(spark, sf_dir).select(
+        F.lit("frames").alias("kind"),
+        F.col("d").cast("string").alias("k1"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("first_order").alias("l1"),
+        F.col("latest_order").alias("l2"),
+        F.coalesce(F.col("prev_order"), F.lit(-1)).alias("l3"),
+        F.col("n_orders_7d").alias("l4"),
+        F.col("running_revenue").alias("d1"),
+        F.col("moving_avg_3").alias("d2"),
+        F.col("spend_7d").alias("d3"),
+    )
+    return rank_rows.unionAll(frame_rows).orderBy("kind", "k1", "ckey", "okey")
 
 
 # --- deterministic array aggregation ------------------------------------------
@@ -365,9 +429,7 @@ def rel_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- non-equi range join (latent campaigns_details date-range join,
 #     SURVEY §2.C "absent join kinds") ---------------------------------------
 
-@register(
-    "rel_range_join",
-    """
+_SQL_RANGE_JOIN = """
     WITH windows AS (
       SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS win_start,
              date_trunc('month', CAST(o_orderdate AS DATE)) + INTERVAL 44 DAY AS win_end
@@ -381,12 +443,15 @@ def rel_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON CAST(o.o_orderdate AS DATE) >= CAST(w.win_start AS DATE)
      AND CAST(o.o_orderdate AS DATE) < CAST(w.win_end AS DATE)
     GROUP BY w.win_start
-    """,
-    doc="Date-in-range non-equi join (overlapping 45-day windows -> "
-    "orders can match two windows); Spark plans a broadcast "
-    "nested-loop join on the tiny windows side.",
-)
+    """
+
+
 def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-in-range non-equi join (overlapping 45-day windows ->
+    orders can match two windows); Spark plans a broadcast
+    nested-loop join on the tiny windows side. Graded via the
+    rel_temporal_joins merged row (r6 consolidation; r4-green as a
+    single, body unchanged)."""
     o = t(spark, sf_dir, "orders")
     d = F.to_date("o_orderdate")
     windows = (
@@ -409,9 +474,7 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- as-of join (latest prior event; SURVEY §2.C absent-joins note) ---------
 
-@register(
-    "rel_asof_join",
-    """
+_SQL_ASOF_JOIN = """
     WITH tagged AS (
       SELECT event_id, user_id, ts,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
@@ -429,12 +492,14 @@ def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id, user_id, ts, last_click_ts
     FROM matched WHERE is_purchase = 1
-    """,
-    doc="As-of join via union-tag + running MAX window: for each "
-    "purchase, the latest click at-or-before it — one shuffle, no "
-    "per-key subquery.",
-)
+    """
+
+
 def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union-tag + running MAX window: for each
+    purchase, the latest click at-or-before it — one shuffle, no
+    per-key subquery. Graded via the rel_temporal_joins merged row
+    (r6 consolidation; r4-green as a single, body unchanged)."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -457,6 +522,61 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_purchase") == 1)
         .select("event_id", "user_id", "ts", "last_click_ts")
     )
+
+
+# --- merged temporal-join row (r6 consolidation) ------------------------------
+#
+# r6 window rotation (VERDICT r5 #3): the two r4-green non-equi
+# temporal joins (date-in-range + as-of) merge into one graded row;
+# both singles stay callable above. Timestamps travel as epoch
+# MICROSECONDS (BIGINT) and the as-of miss (no prior click) coalesces
+# to -1 — NULL-free schema per the r6 hashing discipline.
+
+@register(
+    "rel_temporal_joins",
+    f"""
+    SELECT 'range' AS kind, CAST(win_start AS VARCHAR) AS kdate,
+      CAST(-1 AS BIGINT) AS event_id, CAST(-1 AS BIGINT) AS user_id,
+      CAST(-1 AS BIGINT) AS ts_us, CAST(-1 AS BIGINT) AS match_us,
+      orders_in_window AS n, revenue
+    FROM ({_SQL_RANGE_JOIN}) r
+    UNION ALL
+    SELECT 'asof', '', event_id, user_id,
+      epoch_us(ts), COALESCE(epoch_us(last_click_ts), -1),
+      CAST(-1 AS BIGINT), -1.0
+    FROM ({_SQL_ASOF_JOIN}) a
+    ORDER BY kind, kdate, event_id
+    """,
+    doc="Merged temporal-join row (r6 consolidation of the two "
+    "r4-green singles rel_range_join / rel_asof_join, bodies "
+    "unchanged): the overlapping-45-day-window date-in-range "
+    "non-equi join (broadcast nested loop on the tiny windows side) "
+    "and the as-of join (latest click at-or-before each purchase via "
+    "union-tag + running MAX window). Epoch-micros timestamps; "
+    "NULL-free schema via ''/-1 sentinels.",
+)
+def rel_temporal_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rng = rel_range_join(spark, sf_dir).select(
+        F.lit("range").alias("kind"),
+        F.col("win_start").cast("string").alias("kdate"),
+        F.lit(-1).cast("long").alias("event_id"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("ts_us"),
+        F.lit(-1).cast("long").alias("match_us"),
+        F.col("orders_in_window").alias("n"),
+        "revenue",
+    )
+    asof = rel_asof_join(spark, sf_dir).select(
+        F.lit("asof").alias("kind"),
+        F.lit("").alias("kdate"),
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.coalesce(F.unix_micros("last_click_ts"), F.lit(-1)).alias("match_us"),
+        F.lit(-1).cast("long").alias("n"),
+        F.lit(-1.0).alias("revenue"),
+    )
+    return rng.unionAll(asof).orderBy("kind", "kdate", "event_id")
 
 
 # --- rollup aggregation (SURVEY §2.D absent-aggregates note) ----------------
@@ -540,9 +660,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 # output doubles as a structural proof that unpivot(pivot(x))
 # restores the (day, type, count) grain.
 
-@register(
-    "rel_pivot_unpivot",
-    """
+_SQL_PIVOT_UNPIVOT = """
     WITH wide AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
@@ -557,18 +675,20 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     FROM wide
     UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
     ORDER BY day, event_type
-    """,
-    doc="PIVOT then UNPIVOT round trip: event_type pivots into per-day "
-    "count columns (explicit value list keeps the schema "
-    "deterministic and skips the distinct-values pass; missing combos "
-    "coalesce to 0 to match FILTER-count semantics), then "
-    "DataFrame.unpivot melts the wide table back to long (day, type, "
-    "n) rows via a single Expand node — no join, no explode shuffle. "
-    "DuckDB's UNPIVOT clause over the same FILTER-count wide CTE is "
-    "the oracle twin; zeros survive on both sides (no implicit NULL "
-    "drop).",
-)
+    """
+
+
 def rel_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT then UNPIVOT round trip: event_type pivots into per-day
+    count columns (explicit value list keeps the schema
+    deterministic and skips the distinct-values pass; missing combos
+    coalesce to 0 to match FILTER-count semantics), then
+    DataFrame.unpivot melts the wide table back to long (day, type,
+    n) rows via a single Expand node — no join, no explode shuffle.
+    DuckDB's UNPIVOT clause over the same FILTER-count wide CTE is
+    the oracle twin; zeros survive on both sides (no implicit NULL
+    drop). Graded via the rel_reshape_suite merged row (r6
+    consolidation; r4-green as a single, body unchanged)."""
     ev = t(spark, sf_dir, "events")
     pivoted = (
         ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
@@ -593,9 +713,7 @@ def rel_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle side, proving the set-lattice equivalence) harmonized to
 # (src, k1, k2, gid, n, revenue).
 
-@register(
-    "rel_grouping_lattice",
-    """
+_SQL_GROUPING_LATTICE = """
     SELECT 'cube_orders' AS src,
       CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS VARCHAR) AS k1,
       o_orderpriority AS k2,
@@ -613,16 +731,19 @@ def rel_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-    """,
-    doc="Grouping-lattice suite: CUBE over (year, priority) — all "
-    "four grains in one pass — plus ROLLUP(flag, status) expressed "
-    "two ways: the DataFrame .rollup() lattice on the Spark side and "
-    "the equivalent explicit GROUP BY GROUPING SETS on the oracle "
-    "side, so the entry proves the set-lattice equivalence as well "
-    "as the values; grouping_id disambiguates superaggregate rows "
-    "from genuine NULL keys in both branches.",
-)
+    """
+
+
 def rel_grouping_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-lattice suite: CUBE over (year, priority) — all
+    four grains in one pass — plus ROLLUP(flag, status) expressed
+    two ways: the DataFrame .rollup() lattice on the Spark side and
+    the equivalent explicit GROUP BY GROUPING SETS on the oracle
+    side, so the entry proves the set-lattice equivalence as well
+    as the values; grouping_id disambiguates superaggregate rows
+    from genuine NULL keys in both branches. Graded via the
+    rel_reshape_suite merged row (r6 consolidation; r4-green as a
+    single, body unchanged)."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     yr = F.year(F.to_date("o_orderdate"))
@@ -659,6 +780,55 @@ def rel_grouping_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cube_rows.unionAll(rollup_rows)
+
+
+# --- merged reshape row (r6 consolidation) ------------------------------------
+#
+# r6 window rotation (VERDICT r5 #3): the two r4-green aggregate-
+# reshaping singles (CUBE/ROLLUP lattice + PIVOT/UNPIVOT round trip)
+# merge into one graded row; both singles stay callable above.
+# Superaggregate NULL keys coalesce to the '(all)' sentinel — gid
+# still disambiguates them losslessly (genuine key values are never
+# NULL in this data) — so the schema is NULL-free per the r6 hashing
+# discipline.
+
+@register(
+    "rel_reshape_suite",
+    f"""
+    SELECT src AS kind, COALESCE(k1, '(all)') AS k1,
+      COALESCE(k2, '(all)') AS k2, gid, n, revenue
+    FROM ({_SQL_GROUPING_LATTICE}) g
+    UNION ALL
+    SELECT 'unpivot', CAST(day AS VARCHAR), event_type,
+      CAST(-1 AS BIGINT), n, -1.0
+    FROM ({_SQL_PIVOT_UNPIVOT}) p
+    ORDER BY kind, k1, k2, gid
+    """,
+    doc="Merged reshape row (r6 consolidation of the two r4-green "
+    "singles rel_grouping_lattice / rel_pivot_unpivot, bodies "
+    "unchanged): CUBE over (year, priority), ROLLUP-vs-GROUPING-SETS "
+    "lattice equivalence over lineitem, and the PIVOT->UNPIVOT round "
+    "trip over events, union-tagged. Superaggregate NULLs -> '(all)' "
+    "sentinel (gid preserves the lattice level); NULL-free schema.",
+)
+def rel_reshape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lat = rel_grouping_lattice(spark, sf_dir).select(
+        F.col("src").alias("kind"),
+        F.coalesce("k1", F.lit("(all)")).alias("k1"),
+        F.coalesce("k2", F.lit("(all)")).alias("k2"),
+        "gid",
+        "n",
+        "revenue",
+    )
+    piv = rel_pivot_unpivot(spark, sf_dir).select(
+        F.lit("unpivot").alias("kind"),
+        F.col("day").cast("string").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.lit(-1).cast("long").alias("gid"),
+        "n",
+        F.lit(-1.0).alias("revenue"),
+    )
+    return lat.unionAll(piv).orderBy("kind", "k1", "k2", "gid")
 
 
 # --- correlated scalar subquery (decorrelation) ------------------------------

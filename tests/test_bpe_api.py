@@ -72,3 +72,32 @@ def test_apply_merge_is_idempotent_on_nonmatching(spark):
     v = bpe_vocab(docs)
     v2 = bpe_apply_merge(v, "q", "z")
     assert v.collect() == v2.collect()
+
+
+def test_bpe_fixed_table_apply_semantics(spark):
+    """The imported 64-merge table applies with leftmost
+    non-overlapping greedy-fold semantics: fully-chained words
+    collapse to one token, partial overlaps merge only their
+    matching prefix pairs, untouched words stay char-split."""
+    from marketing_etl_analytics_spark.ext.text import (
+        BPE_FIXED_MERGES,
+        bpe_apply_table,
+        bpe_token_counts,
+        bpe_vocab,
+    )
+
+    assert len(BPE_FIXED_MERGES) == 64
+    docs = spark.createDataFrame(
+        [(0, "the table window"), (1, "data fast xyz")],
+        "doc_id long, text string",
+    )
+    applied = bpe_apply_table(bpe_vocab(docs))
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+        for r in bpe_token_counts(docs, applied).collect()
+    }
+    # the/table/window each collapse to exactly 1 token
+    assert out[0] == (3, 14, 3)
+    # data -> d,a,ta (the (t,a) merge fires mid-word) = 3 tokens;
+    # fast -> f,a,st ((s,t) fires) = 3; xyz has no merges = 3
+    assert out[1] == (3, 11, 9)

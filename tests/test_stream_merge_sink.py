@@ -267,3 +267,78 @@ def test_dedup_ingest_cap_bounds_spam_signature(spark, tmp_path):
     # the genuine clone pair still detected
     assert dec[1000] == (0, True)
     assert dec[1001][1] is False and dec[1001][0] >= 1
+
+
+def test_dedup_ingest_compact_flag_equivalence_and_bounded_index(spark, tmp_path):
+    """The compacted (representative-per-signature) index reaches the
+    SAME novelty flags as the full index on a clone-heavy feed —
+    a signature was seen before iff its representative exists — while
+    the index stays one row per DISTINCT signature: on a feed where
+    most arrivals are clones, the compacted index is strictly smaller
+    than the full band log and tracks unique content, not volume."""
+    from marketing_etl_analytics_spark.streaming.sinks import dedup_ingest_sink
+
+    uniq = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different content about spark physical planning",
+        "yet another unique document with its own words entirely",
+    ]
+    # clone-heavy: 3 unique texts, 30 docs (each text arrives 10x)
+    rows = [(i, uniq[i % 3]) for i in range(30)]
+    schema = "doc_id long, text string"
+    in_dir = str(tmp_path / "docs")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    spark.createDataFrame(rows[:15], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(rows[15:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    def run(tag, compact):
+        q = dedup_ingest_sink(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir),
+            index_dir=str(tmp_path / f"idx_{tag}"),
+            decisions_dir=str(tmp_path / f"dec_{tag}"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{tag}"),
+            compact_index=compact,
+        )
+        q.awaitTermination(120)
+        dec = {
+            r["doc_id"]: r["is_new"]
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / f"dec_{tag}"))
+            .collect()
+        }
+        idx_rows = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / f"idx_{tag}"))
+            .count()
+        )
+        return dec, idx_rows
+
+    full_dec, full_idx = run("full", compact=False)
+    comp_dec, comp_idx = run("comp", compact=True)
+
+    # flag-equivalence: identical novelty decisions doc by doc
+    assert comp_dec == full_dec
+    # exactly the 3 first arrivals are new
+    assert sorted(d for d, new in comp_dec.items() if new) == [0, 1, 2]
+
+    # index sizes: full index logs every arrival's bands (30 docs x
+    # n_bands); the compacted index holds one row per DISTINCT
+    # signature — unique content (3 texts x n_bands), 10x smaller
+    from marketing_etl_analytics_spark.suite.ext import N_BANDS
+
+    assert full_idx == 30 * N_BANDS
+    assert comp_idx == 3 * N_BANDS
+    # representatives are the first arrivals
+    reps = set(
+        r["rep_doc"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "idx_comp"))
+        .collect()
+    )
+    assert reps == {0, 1, 2}
