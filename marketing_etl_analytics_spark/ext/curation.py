@@ -209,6 +209,140 @@ def farthest_first_from_pool(pool: list[tuple], k: int) -> list:
     return chosen
 
 
+# --- distributed k-means||-style seeding (r6, VERDICT r5 #4) -----------------
+#
+# Bahmani et al. 2012 (k-means||): oversample ~ell candidates per
+# round proportionally to each point's squared distance from the
+# current seed set, for O(log n) rounds, then reduce the ~ell*rounds
+# candidates to k by weight. This deterministic variant replaces the
+# random draws with CONTENT-ADDRESSED thresholding — point x is
+# sampled in a round iff u(x) * S < ell * dmin^2(x), where u(x) is
+# the md5-uniform of its key and S the decimal-snapped corpus sum of
+# dmin^2 — so every engine (and the DuckDB oracle) derives the
+# identical candidate set with no RNG state. The final reduction is
+# ALSO a frame op: candidates are weighted by how many corpus rows
+# they are nearest to, bucketed by md5(key) % k, and the max-weight
+# candidate per bucket wins (tiebreak: smaller key). Seeds therefore
+# stay a DataFrame end-to-end: no driver-side pool collect, no
+# O(pool*k) Python greedy, no isin(<k literals>) — the seeding path
+# that survives k~1e5 (the farthest-first pool path remains for the
+# k~sqrt(n) SemDeDup regime where its k-center spread guarantee is
+# worth the planning-sized collect).
+
+KMPAR_ROUNDS = 3
+
+
+def _dot_expr() -> str:
+    """Exact-decimal dot product template (order-free per-term snap)."""
+    return (
+        "CAST(aggregate(sequence(1, size({a})), CAST(0 AS DECIMAL(38,12)),"
+        " (acc, i) -> CAST(acc + CAST(CAST(element_at({a}, i) AS DOUBLE)"
+        " * CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(38,12))"
+        " AS DECIMAL(38,12))) AS DOUBLE)"
+    )
+
+
+def kmeanspar_seeds(
+    b: DataFrame,
+    key: str,
+    vec: str,
+    n_centroids: int,
+    rounds: int = KMPAR_ROUNDS,
+    ell_factor: int = 2,
+) -> DataFrame:
+    """Deterministic k-means|| seed selection over a pre-normed frame
+    ``b`` with columns (key, vec, _n2). Returns (_cid, _ce, _cn2) —
+    at most ``n_centroids`` rows (occupied weight-buckets), a frame.
+
+    Geometry is cosine distance d = 1 - cos (the dedup metric);
+    within a round dmin is a MIN over the broadcast seed frame —
+    O(n * |seeds|) exact-decimal dots per round, |seeds| <= 1 +
+    ell*rounds ~ O(k). The per-round seed frame is localCheckpoint'ed
+    (planning-sized) so round r's plan does not re-derive rounds
+    1..r-1."""
+    ell = ell_factor * n_centroids
+    h = F.md5(F.col(key).cast("string"))
+    u = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+    )
+    base = b.select(
+        F.col(key).alias("_k"),
+        F.col(vec).alias("_v"),
+        F.col("_n2").alias("_vn2"),
+        u.alias("_u"),
+        h.alias("_h"),
+    )
+    seed_cols = [
+        F.col("_k").alias("_cid"),
+        F.col("_v").alias("_ce"),
+        F.col("_vn2").alias("_cn2"),
+    ]
+    seeds = (
+        base.orderBy("_h", "_k").limit(1).select(*seed_cols)
+        .localCheckpoint(eager=True)
+    )
+    # zero-norm vectors (legitimate in filtered corpora) get cos 0 /
+    # distance 1 instead of an ANSI divide-by-zero; mirrored in the
+    # suite oracle (_sql_kmeanspar_ctes)
+    cos = F.coalesce(
+        F.expr(_dot_expr().format(a="_v", b="_ce"))
+        / F.nullif(F.sqrt(F.col("_vn2") * F.col("_cn2")), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    d = F.greatest(F.lit(0.0), F.lit(1.0) - cos)
+    for _ in range(rounds):
+        dmin = (
+            base.crossJoin(F.broadcast(seeds))
+            .groupBy("_k", "_v", "_vn2", "_u")
+            .agg(F.min(d).alias("_d"))
+            .withColumn("_d2", F.col("_d") * F.col("_d"))
+        )
+        s_tot = dmin.agg(
+            F.sum(F.col("_d2").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_S")
+        )
+        new = (
+            dmin.crossJoin(F.broadcast(s_tot))
+            .filter(F.col("_u") * F.col("_S") < F.lit(float(ell)) * F.col("_d2"))
+            .select(
+                F.col("_k").alias("_cid"),
+                F.col("_v").alias("_ce"),
+                F.col("_vn2").alias("_cn2"),
+            )
+        )
+        seeds = seeds.unionByName(new).localCheckpoint(eager=True)
+    # weight each candidate by the corpus rows nearest to it
+    # (tiebreak: higher cos, then smaller candidate key), then reduce
+    # to k via md5-bucket max-weight — both frame ops
+    wnear = Window.partitionBy("_k").orderBy(F.desc(cos), F.asc("_cid"))
+    weights = (
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn("_r", F.row_number().over(wnear))
+        .filter(F.col("_r") == 1)
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("_cid").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % F.lit(n_centroids)
+    )
+    wpick = Window.partitionBy("_bkt").orderBy(F.desc("_w"), F.asc("_cid"))
+    return (
+        seeds.join(F.broadcast(weights), "_cid", "left")
+        .select(
+            "_cid", "_ce", "_cn2",
+            F.coalesce("_w", F.lit(0)).alias("_w"),
+            bkt.alias("_bkt"),
+        )
+        .withColumn("_pr", F.row_number().over(wpick))
+        .filter(F.col("_pr") == 1)
+        .select("_cid", "_ce", "_cn2")
+    )
+
+
 def semantic_assign(
     df: DataFrame,
     key: str = "vec_id",
@@ -249,13 +383,14 @@ def semantic_assign(
     only the member centroids of its ``n_probe`` nearest
     super-clusters — O(n*(sqrt(k) + n_probe*sqrt(k))) dots, the
     IVF-probe shape that keeps the ASSIGNMENT step tractable at
-    k~1e5. The SEEDING step does not yet scale that far: it collects
-    a pool_factor*k quantized sample to the driver and runs an
-    O(pool*k) Python greedy, and seeds/super-seeds are selected via
-    ``isin(<k literals>)`` — both fine at the k~sqrt(n) SemDeDup
-    regime this entry targets, but at k~1e5 the seed set should come
-    from distributed seeding (k-means|| style) joined as a frame
-    instead. Approximate in general (a row whose true centroid lives
+    k~1e5. With ``seeding='kmeanspar'`` (r6, VERDICT r5 #4) the
+    whole path is frame-only: k-means||-style seeds
+    (``kmeanspar_seeds``) AND hash-bucket super-centroids come from
+    DataFrame ops joined downstream — no driver pool collect, no
+    O(pool*k) greedy, no isin(<k literals>) — the k~1e5 shape. The
+    'farthest' pool path remains for the k~sqrt(n) SemDeDup regime
+    where its k-center spread guarantee is worth the planning-sized
+    collect. Approximate in general (a row whose true centroid lives
     outside the probed super-clusters mis-assigns); equality vs exact
     argmax on the graded corpora is pinned by pytest.
     """
@@ -297,6 +432,15 @@ def semantic_assign(
         )
     elif seeding == "lowest":
         cent = b.orderBy(key).limit(n_centroids).select(*cent_cols)
+    elif seeding == "kmeanspar":
+        # r6 (VERDICT r5 #4): deterministic k-means|| — oversample by
+        # threshold each round, weight-reduce to k via md5 buckets;
+        # seeds are a FRAME end-to-end (see kmeanspar_seeds)
+        cent = kmeanspar_seeds(
+            b.select(key, vec, "_n2"), key, vec, n_centroids
+        ).select(
+            F.col("_cid"), F.col("_ce"), F.col("_cn2")
+        )
     elif seeding == "hashmod":
         # Distributed seeding for LARGE k (the ADVICE r4 path): k
         # md5-derived buckets, seed = hash-first row per bucket. One
@@ -326,26 +470,52 @@ def semantic_assign(
     if assign == "ivf":
         import math
 
-        # super-centroids: farthest-first over the SEEDS' quantized
-        # vectors (k rows — planning-sized collect, like the pool)
         n_super = max(1, math.isqrt(max(n_centroids - 1, 0)) + 1)
-        qexpr = "transform(_ce, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-        spool = [
-            (r["_cid"], list(r["_q"]))
-            for r in cent.select(
-                "_cid",
-                F.expr(qexpr).alias("_q"),
-                F.md5(F.col("_cid").cast("string")).alias("_h"),
+        if seeding == "kmeanspar":
+            # fully-distributed mode (VERDICT r5 #4): super-centroids
+            # are the hash-first SEED per md5 bucket — one window over
+            # the k-row seed frame, no collect, no isin; supers (like
+            # seeds) stay a frame at k~1e5
+            sh = F.md5(F.col("_cid").cast("string"))
+            sbkt = (
+                F.conv(F.substring(sh, 1, 8), 16, 10).cast("long")
+                % F.lit(n_super)
             )
-            .orderBy("_h", "_cid")
-            .collect()
-        ]
-        super_keys = farthest_first_from_pool(spool, n_super)
-        sup = b.filter(F.col(key).isin(super_keys)).select(
-            F.col(key).alias("_sid"),
-            F.col(vec).alias("_se"),
-            F.col("_n2").alias("_sn2"),
-        )
+            wsup = Window.partitionBy("_sbkt").orderBy("_sh", "_cid")
+            sup = (
+                cent.select(
+                    "_cid", "_ce", "_cn2",
+                    sh.alias("_sh"), sbkt.alias("_sbkt"),
+                )
+                .withColumn("_srn", F.row_number().over(wsup))
+                .filter(F.col("_srn") == 1)
+                .select(
+                    F.col("_cid").alias("_sid"),
+                    F.col("_ce").alias("_se"),
+                    F.col("_cn2").alias("_sn2"),
+                )
+            )
+        else:
+            # super-centroids: farthest-first over the SEEDS'
+            # quantized vectors (k rows — planning-sized collect,
+            # like the pool)
+            qexpr = "transform(_ce, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+            spool = [
+                (r["_cid"], list(r["_q"]))
+                for r in cent.select(
+                    "_cid",
+                    F.expr(qexpr).alias("_q"),
+                    F.md5(F.col("_cid").cast("string")).alias("_h"),
+                )
+                .orderBy("_h", "_cid")
+                .collect()
+            ]
+            super_keys = farthest_first_from_pool(spool, n_super)
+            sup = b.filter(F.col(key).isin(super_keys)).select(
+                F.col(key).alias("_sid"),
+                F.col(vec).alias("_se"),
+                F.col("_n2").alias("_sn2"),
+            )
         # centroid -> home super-cluster (k x sqrt(k), both broadcast)
         cos_cs = F.expr(dot.format(a="_ce", b="_se")) / F.sqrt(
             F.col("_cn2") * F.col("_sn2")
