@@ -98,8 +98,29 @@ def sign_dot_expr(vec: str, signs: str, dialect: str = "spark") -> str:
     )
 
 
+def _infer_dim(df: DataFrame, vec: str, d: int | None) -> int:
+    """Vector width for the sign matrix: the caller's explicit ``d``
+    (keeps plan construction lazy — preferred), else a one-row probe
+    with a readable error on empty input (ADVICE r5: the bare
+    ``first()[0]`` raised TypeError on empty frames and silently ran
+    a Spark job at plan-build time)."""
+    if d is not None:
+        return d
+    row = df.select(vec).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer projection dimension: input has no rows (or "
+            f"NULL {vec!r}); pass d= explicitly"
+        )
+    return len(row[0])
+
+
 def project_signs(
-    df: DataFrame, p: int = 8, vec: str = "embedding", tag: str = "jl"
+    df: DataFrame,
+    p: int = 8,
+    vec: str = "embedding",
+    tag: str = "jl",
+    d: int | None = None,
 ) -> DataFrame:
     """Append ``proj`` = the p-dim JL sign projection of ``vec``
     (scaled by 1/sqrt(p)), as an ``array<double>`` column.
@@ -108,8 +129,11 @@ def project_signs(
     bare Project over the scan at any corpus size); per-term decimal
     snapping makes every coordinate engine-exact. For bulk throughput
     use :func:`project_signs_arrow` (one BLAS matmul per Arrow batch
-    instead of p*d interpreted lambda steps per row)."""
-    d = len(df.select(vec).first()[0])
+    instead of p*d interpreted lambda steps per row). Pass ``d`` (the
+    vector width) to keep plan construction fully lazy; omitted, a
+    one-row probe infers it and empty inputs raise a clear
+    ValueError."""
+    d = _infer_dim(df, vec, d)
     signs = sign_matrix(d, p, tag)
     coords = ", ".join(
         f"{sign_dot_expr(vec, s, 'spark')} / sqrt(CAST({p} AS DOUBLE))"
@@ -119,16 +143,20 @@ def project_signs(
 
 
 def project_signs_arrow(
-    df: DataFrame, p: int = 8, vec: str = "embedding", tag: str = "jl"
+    df: DataFrame,
+    p: int = 8,
+    vec: str = "embedding",
+    tag: str = "jl",
+    d: int | None = None,
 ) -> DataFrame:
     """numpy/BLAS twin of :func:`project_signs`: same literal sign
     matrix, one float64 matmul per Arrow batch. Coordinates agree
     with the decimal path to ~1e-12 (pinned by pytest); schema and
-    column set are identical."""
+    column set are identical. ``d`` as in :func:`project_signs`."""
     import numpy as np
     import pandas as pd
 
-    d = len(df.select(vec).first()[0])
+    d = _infer_dim(df, vec, d)
     signs = sign_matrix(d, p, tag)
     # (d, p) float64 +/-1 matrix — tiny; serialized into the closure
     m = np.array(

@@ -331,7 +331,16 @@ def lm_perplexity_scores(
     DECIMAL(18,6); per-doc sums are exact order-free decimal addition;
     the final division is one IEEE op. The graded suite twin
     (``ext_lm_perplexity``) adds head/middle/tail perplexity tertiles
-    on top of these scores."""
+    on top of these scores.
+
+    OOV semantics: bigrams below ``min_count`` are excluded from the
+    vocabulary and every unseen bigram scores the UNIFORM add-one
+    class probability 1/(t_tokens + v_types + 1); pruned-bigram mass
+    is NOT redistributed into that numerator, so the model is
+    deliberately under-normalized (sum p < 1). That is fine for this
+    operator's use — scores feed rankings and tertile cuts, and the
+    normalization gap is a constant monotone offset — and it keeps
+    the arithmetic to one ln per distinct count (ADVICE r5)."""
     src = doc_bigrams if train is None else doc_bigrams.filter(train)
     train_counts = src.groupBy("b").agg(F.sum("cnt").cast("long").alias("c"))
     vocab = train_counts.filter(F.col("c") >= min_count)

@@ -2161,7 +2161,13 @@ def ext_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ln, and the distinct-argument set is count-valued — a few hundred).
 
 _LM_TRAIN_PRED = "doc_id % 10 < 7"  # 70% held-in training split
-_LM_MIN_COUNT = 5  # vocab floor: rarer train bigrams fold into OOV mass
+# vocab floor: rarer train bigrams are EXCLUDED from the vocabulary and
+# score as the uniform add-one OOV class 1/(t_tokens+v_types+1) — their
+# pruned counts are NOT folded into the OOV numerator, so the model is
+# deliberately under-normalized (sum p < 1); deterministic, mirrored in
+# both engines, and monotone-equivalent for the ranking/tertile use
+# (ADVICE r5: docs now match the math)
+_LM_MIN_COUNT = 5
 
 _SQL_LM_LNP = (
     "ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)"

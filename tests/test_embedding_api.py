@@ -90,3 +90,32 @@ def test_projection_preserves_energy_in_expectation(spark, emb):
     mean = sum(ratios) / len(ratios)
     assert 0.8 <= mean <= 1.2, mean
     assert all(math.isfinite(x) for x in ratios)
+
+
+def test_project_signs_empty_and_explicit_dim(spark):
+    """ADVICE r5: empty inputs raise a readable ValueError instead of
+    TypeError, and passing d= skips the one-row probe so an empty
+    frame with explicit d builds a valid (empty) projection lazily."""
+    import pytest
+
+    from marketing_etl_analytics_spark.ext.embedding import (
+        project_signs,
+        project_signs_arrow,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="pass d= explicitly"):
+        project_signs(empty)
+    with pytest.raises(ValueError, match="pass d= explicitly"):
+        project_signs_arrow(empty)
+    # explicit d: lazy plan on an empty frame, zero rows out
+    assert project_signs(empty, p=4, d=16).count() == 0
+    assert project_signs_arrow(empty, p=4, d=16).count() == 0
+    # explicit d equals inferred d on real data
+    df = spark.createDataFrame(
+        [(1, [0.5] * 16), (2, [-0.25] * 16)],
+        "vec_id long, embedding array<double>",
+    )
+    a = project_signs(df, p=4).select("vec_id", "proj").collect()
+    b = project_signs(df, p=4, d=16).select("vec_id", "proj").collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))

@@ -104,7 +104,12 @@ def test_quantile_sketch_error_bounded_by_bucket_width(spark):
         "(all)", "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
     }
     for r in rows:
-        assert abs(r["err_cents"]) < QH_W, r
+        # <= is the true interpolation bound: when the selected rank
+        # is the last element of a bucket whose values all sit on the
+        # lower bucket edge, est = (bucket+1)*W while exact =
+        # bucket*W — err exactly W (ADVICE r5: strict < was a
+        # data-dependent flake on exact bucket-multiple prices)
+        assert abs(r["err_cents"]) <= QH_W, r
         assert r["n"] > 0
 
 
