@@ -21,7 +21,16 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = SUITE[name].fn(spark, SF_DIR)
+    # r6 consolidation: some plan-audited singles are no longer
+    # registered (graded via their merged rows) but stay callable —
+    # fall back to the module function for those
+    if name in SUITE:
+        fn = SUITE[name].fn
+    else:
+        from marketing_etl_analytics_spark.suite import relational
+
+        fn = getattr(relational, name)
+    df = fn(spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
