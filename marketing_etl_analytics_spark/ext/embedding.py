@@ -74,27 +74,38 @@ def sign_matrix(d: int, p: int, tag: str = "jl") -> list[str]:
 
 
 def sign_dot_expr(vec: str, signs: str, dialect: str = "spark") -> str:
-    """SQL text for the exact-decimal signed sum
-    ``sum_i (+/-1)_i * CAST(vec[i] AS DOUBLE)`` with per-term
-    DECIMAL(38,12) snapping (order-free addition), where the sign row
-    is the literal '0'/'1' string ``signs``. Mirrored Spark / DuckDB
-    spellings so a suite oracle can replay it hash-exactly."""
+    """SQL text for the signed sum
+    ``sum_i (+/-1)_i * CAST(vec[i] AS DOUBLE)`` snapped per term to
+    the 1e-12 INTEGER lattice — ``floor(term * 1e12 + 0.5)`` summed
+    as BIGINT, divided once at the end — where the sign row is the
+    literal '0'/'1' string ``signs``. Mirrored Spark / DuckDB
+    spellings so a suite oracle can replay it hash-exactly.
+
+    r6 hardening: the previous per-term ``CAST(double AS
+    DECIMAL(38,12))`` snap left ONE engine-specific operation in the
+    sum — the double->decimal cast's tie rounding (Java BigDecimal's
+    exact-expansion HALF_UP vs a scaled-multiply round) — and the
+    sf10 probe caught exactly one coordinate in 5.5 M flipping a
+    6-dp round across engines. ``floor(x * 1e12 + 0.5)`` is composed
+    ONLY of IEEE ops that are bit-identical on identical inputs in
+    every engine, so the lattice sum cannot diverge, at any scale.
+    Lattice error <= d * 0.5e-12 (~3e-11 at d=64, inside the Arrow
+    twin's 1e-10 agreement); BIGINT headroom to |x| ~ 1e4."""
     if dialect == "spark":
-        # re-CAST in the accumulator pins the decimal scale (the
-        # SPARK_DOT discipline — Spark's add-widening would drift it)
         return (
-            f"CAST(aggregate(sequence(1, size({vec})), CAST(0 AS DECIMAL(38,12)),"
-            " (acc, i) -> CAST(acc + CAST("
+            f"CAST(aggregate(sequence(1, size({vec})), CAST(0 AS BIGINT),"
+            " (acc, i) -> acc + CAST(FLOOR("
             f"CAST(element_at({vec}, i) AS DOUBLE)"
             f" * (CASE WHEN substring('{signs}', CAST(i AS INT), 1) = '1'"
-            " THEN 1.0 ELSE -1.0 END) AS DECIMAL(38,12))"
-            " AS DECIMAL(38,12))) AS DOUBLE)"
+            " THEN 1.0 ELSE -1.0 END) * 1e12 + 0.5) AS BIGINT))"
+            " AS DOUBLE) / 1e12"
         )
     return (
         f"CAST(list_sum(list_transform(generate_series(1, len({vec})),"
-        f" i -> CAST(CAST({vec}[i] AS DOUBLE)"
+        f" i -> CAST(FLOOR(CAST({vec}[i] AS DOUBLE)"
         f" * (CASE WHEN substr('{signs}', i, 1) = '1'"
-        " THEN 1.0 ELSE -1.0 END) AS DECIMAL(38,12)))) AS DOUBLE)"
+        " THEN 1.0 ELSE -1.0 END) * 1e12 + 0.5) AS BIGINT)))"
+        " AS DOUBLE) / 1e12"
     )
 
 

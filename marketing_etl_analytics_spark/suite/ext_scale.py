@@ -2128,12 +2128,15 @@ def _emb_sql(dialect: str) -> dict:
             "aggregate(embedding, CAST(0 AS BIGINT),"
             f" (acc, x) -> acc + CAST({qcode} AS BIGINT))"
         )
+        # r6 hardening (with sign_dot_expr): per-term 1e-15 INTEGER
+        # lattice instead of a double->decimal cast — floor on
+        # identical IEEE doubles cannot tie-round apart across engines
         mse_sum = (
-            "CAST(aggregate(embedding, CAST(0 AS DECIMAL(38,18)),"
-            " (acc, x) -> CAST(acc + CAST("
+            "CAST(aggregate(embedding, CAST(0 AS BIGINT),"
+            " (acc, x) -> acc + CAST(FLOOR("
             f"(CAST(x AS DOUBLE) - CAST({qcode} AS DOUBLE) * scl)"
             f" * (CAST(x AS DOUBLE) - CAST({qcode} AS DOUBLE) * scl)"
-            " AS DECIMAL(38,18)) AS DECIMAL(38,18))) AS DOUBLE)"
+            " * 1e15 + 0.5) AS BIGINT)) AS DOUBLE) / 1e15"
         )
     else:
         q_min = f"list_min(list_transform(embedding, x -> {qcode}))"
@@ -2143,22 +2146,23 @@ def _emb_sql(dialect: str) -> dict:
             f" x -> CAST({qcode} AS BIGINT))) AS BIGINT)"
         )
         mse_sum = (
-            "CAST(list_sum(list_transform(embedding, x -> CAST("
+            "CAST(list_sum(list_transform(embedding, x -> CAST(FLOOR("
             f"(CAST(x AS DOUBLE) - CAST({qcode} AS DOUBLE) * scl)"
             f" * (CAST(x AS DOUBLE) - CAST({qcode} AS DOUBLE) * scl)"
-            " AS DECIMAL(38,18)))) AS DOUBLE)"
+            " * 1e15 + 0.5) AS BIGINT))) AS DOUBLE) / 1e15"
         )
     projs = [
         f"({sign_dot_expr('embedding', s, dialect)})"
         f" / sqrt(CAST({_EMB_P} AS DOUBLE))"
         for s in _jl_signs()
     ]
-    # exact order-free sum of the 8 squared projections: per-term
-    # decimal snap + re-CAST per partial sum (the SPARK_DOT widening
-    # discipline, mirrored verbatim in both dialects)
-    energy = f"CAST(p0 * p0 AS DECIMAL(38,12))"
-    for j in range(1, _EMB_P):
-        energy = f"CAST({energy} + CAST(p{j} * p{j} AS DECIMAL(38,12)) AS DECIMAL(38,12))"
+    # exact order-free sum of the 8 squared projections on the 1e-12
+    # integer lattice (r6 hardening — identical textual formula in
+    # both dialects, only bit-identical IEEE ops)
+    energy = " + ".join(
+        f"CAST(FLOOR(p{j} * p{j} * 1e12 + 0.5) AS BIGINT)"
+        for j in range(_EMB_P)
+    )
     return {
         "max_abs": max_abs,
         "q_min": q_min,
@@ -2166,7 +2170,7 @@ def _emb_sql(dialect: str) -> dict:
         "q_sum": q_sum,
         "mse_sum": mse_sum,
         "projs": projs,
-        "energy_sum": f"CAST({energy} AS DOUBLE)",
+        "energy_sum": f"CAST({energy} AS DOUBLE) / 1e12",
     }
 
 
