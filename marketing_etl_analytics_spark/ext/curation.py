@@ -292,20 +292,38 @@ def kmeanspar_seeds(
     )
     d = F.greatest(F.lit(0.0), F.lit(1.0) - cos)
     for _ in range(rounds):
+        # integer-lattice snap of d^2 (ADVICE r6): per-term
+        # CAST(double AS DECIMAL(38,12)) tie-rounds differently in
+        # Java BigDecimal (HALF_UP) vs DuckDB (scaled multiply) — the
+        # 1-ulp class BASELINE.md documents flipping a value at sf10
+        # for ext_embed_transform. floor((d*d)*1e12 + 0.5) is pure
+        # IEEE arithmetic (engine-invariant); the lattice integers sum
+        # EXACTLY as DECIMAL(38,0) (BIGINT would overflow at corpus
+        # scale), and the draw compares in lattice units on both
+        # sides, so no decimal tie-rounding ever touches the strict
+        # inequality u*S < ell*d^2.
         dmin = (
             base.crossJoin(F.broadcast(seeds))
             .groupBy("_k", "_v", "_vn2", "_u")
             .agg(F.min(d).alias("_d"))
-            .withColumn("_d2", F.col("_d") * F.col("_d"))
+            .withColumn(
+                "_d2l",
+                F.floor(
+                    F.col("_d") * F.col("_d") * F.lit(1e12) + F.lit(0.5)
+                ),
+            )
         )
         s_tot = dmin.agg(
-            F.sum(F.col("_d2").cast("decimal(38,12)"))
+            F.sum(F.col("_d2l").cast("decimal(38,0)"))
             .cast("double")
             .alias("_S")
         )
         new = (
             dmin.crossJoin(F.broadcast(s_tot))
-            .filter(F.col("_u") * F.col("_S") < F.lit(float(ell)) * F.col("_d2"))
+            .filter(
+                F.col("_u") * F.col("_S")
+                < F.lit(float(ell)) * F.col("_d2l").cast("double")
+            )
             .select(
                 F.col("_k").alias("_cid"),
                 F.col("_v").alias("_ce"),

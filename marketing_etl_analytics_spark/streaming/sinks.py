@@ -194,7 +194,18 @@ def dedup_ingest_sink(
     count, which a representative index cannot know — the honest
     information content of a compacted index. Decisions land as
     (doc_id, n_matched_bands, is_new).
+
+    The two flags do not compose: the compacted index keeps one
+    representative per signature, so the member-count prefix
+    statistics the bucket cap needs are gone by construction.
     """
+    if compact_index and cap_buckets:
+        raise ValueError(
+            "compact_index and cap_buckets are mutually exclusive: the "
+            "compacted index stores one representative per (band, "
+            "band_sig) and cannot supply the member-count statistics "
+            "cap_lsh_buckets caps on (ADVICE r6)"
+        )
     import os
 
     from pyspark.sql import functions as F

@@ -1938,9 +1938,15 @@ def _sql_kmeanspar_ctes(k: int, rounds: int = 3, ell_factor: int = 2) -> str:
       FROM kmbase p, kmseeds{r - 1} c GROUP BY p.k
     )"""
         )
+        # integer-lattice threshold (ADVICE r6): FLOOR((d*d)*1e12+0.5)
+        # mirrors Spark's F.floor(_d*_d*1e12+0.5) term-for-term in
+        # IEEE evaluation order; the exact DECIMAL(38,0) sum and the
+        # single lattice->double cast on each side keep the strict
+        # inequality free of engine-specific decimal tie-rounding.
         parts.append(
             f"""kmstot{r} AS (
-      SELECT CAST(SUM(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS S
+      SELECT CAST(SUM(CAST(FLOOR(d * d * 1e12 + 0.5) AS DECIMAL(38,0)))
+        AS DOUBLE) AS S
       FROM kmdmin{r}
     )"""
         )
@@ -1950,7 +1956,8 @@ def _sql_kmeanspar_ctes(k: int, rounds: int = 3, ell_factor: int = 2) -> str:
       UNION ALL
       SELECT p.k, p.v, p.vn2
       FROM kmdmin{r} d JOIN kmbase p ON p.k = d.k, kmstot{r}
-      WHERE p.u * S < {ell} * d.d * d.d
+      WHERE p.u * S
+        < {ell} * CAST(FLOOR(d.d * d.d * 1e12 + 0.5) AS DOUBLE)
     )"""
         )
     parts.append(

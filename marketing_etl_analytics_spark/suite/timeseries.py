@@ -922,9 +922,15 @@ _SQL_QSKETCH = f"""
         SELECT '(all)', cents FROM pr
       ) v ON v.grp = s.grp AND v.cents // {QH_W} = s.bucket
     )
-    SELECT s.grp AS grp, s.name AS probe, s.n AS n, s.est_cents AS est_cents,
+    SELECT s.grp AS grp, s.name AS probe,
+      -- DuckDB promotes SUM(BIGINT) (incl. window sums) to HUGEINT
+      -- (int128); n / est_cents / err_cents all derive from window
+      -- sums and MUST be cast back, or the driver's typed value-hash
+      -- sees int128 vs Spark's int64 even though Python-level
+      -- comparisons (int == int) pass. VERDICT r6 #1.
+      CAST(s.n AS BIGINT) AS n, CAST(s.est_cents AS BIGINT) AS est_cents,
       k.cents AS exact_cents,
-      s.est_cents - k.cents AS err_cents
+      CAST(s.est_cents - k.cents AS BIGINT) AS err_cents
     FROM sel s JOIN exactv k
       ON k.grp = s.grp AND k.name = s.name AND k.rk = k.want
     ORDER BY s.grp, probe

@@ -342,3 +342,27 @@ def test_dedup_ingest_compact_flag_equivalence_and_bounded_index(spark, tmp_path
         .collect()
     )
     assert reps == {0, 1, 2}
+
+
+def test_dedup_ingest_rejects_compact_plus_cap(spark, tmp_path):
+    """compact_index and cap_buckets cannot compose (ADVICE r6): the
+    representative-per-signature index has no member counts for the
+    bucket cap to act on, so the combination raises instead of
+    silently ignoring the cap."""
+    import pytest as _pytest
+
+    from marketing_etl_analytics_spark.streaming.sinks import dedup_ingest_sink
+
+    src = tmp_path / "never_read"
+    src.mkdir()
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        dedup_ingest_sink(
+            spark.readStream.schema("doc_id long, text string").parquet(
+                str(src)
+            ),
+            index_dir=str(tmp_path / "idx"),
+            decisions_dir=str(tmp_path / "dec"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            cap_buckets=True,
+            compact_index=True,
+        )
