@@ -482,9 +482,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_df(spark, sf_dir, "emb_norms", build)
 
 
-@register(
-    "ext_ann_cosine_topk",
-    f"""
+_SQL_ANN_TOPK = f"""
     WITH b AS (
       SELECT vec_id, embedding,
         {SQL_DOT.format(a="embedding", b="embedding")} AS n2
@@ -504,11 +502,14 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT qid, cid, {sql_pround("cos_raw", 6)} AS cosine, CAST(rn AS INT) AS rn
     FROM scored WHERE rn <= 5
-    """,
-    doc="Brute-force cosine top-5 for 10 query vectors: exact-decimal "
-    "dot products (order-free), window top-k. The baseline ANN path; "
-    "at scale the candidate set comes from ext_ann_lsh_bucketed.",
-)
+    """
+
+
+# Brute-force cosine top-5 for 10 query vectors: exact-decimal dot
+# products (order-free), window top-k. The baseline ANN path; at scale
+# the candidate set comes from ext_ann_lsh_bucketed. Graded via the
+# merged ext_ann_scan_suite row (r7 consolidation); callable
+# standalone.
 def ext_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # squared norms once per vector (N + K evaluations), not once per
     # pair (3·N·K) — the dot-product lambda is the expensive part
@@ -543,9 +544,7 @@ def ext_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding similarity: LSH-bucketed scale path ---------------------------
 
-@register(
-    "ext_ann_lsh_bucketed",
-    f"""
+_SQL_ANN_LSH = f"""
     WITH b AS (
       SELECT vec_id, embedding,
         CAST(list_sum(list_transform(generate_series(1, 8),
@@ -570,11 +569,13 @@ def ext_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT qid, cid, CAST(bucket AS BIGINT) AS bucket,
            {sql_pround("cos_raw", 6)} AS cosine, CAST(rn AS INT) AS rn
     FROM scored WHERE rn <= 3
-    """,
-    doc="Sign-LSH bucketing (first 8 dims -> 256 buckets): neighbor "
-    "search joins on the bucket key instead of all pairs — the IVF/LSH "
-    "scale path for ANN.",
-)
+    """
+
+
+# Sign-LSH bucketing (first 8 dims -> 256 buckets): neighbor search
+# joins on the bucket key instead of all pairs — the IVF/LSH scale
+# path for ANN. Graded via the merged ext_ann_scan_suite row (r7
+# consolidation); callable standalone.
 def ext_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(
         "CAST(aggregate(sequence(1, 8), CAST(0 AS BIGINT),"
@@ -612,6 +613,38 @@ def ext_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("qid", "cid", "bucket", pround(cos_raw, 6).alias("cosine"), "rn")
     )
+
+
+# --- merged ANN scan row (r7 consolidation) ----------------------------------
+
+@register(
+    "ext_ann_scan_suite",
+    f"""
+    SELECT 'exact' AS kind, qid, cid, CAST(-1 AS BIGINT) AS bucket,
+      cosine, rn
+    FROM ({_SQL_ANN_TOPK}) e
+    UNION ALL
+    SELECT 'lsh', qid, cid, bucket, cosine, rn
+    FROM ({_SQL_ANN_LSH}) l
+    ORDER BY kind, qid, rn
+    """,
+    doc="Merged ANN scan row (r7 consolidation of the two r5-green "
+    "singles ext_ann_cosine_topk / ext_ann_lsh_bucketed — the "
+    "rel_stats_suite precedent; both singles stay callable, plans "
+    "unchanged): the brute-force exact-cosine baseline and the "
+    "sign-LSH bucketed scale path under one graded slot. NULL-free; "
+    "the exact branch's bucket column is the documented -1 sentinel "
+    "(no bucketing in the brute-force scan).",
+)
+def ext_ann_scan_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ext_ann_cosine_topk(spark, sf_dir).select(
+        F.lit("exact").alias("kind"), "qid", "cid",
+        F.lit(-1).cast("long").alias("bucket"), "cosine", "rn",
+    )
+    l = ext_ann_lsh_bucketed(spark, sf_dir).select(
+        F.lit("lsh").alias("kind"), "qid", "cid", "bucket", "cosine", "rn",
+    )
+    return e.unionByName(l).orderBy("kind", "qid", "rn")
 
 
 # --- text profile (quality + language-ID + token counts + fingerprint) ------

