@@ -1271,11 +1271,9 @@ from marketing_etl_analytics_spark.suite.ext import (  # noqa: E402
 @register(
     "ext_dedup_incremental",
     f"""
-    WITH split AS (
-      SELECT CAST(floor(MAX(doc_id) * 0.8) AS BIGINT) AS cut FROM documents
-    ),
-    shingled AS (
-      SELECT doc_id, (doc_id >= (SELECT cut FROM split)) AS incoming,
+    WITH shingled AS (
+      SELECT doc_id,
+        (('0x' || substr(md5(text), 1, 8))::BIGINT % 5 = 0) AS incoming,
         {SQL_SHINGLES} AS shingles
       FROM documents
       WHERE len(string_split(lower(text), ' ')) >= 3
@@ -1306,28 +1304,38 @@ from marketing_etl_analytics_spark.suite.ext import (  # noqa: E402
     ORDER BY shared_bands DESC, incoming_id, corpus_id
     """,
     doc="Incremental cross-corpus dedup (the continuous-ingest shape): "
-    "the newest 20% of docs are matched against the standing corpus "
-    "via the MinHash band join, ASYMMETRICALLY — incoming x corpus "
-    "only, never corpus x corpus — so a daily delta against a 100 TB "
-    "corpus generates candidates proportional to the delta, not the "
-    "corpus. At scale the corpus-side band signatures are a persisted "
-    "index (built once per corpus version via sources/acid.py, reused "
-    "every ingest); the same spam-signature cap bounds bucket fanout.",
+    "a deterministic 20% content-hash slice of the docs plays the "
+    "incoming batch and is matched against the standing corpus via "
+    "the MinHash band join, ASYMMETRICALLY — incoming x corpus only, "
+    "never corpus x corpus — so a daily delta against a 100 TB corpus "
+    "generates candidates proportional to the delta, not the corpus. "
+    "The slice is by md5(text) bucket, not doc_id order (r7, VERDICT "
+    "r6 #5b): an id-ordered slice is position-correlated with the "
+    "synthetic generator's id layout — at sf10 the top-20%-of-ids "
+    "batch held only beyond-cap noise docs and the match path went "
+    "unexercised — while a content-hash slice stratifies the batch "
+    "across the dup graph at every SF. At scale the corpus-side band "
+    "signatures are a persisted index (built once per corpus version "
+    "via sources/acid.py, reused every ingest); the same "
+    "spam-signature cap bounds bucket fanout.",
 )
 def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    cut = docs.agg(
-        F.floor(F.max("doc_id") * 0.8).cast("long").alias("cut")
-    )
     # the standing corpus band index (capped band signatures) is the
     # SAME persisted table ext_dedup_minhash_lsh reads — built once per
     # corpus version via common.memo_df, reused here; the incoming tag
     # is a per-row predicate on top (the cap set is corpus-global in
     # both the Spark plan and the oracle, so tagging after capping is
     # value-identical to the tagged-from-the-start formulation)
-    bands = minhash_bands(spark, sf_dir).crossJoin(F.broadcast(cut)).withColumn(
-        "incoming", F.col("doc_id") >= F.col("cut")
+    inc_flag = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+            % 5
+            == 0
+        ).alias("incoming"),
     )
+    bands = minhash_bands(spark, sf_dir).join(inc_flag, "doc_id")
     inc = bands.filter(F.col("incoming")).select(
         F.col("doc_id").alias("incoming_id"), "band", "band_sig"
     )
