@@ -129,12 +129,16 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 #       ext_semantic_dedup_ivf (integer-lattice k-means|| threshold,
 #       ADVICE r6) and ext_dedup_ingest_capped (sink flag guard,
 #       ADVICE r6);
-#   (c) two r7 consolidations of r5-green tail pairs (the
+#   (c) three r7 consolidations of r5-green tail pairs (the
 #       rel_stats_suite precedent — singles stay callable, merged
-#       rows NULL-free): ext_dau_anomaly (rolling DAU/WAU7 +
-#       z-score anomaly) and ext_ann_scan_suite (brute-force cosine
-#       top-k + sign-LSH bucketed scan), freeing the two slots that
-#       admit (b) — suite lands at 93 registered entries;
+#       rows NULL-free): ext_dau_anomaly (rolling DAU/WAU7 + z-score
+#       anomaly), ext_ann_scan_suite (brute-force cosine top-k +
+#       sign-LSH bucketed scan), and ext_chunk_balance (context-window
+#       chunking + domain balancing) — freeing the slots that admit
+#       (b) and the NEW ext_sketch_bloom (Bloom-filter membership
+#       sketch probed as benchmark decontamination: the fourth
+#       classic sketch kind beside cardinality/frequency/rank, exact
+#       FP accounting columns) — suite lands at 93 registered entries;
 #   (d) the remaining 44 r5-green tail entries, rotating in per the
 #       two-round invariant — including ext_dedup_cluster, whose
 #       pointer-doubling fix (b863011) landed after the r5 rotation
@@ -146,8 +150,9 @@ _PRIORITY = [
     "ext_sketch_suite", "ext_sketch_quantile",
     # (b) engine code changed this round (ADVICE r6)
     "ext_semantic_dedup_ivf", "ext_dedup_ingest_capped",
-    # (c) r7 consolidation rows
-    "ext_dau_anomaly", "ext_ann_scan_suite",
+    # (c) r7 consolidation rows + the new membership sketch
+    "ext_dau_anomaly", "ext_ann_scan_suite", "ext_chunk_balance",
+    "ext_sketch_bloom",
     # (d) r5-green tail rotation (else two-round stale);
     # ext_dedup_cluster regrades its post-fix body (VERDICT r6 #2)
     "ext_dedup_cluster",
@@ -171,8 +176,7 @@ _PRIORITY = [
     "ext_attribution_multitouch", "ext_dedup_paragraph",
     "ext_session_window_native",
     "ext_fuzzy_linkage", "v_channel_daily_incremental",
-    "ext_graph_triangles",
-    "ext_chunk_documents", "ext_domain_balance", "ext_embed_transform",
+    "ext_graph_triangles", "ext_embed_transform",
     "etl_scd2",
     # --- 50-slot grading window ends here ---
     # tail: every entry below is r6-green (CORRECTNESS_r06 hash-exact

@@ -1687,9 +1687,7 @@ CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
 
 
-@register(
-    "ext_chunk_documents",
-    f"""
+_SQL_CHUNK_DOCS = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS tok, len(string_split(text, ' ')) AS n
       FROM documents
@@ -1705,13 +1703,15 @@ CHUNK_STRIDE = 48
       md5(chunk_text) AS chunk_hash
     FROM chunks
     ORDER BY doc_id, chunk_ord
-    """,
-    doc="Context-window chunking: 64-token windows, stride 48 (25% "
-    "overlap), per-chunk token counts and content-address (md5) — the "
-    "document->training-sequence step of an LLM data pipeline as a "
-    "pure codegen plan: sequence+explode+slice+concat, zero shuffle, "
-    "filters/projections still push down past it.",
-)
+    """
+
+
+# Context-window chunking: 64-token windows, stride 48 (25% overlap),
+# per-chunk token counts and content-address (md5) — the
+# document->training-sequence step of an LLM data pipeline as a pure
+# codegen plan: sequence+explode+slice+concat, zero shuffle,
+# filters/projections still push down past it. Graded via the merged
+# ext_chunk_balance row (r7 consolidation); callable standalone.
 def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1754,9 +1754,7 @@ def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffles once on source. Output is the SELECTED DOCUMENT SET (not
 # just counts), so the oracle pins the actual sampling decision.
 
-@register(
-    "ext_domain_balance",
-    """
+_SQL_DOMAIN_BALANCE = """
     WITH counts AS (
       SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
     ),
@@ -1773,13 +1771,15 @@ def ext_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked r CROSS JOIN cap
     WHERE r.sample_rank <= cap.cap
     ORDER BY stratum, r.sample_rank
-    """,
-    doc="Domain balancing: cap every stratum (lang) at 2x the smallest "
-    "stratum's count, selecting survivors by deterministic "
-    "content-addressed rank (md5, doc_id tie-break). One tiny count "
-    "agg broadcast back + one per-source window; emits the selected "
-    "document set itself so the sampling decision is oracle-pinned.",
-)
+    """
+
+
+# Domain balancing: cap every stratum (lang) at 2x the smallest
+# stratum's count, selecting survivors by deterministic
+# content-addressed rank (md5, doc_id tie-break). One tiny count agg
+# broadcast back + one per-source window; emits the selected document
+# set itself so the sampling decision is oracle-pinned. Graded via the
+# merged ext_chunk_balance row (r7 consolidation); callable standalone.
 def ext_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stratum = lang: the synthetic sources are uniform (25 docs each)
     # so capping on source would be a no-op; languages are skewed
@@ -1802,6 +1802,41 @@ def ext_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "stratum", F.col("sample_rank").cast("long"))
         .orderBy("stratum", "sample_rank")
     )
+
+
+# --- merged chunking + domain-balance row (r7 consolidation) -----------------
+
+@register(
+    "ext_chunk_balance",
+    f"""
+    SELECT 'chunk' AS kind, doc_id, chunk_ord AS ord, chunk_hash AS k,
+      n_chunk_tokens AS n_tok
+    FROM ({_SQL_CHUNK_DOCS}) c
+    UNION ALL
+    SELECT 'balance', doc_id, sample_rank, stratum, CAST(-1 AS BIGINT)
+    FROM ({_SQL_DOMAIN_BALANCE}) b
+    ORDER BY kind, doc_id, ord
+    """,
+    doc="Merged curation-stage row (r7 consolidation of the two "
+    "r5-green singles ext_chunk_documents / ext_domain_balance — the "
+    "rel_stats_suite precedent; both singles stay callable, plans "
+    "unchanged): context-window chunking (zero-shuffle codegen "
+    "explode) and content-addressed domain balancing (tiny count agg "
+    "+ one per-stratum window) under one graded slot. NULL-free; the "
+    "balance branch's n_tok column is the documented -1 sentinel.",
+)
+def ext_chunk_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = ext_chunk_documents(spark, sf_dir).select(
+        F.lit("chunk").alias("kind"), "doc_id",
+        F.col("chunk_ord").alias("ord"), F.col("chunk_hash").alias("k"),
+        F.col("n_chunk_tokens").alias("n_tok"),
+    )
+    b = ext_domain_balance(spark, sf_dir).select(
+        F.lit("balance").alias("kind"), "doc_id",
+        F.col("sample_rank").alias("ord"), F.col("stratum").alias("k"),
+        F.lit(-1).cast("long").alias("n_tok"),
+    )
+    return c.unionByName(b).orderBy("kind", "doc_id", "ord")
 
 
 # --- temperature-based mixture sampling -------------------------------------

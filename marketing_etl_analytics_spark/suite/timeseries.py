@@ -1072,6 +1072,207 @@ def ext_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bloom-filter membership sketch (decontamination probe) ------------------
+#
+# The missing member of the sketch family beside cardinality (HLL/
+# KMV), frequency (Count-Min), and rank (quantile histogram): a
+# MEMBERSHIP sketch. The workload is benchmark decontamination — the
+# step an LLM data pipeline runs before training: build a filter over
+# the eval set's shingles (the `doc_id % 97 = 0` eval convention the
+# curation pipeline uses), probe every training doc's shingles, flag
+# overlap. Classic Bloom semantics, relationally spelled: the filter
+# IS the distinct set of k md5-salted bit positions, so
+# merging filters is a UNION (the bitwise OR), state is bounded by m
+# at ANY corpus size, and there are no false negatives by
+# construction — every true member's k positions are set, which the
+# exact-accounting columns verify (n_true_hits <= n_bloom_hits always;
+# the difference IS the measured false-positive count, the same
+# estimate-vs-exact discipline as the other sketch rows). At 100 TB
+# the position set compiles to a broadcast m-bit bitmap and the probe
+# is a row-local k-AND (the shape Spark's runtime bloom-filter join
+# pruning uses). Production sizes m to the eval-set cardinality; a
+# graded entry needs fixed parameters, so the row carries TWO filter
+# sizes — m=2^13 sits in the informative load-factor regime
+# (measurable false positives) at the graded SFs and m=2^20 at the
+# 10-100x probe SFs — and the under/over-sized pair shows the
+# saturation curve a single m would hide.
+
+BLOOM_FILTERS = (("m13", 1 << 13), ("m20", 1 << 20))
+BLOOM_K = 3
+_SQL_BLOOM_F = ", ".join(f"('{n}', {m})" for n, m in BLOOM_FILTERS)
+
+from marketing_etl_analytics_spark.suite.ext import (  # noqa: E402
+    SQL_SHINGLES as _BLOOM_SQL_SHINGLES,
+    shingle_rows as _bloom_shingle_rows,
+)
+
+_SQL_BLOOM = f"""
+    WITH filters(fk, m) AS (VALUES {_SQL_BLOOM_F}),
+    ev AS (
+      SELECT DISTINCT s.sh
+      FROM (
+        SELECT {_BLOOM_SQL_SHINGLES} AS shingles
+        FROM documents
+        WHERE doc_id % 97 = 0
+          AND len(string_split(lower(text), ' ')) >= 3
+      ) d, LATERAL unnest(d.shingles) AS s(sh)
+    ),
+    bits AS (
+      SELECT DISTINCT f.fk,
+        ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 8))::BIGINT
+          % f.m AS pos
+      FROM ev, (SELECT unnest(generate_series(1, {BLOOM_K})) AS j),
+        filters f
+    ),
+    probe AS (
+      SELECT DISTINCT d.doc_id, d.source, s.sh
+      FROM (
+        SELECT doc_id, source, {_BLOOM_SQL_SHINGLES} AS shingles
+        FROM documents
+        WHERE doc_id % 97 != 0
+          AND len(string_split(lower(text), ' ')) >= 3
+      ) d, LATERAL unnest(d.shingles) AS s(sh)
+    ),
+    ph AS (
+      SELECT f.fk, doc_id, sh,
+        ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || sh), 1, 8))::BIGINT
+          % f.m AS pos
+      FROM probe, (SELECT unnest(generate_series(1, {BLOOM_K})) AS j),
+        filters f
+    ),
+    matched AS (
+      SELECT fk, doc_id, sh, COUNT(*) AS kk
+      FROM ph JOIN bits USING (fk, pos)
+      GROUP BY fk, doc_id, sh
+    ),
+    scored AS (
+      SELECT f.fk, p.doc_id, p.source,
+        (COALESCE(m.kk, 0) = {BLOOM_K}) AS bloom_hit,
+        (e.sh IS NOT NULL) AS true_hit
+      FROM probe p CROSS JOIN filters f
+      LEFT JOIN matched m
+        ON m.fk = f.fk AND m.doc_id = p.doc_id AND m.sh = p.sh
+      LEFT JOIN ev e ON e.sh = p.sh
+    ),
+    perdoc AS (
+      SELECT fk, doc_id, source,
+        COUNT(*) AS np,
+        COUNT(*) FILTER (WHERE bloom_hit) AS nb,
+        COUNT(*) FILTER (WHERE true_hit) AS nt
+      FROM scored GROUP BY fk, doc_id, source
+    )
+    SELECT fk AS filter_kind, source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(np) AS BIGINT) AS n_probes,
+      CAST(SUM(nb) AS BIGINT) AS n_bloom_hits,
+      CAST(SUM(nt) AS BIGINT) AS n_true_hits,
+      CAST(SUM(nb - nt) AS BIGINT) AS n_fp_probes,
+      CAST(COUNT(*) FILTER (WHERE nb >= 1) AS BIGINT) AS n_flagged,
+      CAST(COUNT(*) FILTER (WHERE nt >= 1) AS BIGINT) AS n_flagged_true
+    FROM perdoc GROUP BY fk, source ORDER BY filter_kind, source
+    """
+
+
+@register(
+    "ext_sketch_bloom",
+    _SQL_BLOOM,
+    doc="Bloom-filter membership sketch probed as benchmark "
+    "decontamination: k=3 md5-salted positions per shingle in an "
+    "under- and an over-sized filter (m=2^13 / 2^20) over the eval "
+    "set's shingles; every non-eval doc's shingles probe both "
+    "filters and per-(filter, source) counts carry the exact "
+    "accounting — n_true_hits (exact membership) vs n_bloom_hits "
+    "(sketch), their difference the measured false positives, "
+    "doc-level flags both ways. No false negatives by construction "
+    "(a member's k positions are all set), so n_flagged >= "
+    "n_flagged_true always and the m-pair traces the load-factor/"
+    "saturation curve across SFs. The filter is mergeable by union "
+    "(bitwise OR) and m-bounded at any corpus size; at scale it "
+    "broadcasts as a bitmap and the probe is row-local — the "
+    "runtime bloom-join-pruning shape.",
+)
+def ext_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    filters = spark.createDataFrame(
+        list(BLOOM_FILTERS), "fk string, m long"
+    )
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"), F.lit(":"), F.col("sh_str")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("m")
+    )
+    ks = F.explode(F.sequence(F.lit(1), F.lit(BLOOM_K))).alias("j")
+    ev = (
+        _bloom_shingle_rows(docs.filter("doc_id % 97 = 0"))
+        .select("sh_str")
+        .distinct()
+    )
+    bits = (
+        ev.select(ks, "sh_str")
+        .crossJoin(F.broadcast(filters))
+        .select("fk", pos.alias("pos"))
+        .distinct()
+    )
+    probe = (
+        _bloom_shingle_rows(docs.filter("doc_id % 97 != 0"), "source")
+        .select("doc_id", "source", "sh_str")
+        .distinct()
+    )
+    ph = (
+        probe.select("doc_id", "sh_str", ks)
+        .crossJoin(F.broadcast(filters))
+        .select("fk", "doc_id", "sh_str", pos.alias("pos"))
+    )
+    matched = (
+        ph.join(F.broadcast(bits), ["fk", "pos"])
+        .groupBy("fk", "doc_id", "sh_str")
+        .agg(F.count(F.lit(1)).alias("kk"))
+    )
+    scored = (
+        probe.crossJoin(F.broadcast(filters.select("fk")))
+        .join(matched, ["fk", "doc_id", "sh_str"], "left")
+        .join(
+            F.broadcast(ev.withColumn("_t", F.lit(1))), "sh_str", "left"
+        )
+        .select(
+            "fk",
+            "doc_id",
+            "source",
+            (F.coalesce("kk", F.lit(0)) == BLOOM_K).alias("bloom_hit"),
+            F.col("_t").isNotNull().alias("true_hit"),
+        )
+    )
+    perdoc = scored.groupBy("fk", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.count_if("bloom_hit").alias("nb"),
+        F.count_if("true_hit").alias("nt"),
+    )
+    return (
+        perdoc.groupBy(F.col("fk").alias("filter_kind"), F.col("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("np").cast("long").alias("n_probes"),
+            F.sum("nb").cast("long").alias("n_bloom_hits"),
+            F.sum("nt").cast("long").alias("n_true_hits"),
+            F.sum(F.col("nb") - F.col("nt")).cast("long").alias("n_fp_probes"),
+            F.count_if(F.col("nb") >= 1).cast("long").alias("n_flagged"),
+            F.count_if(F.col("nt") >= 1).cast("long").alias("n_flagged_true"),
+        )
+        .orderBy("filter_kind", "source")
+    )
+
+
 # --- merged sketch row (r5 consolidation) ------------------------------------
 #
 # The three batch sketch singles (KMV set-ops, HLL, Count-Min) were
