@@ -137,3 +137,27 @@ def test_stream_hll_batch_count_invariance(spark, tmp_path):
     )
     assert streamed["hll_estimate"] == batch["hll_estimate"]
     assert streamed["n_zero_registers"] == batch["n_zero_registers"]
+
+
+def test_bloom_sketch_invariants(spark):
+    """Theorem-level Bloom properties on the graded entry at sf0.01:
+    (a) NO FALSE NEGATIVES — every exact membership hit is a sketch
+    hit (n_true_hits <= n_bloom_hits, n_flagged_true <= n_flagged,
+    per row); (b) exact columns are filter-size-INVARIANT (the m13
+    and m20 branches agree on n_docs / n_probes / n_true_hits /
+    n_flagged_true for every source — only the sketch columns may
+    differ); (c) the sketch actually fires at this SF (some true
+    hits exist, so (a) is not vacuous)."""
+    from marketing_etl_analytics_spark.suite.timeseries import ext_sketch_bloom
+
+    rows = ext_sketch_bloom(spark, SF_DIR).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert r["n_true_hits"] <= r["n_bloom_hits"]
+        assert r["n_flagged_true"] <= r["n_flagged"]
+        exact = (r["n_docs"], r["n_probes"], r["n_true_hits"], r["n_flagged_true"])
+        by_src.setdefault(r["source"], []).append(exact)
+    for src, variants in by_src.items():
+        assert len(set(variants)) == 1, f"exact columns differ across m for {src}"
+    assert sum(r["n_true_hits"] for r in rows) > 0

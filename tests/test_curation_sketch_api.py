@@ -25,7 +25,13 @@ def test_chunk_documents_matches_suite(spark):
     lib = chunk_documents(_docs(spark)).select(
         "doc_id", "chunk_ord", "n_chunk_tokens", "chunk_hash"
     )
-    suite = SUITE["ext_chunk_documents"].fn(spark, SF_DIR)
+    # graded via the ext_chunk_balance merged row since r7; the single
+    # stays callable and must keep matching the library path
+    from marketing_etl_analytics_spark.suite.ext_pipeline import (
+        ext_chunk_documents,
+    )
+
+    suite = ext_chunk_documents(spark, SF_DIR)
     cols = ["doc_id", "chunk_ord", "n_chunk_tokens", "chunk_hash"]
     assert _rows(lib, cols) == _rows(suite, cols)
     # chunk_text round-trips: hash of the text column is the hash column
@@ -39,7 +45,12 @@ def test_domain_balance_matches_suite(spark):
     from marketing_etl_analytics_spark.ext import domain_balance
 
     lib = domain_balance(_docs(spark)).withColumnRenamed("lang", "stratum")
-    suite = SUITE["ext_domain_balance"].fn(spark, SF_DIR)
+    # graded via the ext_chunk_balance merged row since r7
+    from marketing_etl_analytics_spark.suite.ext_pipeline import (
+        ext_domain_balance,
+    )
+
+    suite = ext_domain_balance(spark, SF_DIR)
     cols = ["doc_id", "stratum", "sample_rank"]
     assert _rows(lib, cols) == _rows(suite, cols)
 

@@ -21,15 +21,25 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    # r6 consolidation: some plan-audited singles are no longer
+    # r6/r7 consolidations: some plan-audited singles are no longer
     # registered (graded via their merged rows) but stay callable —
-    # fall back to the module function for those
+    # fall back to the defining module for those
     if name in SUITE:
         fn = SUITE[name].fn
     else:
-        from marketing_etl_analytics_spark.suite import relational
+        from marketing_etl_analytics_spark.suite import (
+            ext,
+            ext_pipeline,
+            ext_scale,
+            relational,
+            timeseries,
+        )
 
-        fn = getattr(relational, name)
+        fn = next(
+            getattr(mod, name)
+            for mod in (relational, ext, ext_pipeline, ext_scale, timeseries)
+            if hasattr(mod, name)
+        )
     df = fn(spark, SF_DIR)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
