@@ -159,3 +159,66 @@ def countmin_query(
             .alias("cm_estimate")
         )
     )
+
+
+# --- Bloom filter (membership) ------------------------------------------------
+
+BLOOM_M = 1 << 20
+BLOOM_K = 3
+
+
+def _bloom_pos(value: Column, m: int, k: int) -> tuple[Column, Column]:
+    """(exploded salt j, position) for the k salted md5 hashes."""
+    j = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), value)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+    return j, pos
+
+
+def bloom_bits(
+    df: DataFrame, value: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """(pos) distinct set-bit positions — the Bloom filter itself in
+    relational form (the suite's ext_sketch_bloom spelling). At most
+    ``m`` rows at ANY input size; mergeable by UNION + distinct (the
+    bitwise OR), idempotent under replays because the hashing is
+    md5-deterministic. At scale the frame compiles to a broadcast
+    m-bit bitmap and probes become row-local k-ANDs — the shape
+    Spark's runtime bloom-filter join pruning uses."""
+    j, pos = _bloom_pos(F.col(value), m, k)
+    return df.select(F.col(value)).distinct().select(j, value).select(
+        pos.alias("pos")
+    ).distinct()
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    probes: DataFrame,
+    value: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """(value, might_contain) for each distinct probe value: TRUE iff
+    all k of its positions are set in ``bits``. NO FALSE NEGATIVES —
+    a value that went into bloom_bits always returns TRUE; false
+    positives occur at ~(set_bits/m)^k. ``bits`` must have been built
+    with the same (m, k)."""
+    j, pos = _bloom_pos(F.col(value), m, k)
+    keyed = probes.select(F.col(value)).distinct().select(j, value).select(
+        F.col(value), pos.alias("pos")
+    )
+    return (
+        keyed.join(F.broadcast(bits.withColumn("_hit", F.lit(1))), "pos", "left")
+        .groupBy(value)
+        .agg((F.count_if(F.col("_hit").isNotNull()) == k).alias("might_contain"))
+    )

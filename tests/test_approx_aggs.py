@@ -161,3 +161,33 @@ def test_bloom_sketch_invariants(spark):
     for src, variants in by_src.items():
         assert len(set(variants)) == 1, f"exact columns differ across m for {src}"
     assert sum(r["n_true_hits"] for r in rows) > 0
+
+
+def test_bloom_library_no_false_negatives_and_mergeable(spark):
+    """Library Bloom twin (ext/sketches.py): every inserted member
+    probes TRUE (no false negatives), and the filter built over a
+    union equals the UNION+distinct of the two halves' filters (the
+    relational bitwise OR — merge without rescanning data)."""
+    from marketing_etl_analytics_spark.ext.sketches import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    a = spark.createDataFrame([(f"m{i}",) for i in range(50)], "v string")
+    b = spark.createDataFrame([(f"m{i}",) for i in range(50, 90)], "v string")
+    union = a.unionByName(b)
+    whole = bloom_bits(union, "v", m=4096, k=3)
+    merged = bloom_bits(a, "v", m=4096, k=3).unionByName(
+        bloom_bits(b, "v", m=4096, k=3)
+    ).distinct()
+    assert sorted(r["pos"] for r in whole.collect()) == sorted(
+        r["pos"] for r in merged.collect()
+    )
+    probes = union.unionByName(
+        spark.createDataFrame([(f"x{i}",) for i in range(40)], "v string")
+    )
+    out = {
+        r["v"]: r["might_contain"]
+        for r in bloom_might_contain(whole, probes, "v", m=4096, k=3).collect()
+    }
+    assert all(out[f"m{i}"] for i in range(90))  # no false negatives
