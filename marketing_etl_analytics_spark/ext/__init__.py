@@ -38,6 +38,8 @@ from marketing_etl_analytics_spark.ext.curation import (  # noqa: F401
     temperature_sample,
 )
 from marketing_etl_analytics_spark.ext.sketches import (  # noqa: F401
+    bloom_bits,
+    bloom_might_contain,
     countmin_counters,
     countmin_query,
     hll_estimate,
