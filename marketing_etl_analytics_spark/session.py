@@ -17,7 +17,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Shuffle width defaults to the thread count but can be raised
+# independently (SPARK_GRAFT_SHUFFLE_PARTITIONS) for large-SF runs:
+# at 100x+ a 600 M-row shuffle wants more, smaller partitions than
+# local threads — AQE then coalesces whatever is oversplit.
+DEFAULT_SHUFFLE_PARTITIONS = int(
+    os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    )
+)
 
 
 def _jdk_major() -> int:
