@@ -143,7 +143,17 @@ def main(
         if table in COPY_AS_IS:
             df.coalesce(1).write.mode("overwrite").parquet(out)
             continue
-        rep = df.crossJoin(F.broadcast(replicas))
+        # Partition the SOURCE to the target file count BEFORE the
+        # replica crossJoin: the source dirs are single-file parquet,
+        # so expanding first would run the whole FACTOR-fold blow-up
+        # in ONE task (at factor=1000 that is 600 M lineitem rows in a
+        # single thread) and then shuffle the expanded data again to
+        # size files. Partitioning 600 k source rows is a trivial
+        # shuffle; each of the n_files tasks then generates and writes
+        # its own 1/n_files slice — no shuffle of expanded data at all.
+        n_src = df.count()
+        n_files = max(8, min(64, n_src * factor // 200_000))
+        rep = df.repartition(n_files).crossJoin(F.broadcast(replicas))
         for col in df.columns:
             if col in KEY_OWNERS:
                 off = offsets[KEY_OWNERS[col]]
@@ -154,11 +164,7 @@ def main(
             rep = rep.withColumn("n_chars", F.length("text").cast("long"))
         if table == "embeddings" and dup_cap > 0:
             rep = rep.withColumn("embedding", F.expr(_mutate_embedding(dup_cap)))
-        # size output files from the cheap source count — counting the
-        # replicated crossJoin would materialize it a second time
-        n_src = df.count()
-        n_files = max(8, min(64, n_src * factor // 200_000))
-        rep.drop("_r").repartition(n_files).write.mode("overwrite").parquet(out)
+        rep.drop("_r").write.mode("overwrite").parquet(out)
         print(f"{table}: {n_src} -> x{factor} ({n_files} files)")
 
 
