@@ -96,6 +96,17 @@ def get_spark(
         # Quieter local runs.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Heartbeat window: at 100x+ local SFs a full-heap GC pause can
+        # exceed the default 120 s spark.network.timeout, and in local
+        # mode the HeartbeatReceiver then "removes" the driver-executor
+        # — shuffle state is wiped and every in-flight stage dies with
+        # missing temp_shuffle files (observed at sf100b). 480 s rides
+        # out worst-case pauses; on a real cluster the same setting is
+        # standard practice for straggler-tolerant long jobs.
+        .config(
+            "spark.network.timeout",
+            os.environ.get("SPARK_GRAFT_NETWORK_TIMEOUT", "480s"),
+        )
     )
     # JDK-8192647 mitigation: 32 executor threads doing Arrow/netty
     # JNI critical sections can starve an allocating thread behind
