@@ -74,18 +74,30 @@ def q0_pnl_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY total_units_sold DESC, p.p_partkey
     LIMIT 5
     """,
-    doc="Broadcast dim join + hash agg + TakeOrderedAndProject top-k.",
+    doc="Fact pre-agg, dim join, TakeOrderedAndProject top-k.",
 )
 def q1_top_sellers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate the fact BEFORE the dim join (the D6 discipline): the
+    # shuffle then carries one int key per lineitem row instead of
+    # part-name strings, and the join sees |part| rows, not |lineitem|.
+    # The join strategy is left to the optimizer — auto-broadcast under
+    # the 64 MB threshold, SMJ once the dim outgrows it. (The previous
+    # join-then-agg body FORCED a broadcast of part; at sf100b that is
+    # a 20 M-row / ~2 GB build side, and the wide post-join shuffle made
+    # the query superlinear: 857 s at 100x the sf1 data vs 13-108x for
+    # its batch peers. Caught by the 1000x sweep, BASELINE.md r7.)
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        lsum("l_quantity").alias("total_units_sold"),
+        F.countDistinct("l_orderkey").alias("order_cnt"),
+        dsum(revenue_expr()).alias("total_revenue"),
+    )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_partkey", "p_name")
-        .agg(
-            lsum("l_quantity").alias("total_units_sold"),
-            F.countDistinct("l_orderkey").alias("order_cnt"),
-            dsum(revenue_expr()).alias("total_revenue"),
+        per_part.join(part, per_part.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey", "p_name", "total_units_sold", "order_cnt",
+            "total_revenue",
         )
         .orderBy(F.desc("total_units_sold"), F.asc("p_partkey"))
         .limit(5)
@@ -108,12 +120,16 @@ def q1_top_sellers(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="GROUP BY includes product key not present in the select list.",
 )
 def q2_top_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fact pre-agg before the dim join (same sf100b-driven rework as
+    # q1_top_sellers; p_partkey determines p_name/p_brand, so grouping
+    # by the fact-side key is equivalent).
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(revenue_expr() - cost_expr()).alias("total_profit")
+    )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_partkey", "p_name", "p_brand")
-        .agg(dsum(revenue_expr() - cost_expr()).alias("total_profit"))
+        per_part.join(part, per_part.l_partkey == part.p_partkey)
         .select("p_name", "p_brand", "total_profit")
         .orderBy(F.desc("total_profit"), "p_name", "p_brand")
         .limit(5)
@@ -139,12 +155,14 @@ def q2_top_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="HAVING on aggregate + ratio-of-sums margin pct (B6/D8).",
 )
 def q3_margin_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fact pre-agg before the dim join (same sf100b-driven rework as
+    # q1_top_sellers) — the HAVING filter also applies BEFORE the join,
+    # so only qualifying part keys reach it at all.
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
     rev, cst = revenue_expr(), cost_expr()
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("p_partkey", "p_name")
+    per_part = (
+        li.groupBy("l_partkey")
         .agg(
             dsum(rev).alias("total_revenue"),
             dsum(cst).alias("total_cost"),
@@ -153,6 +171,13 @@ def q3_margin_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__rev_exact") > 100000)
         .drop("__rev_exact")
+    )
+    return (
+        per_part.join(part, per_part.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey", "p_name", "total_revenue", "total_cost",
+            "profit_margin_pct",
+        )
         .orderBy(F.desc("profit_margin_pct"), "p_partkey")
         .limit(5)
     )
