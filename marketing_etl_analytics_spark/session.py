@@ -107,6 +107,14 @@ def get_spark(
             "spark.network.timeout",
             os.environ.get("SPARK_GRAFT_NETWORK_TIMEOUT", "480s"),
         )
+        # Shuffle/spill compression codec (Spark default lz4). zstd
+        # roughly halves spill volume for the shingle-pair-heavy dedup
+        # entries at 100x-class SFs, where local disk — not CPU — is
+        # the binding constraint on this container.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     # JDK-8192647 mitigation: 32 executor threads doing Arrow/netty
     # JNI critical sections can starve an allocating thread behind
