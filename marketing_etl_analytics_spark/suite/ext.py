@@ -452,17 +452,25 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding similarity: brute-force cosine top-k --------------------------
 
+# Per-term 1e-12 INTEGER lattice (same hardening as ext/embedding.py
+# sign_dot_expr, e311c9c): floor(x*y * 1e12 + 0.5) on identical IEEE
+# doubles is engine-invariant, and BIGINT addition is exact and
+# order-free. The previous per-term CAST(... AS DECIMAL(38,12)) snap
+# left one engine-specific operation in the chain — Java BigDecimal
+# HALF_UP vs DuckDB scaled-multiply can tie-round a term 1e-12 apart,
+# which flipped a 6-dp l2_norm at the 2 M-vector 1000x sweep
+# (ext_embed_transform, vec 1032038) exactly as it flipped a
+# projection at the 200 k-vector sf10 sweep before r6.
 SPARK_DOT = (
-    # the re-CAST inside the lambda pins the accumulator type (Spark's
-    # decimal-add widening would otherwise drift the scale to (38,11))
-    "CAST(aggregate(sequence(1, size({a})), CAST(0 AS DECIMAL(38,12)),"
-    " (acc, i) -> CAST(acc + CAST(CAST(element_at({a}, i) AS DOUBLE)"
-    " * CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(38,12)) AS DECIMAL(38,12))) AS DOUBLE)"
+    "(CAST(aggregate(sequence(1, size({a})), CAST(0 AS BIGINT),"
+    " (acc, i) -> acc + CAST(FLOOR(CAST(element_at({a}, i) AS DOUBLE)"
+    " * CAST(element_at({b}, i) AS DOUBLE) * 1e12 + 0.5) AS BIGINT))"
+    " AS DOUBLE) / 1e12)"
 )
 SQL_DOT = (
-    "CAST(list_sum(list_transform(generate_series(1, len({a})),"
-    " i -> CAST(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
-    " AS DECIMAL(38,12)))) AS DOUBLE)"
+    "(CAST(list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+    " * 1e12 + 0.5) AS BIGINT))) AS DOUBLE) / 1e12)"
 )
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
