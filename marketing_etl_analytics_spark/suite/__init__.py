@@ -152,20 +152,24 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 # and ext_semantic_dedup (via the shared SPARK_DOT/SQL_DOT
 # integer-lattice hardening that fixed the 2 M-vector rounding tie).
 # Changed code MUST sit inside the graded window (the VERDICT r6 #2
-# standing policy), so they swap in; the four demoted rows
-# (ext_bpe_encode, ext_hybrid_search, rel_setops, ext_sampling_suite)
-# are r5-green with UNCHANGED bodies, each with a family sibling that
-# keeps a <=1-round-old green row (ext_bpe_suite r6-green,
-# ext_search_suite in-window, rel_setops_all r6-green,
-# ext_sample_stratified r6-green) — the deliberate trade: a stale
-# unchanged row over an ungraded changed one. They rotate back in r8.
+# standing policy), so they swap in — plus q0_pnl_summary, whose
+# mixed distinct+sum aggregate got the same two-phase rework after
+# the sweep measured its Expand-x2 plan at 1153 s. The five demoted
+# rows (ext_bpe_encode, ext_hybrid_search, rel_setops,
+# ext_sampling_suite, stream_dedup) are r5-green with UNCHANGED
+# bodies, each with a family sibling that keeps a <=1-round-old green
+# row (ext_bpe_suite r6-green, ext_search_suite in-window,
+# rel_setops_all r6-green, ext_sample_stratified r6-green,
+# ext_dedup_ingest_capped in-window + stream_dedup_ingest r6-green) —
+# the deliberate trade: a stale unchanged row over an ungraded
+# changed one. They rotate back in r8.
 _PRIORITY = [
     # (a) fixed-oracle sketch rows (VERDICT r6 #1)
     "ext_sketch_suite", "ext_sketch_quantile",
     # (b) engine code changed this round (ADVICE r6 + 1000x sweep)
     "ext_semantic_dedup_ivf", "ext_dedup_ingest_capped",
-    "q1_top_sellers", "q2_top_profit", "q3_margin_having",
-    "ext_semantic_dedup",
+    "q0_pnl_summary", "q1_top_sellers", "q2_top_profit",
+    "q3_margin_having", "ext_semantic_dedup",
     # (c) r7 consolidation rows + the new membership sketch
     "ext_dau_anomaly", "ext_ann_scan_suite", "ext_chunk_balance",
     "ext_sketch_bloom",
@@ -175,7 +179,7 @@ _PRIORITY = [
     "ext_quality_score",
     "ext_pack_sequences", "rel_udf_tiers",
     "ext_curation_pipeline", "ext_search_suite",
-    "q6_category_performance", "q7_product_quadrant", "stream_dedup",
+    "q6_category_performance", "q7_product_quadrant",
     "ext_dedup_eval", "ext_graph_pagerank", "stream_session_window",
     "ext_dedup_minhash_lsh", "ext_dedup_ngram_jaccard",
     "ext_dedup_simhash", "ext_dedup_embedding_cosine",
@@ -208,8 +212,8 @@ _PRIORITY = [
     # late-r7 demotions (r5-green unchanged bodies, family siblings
     # keep a fresh row — see the window-adjustment note above)
     "ext_bpe_encode", "ext_hybrid_search", "rel_setops",
-    "ext_sampling_suite",
-    "q0_pnl_summary", "q4_channel_kpis", "q5_repeat_drivers",
+    "ext_sampling_suite", "stream_dedup",
+    "q4_channel_kpis", "q5_repeat_drivers",
     "q8_spend_waste", "q9_retention",
     "q10_demographics", "q11_frequency_segments",
     "etl_dim_product", "etl_dim_date", "etl_dim_campaign_parse",

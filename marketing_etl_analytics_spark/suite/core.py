@@ -49,13 +49,25 @@ from marketing_etl_analytics_spark.suite.registry import register
 def q0_pnl_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     rev, cst = revenue_expr(), cost_expr()
-    return li.agg(
+    # Split the naive mixed distinct+sum aggregate (caught by the
+    # 1000x sweep at 1153 s, BASELINE.md r7): that spelling plans an
+    # Expand x2 of the whole fact table — 1.2 B decimal-payload rows
+    # through one shuffle. The sums need NO row shuffle at all (a
+    # global aggregate partial-aggregates per partition and merges
+    # 256 one-row states), and only COUNT(DISTINCT l_orderkey) needs
+    # one — over the pruned 8-byte key column, map-side-deduped. The
+    # two 1-row frames combine via the C6 broadcast cross join.
+    sums = li.agg(
         dsum(rev).alias("total_revenue"),
         dsum(cst).alias("total_cost"),
         dsum(rev - cst).alias("gross_profit"),
         lsum("l_quantity").alias("total_units"),
-        F.countDistinct("l_orderkey").alias("total_orders"),
         ratio(F.sum(rev - cst) * 100, F.sum(rev), 4).alias("gross_margin_pct"),
+    )
+    orders = li.agg(F.countDistinct("l_orderkey").alias("total_orders"))
+    return sums.crossJoin(F.broadcast(orders)).select(
+        "total_revenue", "total_cost", "gross_profit", "total_units",
+        "total_orders", "gross_margin_pct",
     )
 
 
