@@ -53,9 +53,14 @@ def main() -> int:
     # tripping the 1g maxResultSize safety default. The collect is the
     # harness's comparison mechanism, not an engine data path — raise
     # the cap here (knob: SPARK_MAX_RESULT), never in get_spark.
+    # Shuffle width: 8 suits the graded SFs (tiny shuffles, fast
+    # session); 100x-class probe runs need hundreds of partitions —
+    # honor the same env knob the bench/session layer uses when set.
     spark = get_spark(
         app_name="diffcheck",
-        shuffle_partitions=8,
+        shuffle_partitions=(
+            None if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") else 8
+        ),
         extra_conf={
             "spark.driver.maxResultSize": os.environ.get("SPARK_MAX_RESULT", "8g")
         },
