@@ -18,9 +18,11 @@ between "embeddings landed" and "ANN index built":
 Determinism contract (the property the suite oracle grades): the sign
 matrix is **generated once in Python from md5 and inlined as literal
 '0'/'1' strings** into both engines' SQL, so there is no cross-engine
-RNG to disagree; sums of products are snapped per-term to
-DECIMAL(38,12) (exact, order-free addition — the SPARK_DOT
-discipline); quantization rounds via ``floor(x + 0.5)`` (floor is
+RNG to disagree; sums of products are snapped per-term to the 1e-12
+INTEGER lattice — ``floor(term * 1e12 + 0.5)`` summed as BIGINT (the
+SPARK_DOT discipline, see :func:`sign_dot_expr` for the rationale —
+exact, order-free, engine-invariant); quantization rounds via
+``floor(x + 0.5)`` (floor is
 exact on identical IEEE doubles in both engines, so no
 HALF_UP-vs-banker's divergence).
 

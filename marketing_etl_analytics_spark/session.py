@@ -17,15 +17,28 @@ import os
 
 from pyspark.sql import SparkSession
 
+def env_positive_int(name: str, default: int | None = None) -> int | None:
+    """Parse env var ``name`` as a positive int; unset, empty, non-numeric,
+    or < 1 values all fall back to ``default`` (ADVICE r7: a set-but-falsy
+    '0' previously fell through a truthiness guard into an invalid
+    spark.sql.shuffle.partitions=0, and '' crashed int() at import)."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        val = int(raw.strip())
+    except ValueError:
+        return default
+    return val if val >= 1 else default
+
+
 # Shuffle width defaults to the thread count but can be raised
 # independently (SPARK_GRAFT_SHUFFLE_PARTITIONS) for large-SF runs:
 # at 100x+ a 600 M-row shuffle wants more, smaller partitions than
 # local threads — AQE then coalesces whatever is oversplit.
-DEFAULT_SHUFFLE_PARTITIONS = int(
-    os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    )
+DEFAULT_SHUFFLE_PARTITIONS = env_positive_int(
+    "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+    env_positive_int("SPARK_GRAFT_CPUS", 32),
 )
 
 

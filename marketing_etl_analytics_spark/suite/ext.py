@@ -14,10 +14,16 @@ no shuffle), candidate generation shuffles on (band, signature) or
 
 Portability notes (Spark <-> DuckDB):
 - md5(string) is the shared deterministic hash.
-- dot products snap each elementwise product to DECIMAL(38,12) and sum
-  exactly — order-free, so engine-internal aggregation order can't
-  change the result (float32 inputs widen to double exactly; a single
-  product of two float32 fits double's 53-bit mantissa exactly).
+- dot products snap each elementwise product to the 1e-12 INTEGER
+  lattice — floor(x*y * 1e12 + 0.5) summed as BIGINT (SPARK_DOT /
+  SQL_DOT below) — composed only of IEEE ops that are bit-identical
+  on identical inputs in every engine, so the order-free sum cannot
+  diverge at any term count. (The earlier per-term DECIMAL(38,12)
+  cast left one engine-specific tie-rounding in the chain — Java
+  BigDecimal HALF_UP vs DuckDB scaled multiply — which the sf100b
+  sweep caught flipping once in 128 M terms; fc3b048. Float32 inputs
+  widen to double exactly; a single product of two float32 fits
+  double's 53-bit mantissa exactly.)
 """
 
 from __future__ import annotations

@@ -14,9 +14,14 @@ Scale shapes:
   both engines' BIGINT-via-double arithmetic.
 - Embedding near-dup + IVF: every vector's squared norm is computed
   once; candidate generation joins on the bucket / probed-centroid
-  key. Dot products snap elementwise products to DECIMAL(38,12) and
-  sum exactly (order-free — see suite.ext header), so ranking order
-  is engine-independent.
+  key. Dot products snap elementwise products to the 1e-12 INTEGER
+  lattice — floor(x*y * 1e12 + 0.5) summed as BIGINT (SPARK_DOT /
+  SQL_DOT in suite.ext, hardened fc3b048 after the sf100b sweep
+  caught a per-term DECIMAL(38,12) cast tie-rounding once in 128 M
+  terms) — pure IEEE ops on identical doubles, so the sum is
+  engine-invariant at any term count and ranking order is
+  engine-independent. (SPARK_DOT_DEC below stays genuinely decimal:
+  PQ ADC sums are kept IN decimal end-to-end, no double cast.)
 - Sessionization: one shuffle on user_id; lag + running-sum windows
   within the partition (the classic gaps-and-islands plan).
 """

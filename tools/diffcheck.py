@@ -21,7 +21,10 @@ import duckdb
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from marketing_etl_analytics_spark.session import get_spark  # noqa: E402
+from marketing_etl_analytics_spark.session import (  # noqa: E402
+    env_positive_int,
+    get_spark,
+)
 from marketing_etl_analytics_spark.suite import SUITE  # noqa: E402
 
 TABLES = (
@@ -55,11 +58,13 @@ def main() -> int:
     # the cap here (knob: SPARK_MAX_RESULT), never in get_spark.
     # Shuffle width: 8 suits the graded SFs (tiny shuffles, fast
     # session); 100x-class probe runs need hundreds of partitions —
-    # honor the same env knob the bench/session layer uses when set.
+    # honor the same env knob the bench/session layer uses when set
+    # (parsed+validated in session.py per ADVICE r7: '0'/''/garbage
+    # fall back to the 8-partition default instead of reaching Spark).
     spark = get_spark(
         app_name="diffcheck",
-        shuffle_partitions=(
-            None if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") else 8
+        shuffle_partitions=env_positive_int(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", 8
         ),
         extra_conf={
             "spark.driver.maxResultSize": os.environ.get("SPARK_MAX_RESULT", "8g")
