@@ -163,25 +163,74 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 # ext_dedup_ingest_capped in-window + stream_dedup_ingest r6-green) —
 # the deliberate trade: a stale unchanged row over an ungraded
 # changed one. They rotate back in r8.
+# Round-8 rotation (VERDICT r7 #1): the r7 window graded 50 rows, all
+# green — the first all-green window since r4. ext_sketch_quantile
+# retires into the merged ext_sketch_suite row as planned (its r7 row
+# graded the HUGEINT-cast fix directly; the function stays callable,
+# suite 93 -> 92). The r8 window holds, in order:
+#   (a) the five late-r7 demotions — r5-green, i.e. two rounds stale,
+#       the only rows outside the two-round invariant.
+#       ext_hybrid_search leads: its r5 driver row predates the
+#       SPARK_DOT integer-lattice hardening (fc3b048), so its
+#       EFFECTIVE computation has never been driver-graded
+#       (VERDICT r7 What's-wrong #1);
+#   (b) the two entries whose code changes this round:
+#       q1_top_sellers (exact-distinct two-level partial-agg rework,
+#       VERDICT r7 #4) and ext_dedup_ngram_jaccard (band-bucket
+#       pre-count spill bound, VERDICT r7 #5);
+#   (c) the 38 remaining r6-green tail entries, rotating in per the
+#       standing two-round invariant (stream_sessionize stays the
+#       contract-allowed rows-only entry);
+#   (d) window fill: fresh rows for the five late-r7 reworked bodies
+#       (q0/q2/q3 agg-before-join, ext_semantic_dedup lattice dot,
+#       ext_sketch_suite post-quantile-fold) — each r7-green; a second
+#       consecutive row pins the rework.
+# The 42 entries past the window are exactly the r7-green rows whose
+# code is unchanged since CORRECTNESS_r07; they rotate back in r9.
 _PRIORITY = [
-    # (a) fixed-oracle sketch rows (VERDICT r6 #1)
-    "ext_sketch_suite", "ext_sketch_quantile",
-    # (b) engine code changed this round (ADVICE r6 + 1000x sweep)
+    # (a) the five late-r7 demotions — the only two-round-stale rows;
+    # ext_hybrid_search first (r5 row predates the SPARK_DOT lattice)
+    "ext_hybrid_search", "ext_bpe_encode", "rel_setops",
+    "ext_sampling_suite", "stream_dedup",
+    # (b) engine code changed this round (VERDICT r7 #4/#5)
+    "q1_top_sellers", "ext_dedup_ngram_jaccard",
+    # (c) r6-green tail rotation (two-round invariant)
+    "stream_sketch_suite", "rel_window_suite", "rel_reshape_suite",
+    "rel_temporal_joins", "rel_timeseries_suite", "ext_text_metrics",
+    "ext_bpe_suite",
+    "ext_graph_label_propagation", "stream_topk_trending",
+    "stream_dedup_ingest",
+    "rel_join_variants", "rel_semistructured",
+    "rel_stats_suite", "rel_pandas_suite",
+    "ext_doc_filters", "stream_cdc_apply",
+    "q4_channel_kpis", "q5_repeat_drivers",
+    "q8_spend_waste", "q9_retention",
+    "q10_demographics", "q11_frequency_segments",
+    "etl_dim_product", "etl_dim_date", "etl_dim_campaign_parse",
+    "etl_fact_sales", "etl_upsert_dedup",
+    "v_channel_daily", "v_kpi_channel", "v_kpi_campaign",
+    "rel_setops_all",
+    "ext_dedup_exact", "ext_sessionize",
+    "ext_sample_stratified", "ext_multimodal_meta",
+    "stream_sessionize", "stream_enrich_join",
+    "rel_scalar_subquery",
+    # (d) window fill: second consecutive rows for the late-r7
+    # reworked bodies (all r7-green)
+    "q0_pnl_summary", "q2_top_profit", "q3_margin_having",
+    "ext_semantic_dedup", "ext_sketch_suite",
+    # --- 50-slot grading window ends here ---
+    # tail: every entry below is r7-green (CORRECTNESS_r07 hash-exact)
+    # with code unchanged since that grade; rotates back in r9
     "ext_semantic_dedup_ivf", "ext_dedup_ingest_capped",
-    "q0_pnl_summary", "q1_top_sellers", "q2_top_profit",
-    "q3_margin_having", "ext_semantic_dedup",
-    # (c) r7 consolidation rows + the new membership sketch
     "ext_dau_anomaly", "ext_ann_scan_suite", "ext_chunk_balance",
     "ext_sketch_bloom",
-    # (d) r5-green tail rotation (else two-round stale);
-    # ext_dedup_cluster regrades its post-fix body (VERDICT r6 #2)
     "ext_dedup_cluster",
     "ext_quality_score",
     "ext_pack_sequences", "rel_udf_tiers",
     "ext_curation_pipeline", "ext_search_suite",
     "q6_category_performance", "q7_product_quadrant",
     "ext_dedup_eval", "ext_graph_pagerank", "stream_session_window",
-    "ext_dedup_minhash_lsh", "ext_dedup_ngram_jaccard",
+    "ext_dedup_minhash_lsh",
     "ext_dedup_simhash", "ext_dedup_embedding_cosine",
     "ext_dedup_incremental", "ext_ann_ivf_suite",
     "ext_ann_recall",
@@ -196,34 +245,6 @@ _PRIORITY = [
     "ext_fuzzy_linkage", "v_channel_daily_incremental",
     "ext_graph_triangles", "ext_embed_transform",
     "etl_scd2",
-    # --- 50-slot grading window ends here ---
-    # tail: every entry below is r6-green (CORRECTNESS_r06 hash-exact
-    # or, for stream_sessionize, the contract-allowed rows-only row)
-    # and rotates back into the r8 window per the standing two-round
-    # invariant
-    "stream_sketch_suite", "rel_window_suite", "rel_reshape_suite",
-    "rel_temporal_joins", "rel_timeseries_suite", "ext_text_metrics",
-    "ext_bpe_suite",
-    "ext_graph_label_propagation", "stream_topk_trending",
-    "stream_dedup_ingest",
-    "rel_join_variants", "rel_semistructured",
-    "rel_stats_suite", "rel_pandas_suite",
-    "ext_doc_filters", "stream_cdc_apply",
-    # late-r7 demotions (r5-green unchanged bodies, family siblings
-    # keep a fresh row — see the window-adjustment note above)
-    "ext_bpe_encode", "ext_hybrid_search", "rel_setops",
-    "ext_sampling_suite", "stream_dedup",
-    "q4_channel_kpis", "q5_repeat_drivers",
-    "q8_spend_waste", "q9_retention",
-    "q10_demographics", "q11_frequency_segments",
-    "etl_dim_product", "etl_dim_date", "etl_dim_campaign_parse",
-    "etl_fact_sales", "etl_upsert_dedup",
-    "v_channel_daily", "v_kpi_channel", "v_kpi_campaign",
-    "rel_setops_all",
-    "ext_dedup_exact", "ext_sessionize",
-    "ext_sample_stratified", "ext_multimodal_meta",
-    "stream_sessionize", "stream_enrich_join",
-    "rel_scalar_subquery",
 ]
 
 _missing = [n for n in _PRIORITY if n not in SUITE]

@@ -968,18 +968,10 @@ _SQL_QSKETCH = f"""
     """
 
 
-@register(
-    "ext_sketch_quantile",
-    _SQL_QSKETCH,
-    doc="Mergeable quantile histogram sketch — the family the r6 "
-    "bisect isolated as the suite-row divergence: its oracle's "
-    "window-sum columns left DuckDB HUGEINT (int128) uncast, which "
-    "the driver's typed value-hash distinguishes from int64 (VERDICT "
-    "r6 #1; fixed by BIGINT casts in the final SELECT). Kept as a "
-    "graded single one more round so the fix gets a direct driver "
-    "row; retires into ext_sketch_suite in r8. Spark body unchanged "
-    "since the r5 two-phase selection commit (15b55b9).",
-)
+# Bisect single retired r8 as planned (r7-green with the BIGINT-cast
+# oracle fix, VERDICT r6 #1 closed): the quantile family is graded via
+# the merged ext_sketch_suite row again; the function stays callable
+# (the merged row builds on it) and _SQL_QSKETCH stays its oracle spec.
 def ext_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable fixed-width quantile histogram (the KLL/t-digest role
     in deterministic form): per-priority cent-bucket counters, the
