@@ -98,13 +98,27 @@ def q1_top_sellers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a 20 M-row / ~2 GB build side, and the wide post-join shuffle made
     # the query superlinear: 857 s at 100x the sf1 data vs 13-108x for
     # its batch peers. Caught by the 1000x sweep, BASELINE.md r7.)
+    #
+    # r8 rework of the exact-distinct branch (VERDICT r7 #4): the mixed
+    # distinct+sum aggregate made Spark's single-distinct rewrite carry
+    # the decimal partial sums THROUGH the (l_partkey, l_orderkey) pair
+    # shuffle — ~60 B/row x ~600 M irreducibly-distinct pairs at sf100b
+    # was the heap/spill cliff (228x wall for 100x data vs q2's 120x).
+    # Splitting the aggregate (the q0 precedent, per-group here) makes
+    # the pair shuffle carry BARE 16-byte (partkey, orderkey) keys and
+    # gives the sums branch full map-side combine (|part|-sized shuffle
+    # instead of pair-sized). The two pk-keyed aggregates join without
+    # an extra exchange (both hash-partitioned on the group key).
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part")
-    per_part = li.groupBy("l_partkey").agg(
+    sums = li.groupBy("l_partkey").agg(
         lsum("l_quantity").alias("total_units_sold"),
-        F.countDistinct("l_orderkey").alias("order_cnt"),
         dsum(revenue_expr()).alias("total_revenue"),
     )
+    orders = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("order_cnt")
+    )
+    per_part = sums.join(orders, "l_partkey")
     return (
         per_part.join(part, per_part.l_partkey == part.p_partkey)
         .select(

@@ -49,8 +49,61 @@ PKG = "marketing_etl_analytics_spark"
 SNAPSHOT = Path(__file__).resolve().parent.parent / "tests" / "effective_hashes.json"
 WINDOW = 50  # driver-graded prefix length
 
-# Constant types whose repr is stable and meaningful to include.
-_CONST_TYPES = (str, int, float, bool, bytes, tuple, frozenset)
+# Scalar constant types whose repr is stable and meaningful to
+# include; containers go through _is_const_container below.
+_CONST_TYPES = (str, int, float, bool, bytes)
+
+
+_ASSIGN_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _module_assigns(modname: str) -> dict[str, str]:
+    """{name: source text} of top-level assignments in module
+    ``modname`` (parsed statically, cached). Containers are hashed via
+    this STATIC text, never their runtime value: module-level dicts /
+    lists in this codebase are mostly memo caches (_TABLE_CACHE,
+    _TERM_INDEX) whose runtime contents depend on what ran earlier in
+    the process — hashing values made the lint order-dependent."""
+    if modname in _ASSIGN_CACHE:
+        return _ASSIGN_CACHE[modname]
+    _ASSIGN_CACHE[modname] = {}  # cycle guard (import cycles return {})
+    out: dict[str, str] = {}
+    mod = sys.modules.get(modname)
+    src_file = getattr(mod, "__file__", None)
+    if src_file:
+        try:
+            src = Path(src_file).read_text()
+            tree = ast.parse(src)
+            for node in tree.body:
+                targets = []
+                if isinstance(node, ast.Assign):
+                    targets = [
+                        t.id for t in node.targets if isinstance(t, ast.Name)
+                    ]
+                elif isinstance(node, ast.AnnAssign) and isinstance(
+                    node.target, ast.Name
+                ):
+                    targets = [node.target.id]
+                if targets:
+                    seg = ast.get_source_segment(src, node) or ""
+                    for name in targets:
+                        out[name] = seg
+                elif isinstance(node, ast.ImportFrom) and node.module:
+                    # `from pkg.mod import NAME` at module top level:
+                    # resolve NAME's assignment in the origin module
+                    origin = node.module
+                    if origin.startswith("."):
+                        origin = modname.rsplit(".", 1)[0] + origin.rstrip(".")
+                    if origin.split(".")[0] == PKG:
+                        for alias in node.names:
+                            local = alias.asname or alias.name
+                            seg2 = _module_assigns(origin).get(alias.name)
+                            if seg2 and local not in out:
+                                out[local] = seg2
+        except (OSError, SyntaxError):
+            pass
+    _ASSIGN_CACHE[modname] = out
+    return out
 
 
 def _referenced(
@@ -110,17 +163,16 @@ def effective_pieces(
                 work.append(v)
         elif isinstance(v, _CONST_TYPES):
             record(key, repr(v))
-        elif isinstance(v, (list, dict, set)):
-            try:
-                r = repr(v)
-            except Exception:  # noqa: BLE001 - unreprable container
-                return
-            # skip address-bearing reprs (e.g. the registry's SUITE
-            # dict, reached via the @register decorator line, holds
-            # function objects whose repr embeds the process-specific
-            # id) — they would make the hash unstable run-to-run
-            if _ADDR_RE.search(r) is None:
-                record(key, r)
+        elif isinstance(v, (list, dict, set, tuple, frozenset)):
+            # containers are hashed via the STATIC source text of
+            # their module-level assignment (see _module_assigns) —
+            # runtime values would make the hash order-dependent the
+            # moment a memo cache (suite.common._TABLE_CACHE,
+            # ext_pipeline._TERM_INDEX) fills up
+            modname, _, name = key.rpartition(".")
+            seg = _module_assigns(modname).get(name)
+            if seg:
+                record(key, seg)
 
     while work:
         obj = work.pop()
