@@ -37,8 +37,10 @@ from marketing_etl_analytics_spark.suite.common import (
     memo_df,
     money,
     pround,
+    ratio,
     sql_pround,
     sql_quality_logit,
+    sql_ratio,
     t,
 )
 from marketing_etl_analytics_spark.suite.ext import (
@@ -2314,3 +2316,152 @@ def ext_embed_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f["energy_sum"]) / F.nullif(F.col("n2"), F.lit(0.0)), 4
         ).alias("proj_energy_ratio"),
     ).orderBy("vec_id")
+
+
+# --- exact duplicated-substring span detection (ExactSubstr) -----------------
+#
+# The remaining classic dedup variant beside document-level exact /
+# MinHash / SimHash / n-gram-Jaccard: find the duplicated SPANS inside
+# each document, not just duplicated documents (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better" —
+# ExactSubstr; the suffix-array formulation there is single-machine,
+# this is the distributed rolling-window equivalent).
+#
+# Shape: K-token rolling windows per doc (map-side explode, ~n_tokens
+# rows/doc — the shingle-explode discipline), window-hash occurrence
+# counts (ONE shuffle on the 128-bit hash, map-side combined), flagged
+# window starts shuffle on doc_id only (flagged rows are the sparse
+# minority), and overlapping windows merge into maximal spans with the
+# gaps-and-islands frame (bounded per-doc window function). Never
+# all-pairs, never a driver-side collect; at 100 TB the window-count
+# table is the persisted artifact an ingest pipeline keeps updating.
+
+SUBSTR_K = 8  # span seed width in tokens (ExactSubstr uses 50 BPE tokens)
+
+_SQL_SUBSTR_DEDUP = f"""
+    WITH base AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    ),
+    win AS (
+      -- scalar generate_series returns a LIST (the table-function
+      -- form cannot lateral-correlate on n_tokens in DuckDB)
+      SELECT doc_id, i,
+        md5(array_to_string(list_slice(tk, i, i + {SUBSTR_K - 1}), ' ')) AS wh
+      FROM (
+        SELECT doc_id, tk,
+          unnest(generate_series(1, n_tokens - {SUBSTR_K - 1})) AS i
+        FROM base WHERE n_tokens >= {SUBSTR_K}
+      ) exploded
+    ),
+    dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(*) > 1),
+    fl AS (SELECT w.doc_id, w.i FROM win w JOIN dup USING (wh)),
+    isl AS (
+      SELECT doc_id, i,
+        CASE WHEN LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+             OR i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i) > {SUBSTR_K}
+             THEN 1 ELSE 0 END AS ni
+      FROM fl
+    ),
+    isl2 AS (
+      SELECT doc_id, i,
+        SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS UNBOUNDED PRECEDING) AS isle
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, isle, MIN(i) AS mi, MAX(i) AS mx
+      FROM isl2 GROUP BY doc_id, isle
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+             CAST(SUM(mx - mi + {SUBSTR_K}) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+      CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+      CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      {sql_ratio("COALESCE(a.dup_tokens, 0)", "b.n_tokens", 4, "dup_frac")}
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id
+    """
+
+
+@register(
+    "ext_dedup_substring",
+    _SQL_SUBSTR_DEDUP,
+    doc=f"ExactSubstr-style duplicated-span detection: {SUBSTR_K}-token "
+    "rolling windows hashed per doc; a window whose content occurs "
+    "more than once in the corpus (any doc, incl. self-repetition) "
+    "seeds a duplicated span; overlapping/adjacent flagged windows "
+    "merge into maximal spans (gaps-and-islands). Per doc: span "
+    "count, duplicated-token count, duplicated fraction. The "
+    "span-level complement of the document-level dedup family.",
+)
+def ext_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = "split(lower(text), ' ')"
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({toks})").alias("n_tokens"),
+        F.expr(toks).alias("tk"),
+    )
+    win = (
+        base.filter(F.col("n_tokens") >= SUBSTR_K)
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(
+                F.expr(f"sequence(1, n_tokens - {SUBSTR_K - 1})")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.md5(
+                F.expr(f"concat_ws(' ', slice(tk, i, {SUBSTR_K}))")
+            ).alias("wh"),
+        )
+    )
+    dup = (
+        win.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("wh")
+    )
+    fl = win.join(dup, "wh").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    isl = fl.withColumn(
+        "ni",
+        F.when(
+            F.lag("i").over(w).isNull()
+            | (F.col("i") - F.lag("i").over(w) > SUBSTR_K),
+            1,
+        ).otherwise(0),
+    )
+    isl2 = isl.withColumn(
+        "isle",
+        F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl2.groupBy("doc_id", "isle").agg(
+        F.min("i").alias("mi"), F.max("i").alias("mx")
+    )
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("mx") - F.col("mi") + SUBSTR_K).alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            ratio(
+                F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens"), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
