@@ -413,41 +413,51 @@ def ngram_shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs makes clone-dense corpora quadratic for no information.",
 )
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r8 rework of the verify stage (VERDICT r7 #5): the PPJoin shape
+    # (prefix-filtered candidate pairs, then one array_intersect per
+    # pair) ships BOTH full shingle arrays through the verify join's
+    # shuffle — ~1.6 KB/pair. On pair-dense corpora that is the disk
+    # bound: the r7 sf100b attempt spilled >50 GB and died, and this
+    # round's retry filled 60 GB before being killed (461 M prefix-
+    # match rows; the positional-filter experiment cut only 0.3% —
+    # candidate density here is data, not plan). The count-based plan
+    # computes the overlap DISTRIBUTIVELY from the inverted index:
+    # each index self-join match row is one shared shingle of one
+    # pair (16-byte rows, no arrays anywhere), and
+    # groupBy(pair).count() — map-side combined — IS |A∩B| exactly,
+    # since sa holds distinct hashes. Same output set bit-for-bit
+    # (true Jaccard is recomputed either way); the shuffle volume is
+    # the corpus's total overlap mass instead of pairs x array bytes
+    # (~9x less here). For SPARSE corpora the prefix+verify shape
+    # ships less — the tradeoff is documented, and the prefix-filter
+    # machinery remains in ext_dedup_containment's family.
     sets = ngram_shingle_sets(spark, sf_dir)
-    prefix = sets.select(
-        "doc_id",
-        F.size("sa").alias("n"),
-        F.explode(F.expr("slice(sa, 1, size(sa) div 2 + 1)")).alias("h"),
+    idx = sets.select(
+        "doc_id", F.size("sa").alias("n"), F.explode("sa").alias("h")
     )
-    pa, pb = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        pa.join(
-            pb,
+    a, b = idx.alias("a"), idx.alias("b")
+    shared = (
+        a.join(
+            b,
             (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length-compatibility: J >= 0.5 forces min(n) >= max(n)/2
             & (F.col("a.n") <= 2 * F.col("b.n"))
             & (F.col("b.n") <= 2 * F.col("a.n")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    x = sets.select(F.col("doc_id").alias("doc_a"), F.col("sa").alias("xa"))
-    y = sets.select(F.col("doc_id").alias("doc_b"), F.col("sa").alias("ya"))
-    verified = (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("xa", "ya")).cast("long").alias("n_common"),
-            F.size("xa").cast("long").alias("na"),
-            F.size("ya").cast("long").alias("nb"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            # a.n / b.n are constant within the group
+            F.min(F.col("a.n")).cast("long").alias("na"),
+            F.min(F.col("b.n")).cast("long").alias("nb"),
         )
     )
     union_size = F.col("na") + F.col("nb") - F.col("n_common")
     return (
-        verified.filter(F.col("n_common").cast("double") / union_size >= JACCARD_T)
+        shared.filter(F.col("n_common").cast("double") / union_size >= JACCARD_T)
         .select(
             "doc_a", "doc_b",
             ratio(F.col("n_common"), union_size, 4).alias("jaccard"),
