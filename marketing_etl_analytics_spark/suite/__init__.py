@@ -214,17 +214,17 @@ _PRIORITY = [
     "ext_sample_stratified", "ext_multimodal_meta",
     "stream_sessionize", "stream_enrich_join",
     "rel_scalar_subquery",
-    # (d) the NEW r8 entry (never graded) + window fill: second
+    # (d) the TWO new r8 entries (never graded) + window fill: second
     # consecutive rows for the late-r7 reworked bodies (all r7-green;
     # ext_sketch_suite's effective hash changed with the quantile-
     # single fold, so it MUST sit in-window — effhash lint)
-    "ext_dedup_substring",
-    "q0_pnl_summary", "q3_margin_having",
+    "ext_dedup_substring", "ext_quality_dsir",
+    "q0_pnl_summary",
     "ext_semantic_dedup", "ext_sketch_suite",
     # --- 50-slot grading window ends here ---
     # tail: every entry below is r7-green (CORRECTNESS_r07 hash-exact)
     # with code unchanged since that grade; rotates back in r9
-    "q2_top_profit",
+    "q2_top_profit", "q3_margin_having",
     "ext_semantic_dedup_ivf", "ext_dedup_ingest_capped",
     "ext_dau_anomaly", "ext_ann_scan_suite", "ext_chunk_balance",
     "ext_sketch_bloom",

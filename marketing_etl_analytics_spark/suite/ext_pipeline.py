@@ -2332,3 +2332,164 @@ def ext_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- DSIR importance-weighted data selection ---------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+# score every raw document by how much more likely its hashed n-gram
+# features are under a TARGET distribution (a high-quality proxy
+# corpus — here the majority 'en' slice stands in for "Wikipedia-like")
+# than under the raw corpus, then keep the top importance quantile.
+# The fourth selection tier beside the heuristic gates
+# (ext_doc_filters), the learned gate (ext_quality_score), and the
+# LM-perplexity tertiles (ext_lm_perplexity) — DSIR is distributional
+# (bag of hashed features), not fluency-based.
+#
+# Scale shape: both feature "models" are B-bucket count vectors
+# (B = 256 — constant-size, broadcast at any corpus scale); the corpus
+# shuffles once on (doc_id, bucket) with map-side combine (it reuses
+# the memoized lm_doc_bigrams stage table), joins the broadcast
+# bucket weights, and re-groups on doc_id. The selection cutoff is an
+# exact interpolated percentile (approx_percentile over a sample at
+# 100 TB — the lm_perplexity precedent).
+#
+# Determinism: ln() is evaluated per BUCKET (256 doubles), snapped to
+# 6 dp and DECIMAL(18,6); per-doc weighted sums are exact order-free
+# decimal addition (the _SQL_LM_LNP discipline).
+
+DSIR_B = 256                    # hashed-feature buckets
+DSIR_TARGET = "lang = 'en'"     # target-distribution proxy slice
+DSIR_KEEP_Q = 0.75              # keep log_w >= p75 (top importance quartile)
+
+_SQL_DSIR_LW = (
+    f"ln(CAST(tc + 1 AS DOUBLE) / CAST(t_tot + {DSIR_B} AS DOUBLE))"
+    f" - ln(CAST(rc + 1 AS DOUBLE) / CAST(r_tot + {DSIR_B} AS DOUBLE))"
+)
+
+
+@register(
+    "ext_quality_dsir",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, w[i] || ' ' || w[i + 1] AS b
+      FROM tk, LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+        ('0x' || substr(md5(b), 1, 6))::BIGINT % {DSIR_B} AS bk,
+        CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY doc_id, lang, bk
+    ),
+    raw_b AS (SELECT bk, CAST(SUM(cnt) AS BIGINT) AS rc FROM feats GROUP BY bk),
+    tgt_b AS (
+      SELECT bk, CAST(SUM(cnt) AS BIGINT) AS tc
+      FROM feats WHERE {DSIR_TARGET} GROUP BY bk
+    ),
+    stats AS (
+      SELECT (SELECT CAST(SUM(rc) AS BIGINT) FROM raw_b) AS r_tot,
+             (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) FROM tgt_b) AS t_tot
+    ),
+    wt AS (
+      SELECT bk, CAST({sql_pround(_SQL_DSIR_LW, 6)} AS DECIMAL(18,6)) AS lw
+      FROM (
+        SELECT r.bk, COALESCE(t.tc, 0) AS tc, r.rc, s.t_tot, s.r_tot
+        FROM raw_b r LEFT JOIN tgt_b t USING (bk) CROSS JOIN stats s
+      ) filled
+    ),
+    doc_w AS (
+      SELECT f.doc_id,
+        CAST(SUM(f.cnt) AS BIGINT) AS n_feats,
+        {sql_pround(
+            "CAST(SUM(CAST(f.cnt * w.lw AS DECIMAL(28,6))) AS DOUBLE)", 6)}
+          AS log_w
+      FROM feats f JOIN wt w ON w.bk = f.bk
+      GROUP BY f.doc_id
+    ),
+    cut AS (SELECT quantile_cont(log_w, {DSIR_KEEP_Q}) AS p_keep FROM doc_w)
+    SELECT doc_id, n_feats, log_w,
+      CASE WHEN log_w >= p_keep THEN 1 ELSE 0 END AS keep_dsir
+    FROM doc_w CROSS JOIN cut
+    ORDER BY doc_id
+    """,
+    doc=f"DSIR importance-weighted selection (Xie et al. 2023): hashed-"
+    f"bigram bag-of-features ({DSIR_B} md5 buckets), add-one-smoothed "
+    "bucket distributions for the target proxy slice "
+    f"({DSIR_TARGET}) vs the raw corpus, per-doc importance weight "
+    "log p_target(doc) - log p_raw(doc), and a keep flag for the top "
+    "importance quartile (exact interpolated percentile cutoff; "
+    "approx_percentile over a sample at 100 TB). Bucket weights are "
+    "constant-size broadcast state; the corpus shuffles once on "
+    "(doc_id, bucket) with map-side combine; ln() per bucket snapped "
+    "to DECIMAL(18,6), per-doc sums exact decimal addition.",
+)
+def ext_quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.ext.text import lm_bigram_counts
+
+    docs = t(spark, sf_dir, "documents")
+    doc_bg = memo_df(
+        spark, sf_dir, "lm_doc_bigrams", lambda: lm_bigram_counts(docs)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("b"), 1, 6), 16, 10).cast("long")
+        % F.lit(DSIR_B)
+    ).alias("bk")
+    feats_plan = (
+        doc_bg.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", bucket, "cnt")
+        .groupBy("doc_id", "lang", "bk")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    # the hashed-feature table feeds three plan branches (raw model,
+    # target model, scoring) — the persisted stage table at scale
+    feats = memo_df(spark, sf_dir, "dsir_feats", lambda: feats_plan)
+    raw_b = feats.groupBy("bk").agg(F.sum("cnt").cast("long").alias("rc"))
+    tgt_b = (
+        feats.filter(F.expr(DSIR_TARGET))
+        .groupBy("bk")
+        .agg(F.sum("cnt").cast("long").alias("tc"))
+    )
+    stats = raw_b.agg(F.sum("rc").cast("long").alias("r_tot")).crossJoin(
+        F.broadcast(
+            tgt_b.agg(
+                F.coalesce(F.sum("tc"), F.lit(0)).cast("long").alias("t_tot")
+            )
+        )
+    )
+    wt = (
+        raw_b.join(tgt_b, "bk", "left")
+        .withColumn("tc", F.coalesce("tc", F.lit(0)))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "bk",
+            pround(F.expr(_SQL_DSIR_LW), 6).cast("decimal(18,6)").alias("lw"),
+        )
+    )
+    doc_w = (
+        feats.join(F.broadcast(wt), "bk")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            pround(
+                F.sum((F.col("cnt") * F.col("lw")).cast("decimal(28,6)"))
+                .cast("double"),
+                6,
+            ).alias("log_w"),
+        )
+    )
+    cut = doc_w.agg(
+        F.expr(f"percentile(log_w, {DSIR_KEEP_Q})").alias("p_keep")
+    )
+    return (
+        doc_w.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id", "n_feats", "log_w",
+            F.when(F.col("log_w") >= F.col("p_keep"), 1).otherwise(0)
+            .alias("keep_dsir"),
+        )
+        .orderBy("doc_id")
+    )
