@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from marketing_etl_analytics_spark.suite import SUITE  # noqa: E402
+from marketing_etl_analytics_spark.session import ensure_disk_headroom  # noqa: E402
+
+# The driver builds its own SparkSession (bypassing session.get_spark),
+# so the graded-run disk guard runs at contract import: the r8 grading
+# of v_kpi_campaign was lost to a shuffle-write ENOSPC while the
+# regenerable 100x probe dataset was co-tenant on disk (VERDICT r8 #1).
+ensure_disk_headroom()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q1_top_sellers"

@@ -53,6 +53,48 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    # Shared-artifact warmup (VERDICT r8 #2 / Next #4): several entry
+    # families consume one-time memoized artifacts (suite.common.memo_df
+    # tables: shingle index, embedding norms, IVF/semantic assignment,
+    # PQ codes, graph edge index; the persisted bucketed term index;
+    # the incremental-view base state). The registry window rotation
+    # reorders the suite every round, so without a warmup the build
+    # cost lands on whichever family entry happens to run first —
+    # making round-over-round per-entry comparisons noise. Build them
+    # HERE, untimed-per-entry but reported as separate named rows, so
+    # the timed loop below measures warm plans regardless of registry
+    # order. Opt out with SPARK_GRAFT_BENCH_NO_WARMUP=1.
+    warmup: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP") != "1":
+        WARMUP_OWNERS = [
+            # entry -> shared artifact it builds (comment = memo name)
+            "ext_dedup_ngram_jaccard",    # ngram_sets (shared shingle index)
+            "ext_ann_scan_suite",         # emb_norms
+            "ext_coreset_kcenter",        # emb_norms_lattice
+            "ext_sketch_suite",           # kmv_sketch_sets / kmv_hash_sets
+            "ext_dedup_containment",      # containment_shingles
+            "ext_quality_dsir",           # dsir_feats (memoized bigram stage)
+            "ext_graph_pagerank",         # pagerank_edges (shared edge index)
+            "ext_dedup_simhash",          # simhash_pairs
+            "ext_dedup_cluster",          # simhash_clusters
+            "ext_ann_recall",             # ann_ground_truth
+            "ext_ann_pq_adc",             # pq_codes + pq_lut
+            "ext_semantic_dedup",         # sem_assign
+            "ext_semantic_dedup_ivf",     # IVF centroids
+            "ext_search_suite",           # persisted bucketed term index
+            "v_channel_daily_incremental",  # channel_daily_base_state
+        ]
+        for wname in WARMUP_OWNERS:
+            if wname not in SUITE:
+                continue
+            t0 = time.perf_counter()
+            SUITE[wname].fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            warmup[wname] = round(time.perf_counter() - t0, 3)
+            print(f"[bench] warmup {wname}: {warmup[wname]:.3f}s",
+                  file=sys.stderr, flush=True)
+
     # best-of-2 per query: the first run carries per-plan codegen
     # compilation and any transient machine noise; min() reports the
     # reproducible steady-state cost of the plan itself
@@ -105,6 +147,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # one-time shared-artifact build costs, kept OUT of the
+        # per-entry figures and the headline value so both stay
+        # comparable across registry rotations (VERDICT r8 Next #4)
+        "warmup": warmup,
+        "warmup_sec": round(sum(warmup.values()), 3),
     }
     print(json.dumps(out))
 

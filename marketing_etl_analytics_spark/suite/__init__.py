@@ -29,6 +29,7 @@ from marketing_etl_analytics_spark.suite import relational  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import ext  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import ext_scale  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import ext_pipeline  # noqa: E402,F401
+from marketing_etl_analytics_spark.suite import ext_select  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import udf  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import timeseries  # noqa: E402,F401
 from marketing_etl_analytics_spark.suite import funnels  # noqa: E402,F401
@@ -181,49 +182,49 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 #   (c) the 38 remaining r6-green tail entries, rotating in per the
 #       standing two-round invariant (stream_sessionize stays the
 #       contract-allowed rows-only entry);
-#   (d) window fill: fresh rows for the five late-r7 reworked bodies
-#       (q0/q2/q3 agg-before-join, ext_semantic_dedup lattice dot,
+#   (d) window fill: fresh rows for THREE of the five late-r7 reworked
+#       bodies (q0 agg-before-join, ext_semantic_dedup lattice dot,
 #       ext_sketch_suite post-quantile-fold) — each r7-green; a second
-#       consecutive row pins the rework.
-# The 42 entries past the window are exactly the r7-green rows whose
+#       consecutive row pins the rework. q2_top_profit and
+#       q3_margin_having did not fit the 50 slots and led the tail
+#       instead (both r7-green with unchanged effective hashes; they
+#       rotated in r9 per the invariant) — ADVICE r8 #1 correction:
+#       the original note here claimed all five fit.
+# The 44 entries past the window are exactly the r7-green rows whose
 # code is unchanged since CORRECTNESS_r07; they rotate back in r9.
-_PRIORITY = [
-    # (a) the five late-r7 demotions — the only two-round-stale rows;
-    # ext_hybrid_search first (r5 row predates the SPARK_DOT lattice)
-    "ext_hybrid_search", "ext_bpe_encode", "rel_setops",
-    "ext_sampling_suite", "stream_dedup",
-    # (b) engine code changed this round (VERDICT r7 #4/#5)
-    "q1_top_sellers", "ext_dedup_ngram_jaccard",
-    # (c) r6-green tail rotation (two-round invariant)
-    "stream_sketch_suite", "rel_window_suite", "rel_reshape_suite",
-    "rel_temporal_joins", "rel_timeseries_suite", "ext_text_metrics",
-    "ext_bpe_suite",
-    "ext_graph_label_propagation", "stream_topk_trending",
-    "stream_dedup_ingest",
-    "rel_join_variants", "rel_semistructured",
-    "rel_stats_suite", "rel_pandas_suite",
-    "ext_doc_filters", "stream_cdc_apply",
-    "q4_channel_kpis", "q5_repeat_drivers",
-    "q8_spend_waste", "q9_retention",
-    "q10_demographics", "q11_frequency_segments",
-    "etl_dim_product", "etl_dim_date", "etl_dim_campaign_parse",
-    "etl_fact_sales", "etl_upsert_dedup",
-    "v_channel_daily", "v_kpi_channel", "v_kpi_campaign",
-    "rel_setops_all",
-    "ext_dedup_exact", "ext_sessionize",
-    "ext_sample_stratified", "ext_multimodal_meta",
-    "stream_sessionize", "stream_enrich_join",
-    "rel_scalar_subquery",
-    # (d) the TWO new r8 entries (never graded) + window fill: second
-    # consecutive rows for the late-r7 reworked bodies (all r7-green;
-    # ext_sketch_suite's effective hash changed with the quantile-
-    # single fold, so it MUST sit in-window — effhash lint)
-    "ext_dedup_substring", "ext_quality_dsir",
-    "q0_pnl_summary",
-    "ext_semantic_dedup", "ext_sketch_suite",
-    # --- 50-slot grading window ends here ---
-    # tail: every entry below is r7-green (CORRECTNESS_r07 hash-exact)
-    # with code unchanged since that grade; rotates back in r9
+# Round-9 rotation (VERDICT r8 #1/#2): the r8 window graded 50 rows —
+# 48 green, the contract-allowed rows-only stream_sessionize, and ONE
+# row lost to the environment, not code: v_kpi_campaign's grading died
+# in a shuffle-write ENOSPC while the regenerable 100x probe dataset
+# was co-tenant on disk (the only entry with no driver-green row in
+# r7∪r8). The r9 window holds, in order:
+#   (a) v_kpi_campaign FIRST (VERDICT r8 Next #1) — body unchanged
+#       since its r6-green row, oracle-exact in every local diffcheck;
+#       the disk-headroom guard (session.ensure_disk_headroom, also
+#       run at __spark_entry__ import) now deletes .scratch/sf100b
+#       before any graded run can start under the free-disk floor;
+#   (b) the 44 r7-green tail entries, rotating in per the standing
+#       two-round invariant (v_channel_daily_incremental among them —
+#       its r8 bench uptick is isolated this round);
+#   (c) window fill: ext_quality_dsir (body gains the documented
+#       approx-over-sample percentile path this round, VERDICT r8
+#       Next #5 — the graded branch is unchanged but the effective
+#       hash moves, so it must sit in-window; also its second
+#       consecutive row) and ext_dedup_substring (second consecutive
+#       row for the r8-NEW operator; both carry sf100b rows this
+#       round per VERDICT r8 Next #6), plus v_channel_daily (the
+#       env-lost entry's family sibling — a fresh row on the shared
+#       merged-grain helper chain corroborates v_kpi_campaign's);
+#   (d) the TWO new r9 operators (never graded): ext_mix_unimax
+#       (UniMax water-filling mixture allocation, Chung et al. 2023)
+#       and ext_coreset_kcenter (greedy k-center diversity coreset,
+#       Sener & Savarese 2018).
+# The 46 entries past the window are exactly the r8-green rows whose
+# code is unchanged since CORRECTNESS_r08; they rotate back in r10.
+_WINDOW = [
+    # (a) the env-lost row — first, per VERDICT r8 Next #1
+    "v_kpi_campaign",
+    # (b) the 44 r7-green tail entries (two-round invariant)
     "q2_top_profit", "q3_margin_having",
     "ext_semantic_dedup_ivf", "ext_dedup_ingest_capped",
     "ext_dau_anomaly", "ext_ann_scan_suite", "ext_chunk_balance",
@@ -249,8 +250,49 @@ _PRIORITY = [
     "ext_fuzzy_linkage", "v_channel_daily_incremental",
     "ext_graph_triangles", "ext_embed_transform",
     "etl_scd2",
+    # (c) window fill: changed body + second consecutive rows
+    "ext_quality_dsir", "ext_dedup_substring", "v_channel_daily",
+    # (d) the two new r9 operators
+    "ext_mix_unimax", "ext_coreset_kcenter",
 ]
 
+# The driver grades exactly this prefix of the registry per round.
+# Exported so tools/effhash.py lints against the REAL window instead
+# of a duplicated constant (ADVICE r8 #3).
+GRADED_WINDOW = len(_WINDOW)
+assert GRADED_WINDOW == 50, GRADED_WINDOW
+
+_TAIL = [
+    # every entry below is r8-green (CORRECTNESS_r08 hash-exact, or
+    # rows-only for the contract-allowed stream_sessionize) with code
+    # unchanged since that grade; rotates back in r10
+    "ext_hybrid_search", "ext_bpe_encode", "rel_setops",
+    "ext_sampling_suite", "stream_dedup",
+    "q1_top_sellers", "ext_dedup_ngram_jaccard",
+    "stream_sketch_suite", "rel_window_suite", "rel_reshape_suite",
+    "rel_temporal_joins", "rel_timeseries_suite", "ext_text_metrics",
+    "ext_bpe_suite",
+    "ext_graph_label_propagation", "stream_topk_trending",
+    "stream_dedup_ingest",
+    "rel_join_variants", "rel_semistructured",
+    "rel_stats_suite", "rel_pandas_suite",
+    "ext_doc_filters", "stream_cdc_apply",
+    "q4_channel_kpis", "q5_repeat_drivers",
+    "q8_spend_waste", "q9_retention",
+    "q10_demographics", "q11_frequency_segments",
+    "etl_dim_product", "etl_dim_date", "etl_dim_campaign_parse",
+    "etl_fact_sales", "etl_upsert_dedup",
+    "v_kpi_channel",
+    "rel_setops_all",
+    "ext_dedup_exact", "ext_sessionize",
+    "ext_sample_stratified", "ext_multimodal_meta",
+    "stream_sessionize", "stream_enrich_join",
+    "rel_scalar_subquery",
+    "q0_pnl_summary",
+    "ext_semantic_dedup", "ext_sketch_suite",
+]
+
+_PRIORITY = _WINDOW + _TAIL
 _missing = [n for n in _PRIORITY if n not in SUITE]
 assert not _missing, f"priority list names unknown entries: {_missing}"
 _ordered = {n: SUITE[n] for n in _PRIORITY}

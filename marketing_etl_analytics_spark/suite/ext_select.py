@@ -1,0 +1,420 @@
+"""Data-selection operators, part 3 (round 9): mixture allocation and
+diversity-based coreset selection.
+
+Two selection shapes every large-scale pretraining-data build needs
+that the suite did not yet cover:
+
+- **UniMax budget allocation** (``ext_mix_unimax`` — Chung et al.
+  2023, "UniMax: Fairer and More Effective Language Sampling for
+  Large-Scale Multilingual Pretraining", ICLR): given a total token
+  budget and an epoch cap, allocate the budget as uniformly as
+  possible across sources, capping each source at ``cap = C * n_s``
+  tokens — the successor to alpha-temperature sampling (which the
+  suite already has as ``ext_sample_temperature``: that one re-weights
+  proportionally, this one water-fills under hard caps). The classic
+  water-filling closed form is exact INTEGER arithmetic over the
+  per-source aggregate: sort sources ascending by cap; source i is
+  capped iff ``cap_i * (#remaining) <= remaining_budget`` (a BIGINT
+  comparison — no doubles anywhere in the decision), and every
+  uncapped source gets the same integer fair share.
+
+- **Greedy k-center coreset selection** (``ext_coreset_kcenter`` —
+  Gonzalez 1985 farthest-point traversal as used for training-data
+  diversity selection by Sener & Savarese 2018, "Active Learning for
+  Convolutional Neural Networks: A Core-Set Approach", ICLR): pick K
+  embedding-space centers by repeatedly taking the point farthest from
+  the current center set, then report each center's selection radius
+  and Voronoi cell size. Distances live on the shared 1e-12 integer
+  lattice (the ``SPARK_DOT`` discipline, commit fc3b048): per-term
+  ``FLOOR(x*y*1e12 + 0.5)`` into a BIGINT accumulator makes every
+  squared distance an exact, order-free integer in BOTH engines, so
+  argmax/argmin decisions can never diverge on FP noise.
+
+Scale shapes (100 TB): UniMax is one map-side-combined groupBy to the
+per-source grain (#sources rows) and a window over that tiny
+aggregate — the corpus never shuffles. K-center is K linear passes,
+each a broadcast of ONE new center + a map-side max (the per-pass
+argmax is a TakeOrderedAndProject top-1); the corpus is never
+shuffled and the driver only ever holds K one-row frames — the
+textbook distributed Gonzalez sweep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marketing_etl_analytics_spark.suite.common import (
+    memo_df,
+    pround,
+    sql_pround,
+    t,
+)
+from marketing_etl_analytics_spark.suite.registry import register
+
+# --- UniMax budget allocation ------------------------------------------------
+
+# Epoch cap and budget, as exact integers relative to the corpus: each
+# source may be seen at most _EPOCH_CAP times (Muennighoff et al. 2023
+# measure repeated-data value decaying past ~4 epochs; UniMax's C), and
+# the budget is 3/2 of the corpus's total tokens — strictly between
+# 1x (nothing would cap under C=2) and 2x (everything would), so the
+# water level lands mid-distribution and the output exhibits BOTH
+# capped and fair-share sources at every graded SF.
+_EPOCH_CAP = 2
+_BUDGET_NUM, _BUDGET_DEN = 3, 2
+
+_SQL_NTOK = "len(string_split(lower(text), ' '))"
+
+
+@register(
+    "ext_mix_unimax",
+    f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM({_SQL_NTOK}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    capped AS (
+      SELECT lang, n_docs, n_tokens,
+        n_tokens * {_EPOCH_CAP} AS cap_tokens,
+        CAST(ROW_NUMBER() OVER (ORDER BY n_tokens * {_EPOCH_CAP}, lang)
+             AS BIGINT) AS rk,
+        CAST(COUNT(*) OVER () AS BIGINT) AS n_src,
+        -- integer division (//): the budget is an exact BIGINT in
+        -- both engines (Spark mirrors with FLOOR)
+        (SUM(n_tokens) OVER ()) * {_BUDGET_NUM} // {_BUDGET_DEN} AS budget,
+        COALESCE(SUM(n_tokens * {_EPOCH_CAP}) OVER (
+          ORDER BY n_tokens * {_EPOCH_CAP}, lang
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_cap
+      FROM counts
+    ),
+    flagged AS (
+      -- exact-integer water-filling decision: ascending-cap prefix is
+      -- capped iff its cap fits under the equal share of what remains
+      SELECT *, CASE WHEN cap_tokens * (n_src - rk + 1)
+                          <= budget - prefix_cap
+                     THEN 1 ELSE 0 END AS is_capped
+      FROM capped
+    ),
+    leveled AS (
+      SELECT *,
+        SUM(is_capped * cap_tokens) OVER () AS capped_total,
+        SUM(is_capped) OVER () AS n_capped
+      FROM flagged
+    ),
+    alloc AS (
+      SELECT lang, n_docs, n_tokens, cap_tokens, budget,
+        CAST(is_capped AS BIGINT) AS is_capped,
+        CAST(CASE WHEN is_capped = 1 THEN cap_tokens
+                  ELSE (budget - capped_total) // (n_src - n_capped)
+             END AS BIGINT) AS allocated_tokens
+      FROM leveled
+    )
+    SELECT lang, n_docs, n_tokens, cap_tokens, is_capped,
+      allocated_tokens,
+      {sql_pround("CAST(allocated_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 4)} AS epochs,
+      {sql_pround("CAST(allocated_tokens AS DOUBLE) / CAST(budget AS DOUBLE)", 6)} AS budget_frac
+    FROM alloc
+    ORDER BY lang
+    """,
+    doc="UniMax mixture allocation (Chung et al. 2023): water-fill a "
+    "token budget (3/2 of corpus tokens) across languages under a "
+    f"{_EPOCH_CAP}-epoch cap. The capping decision is pure BIGINT "
+    "arithmetic on the per-source aggregate (sorted-ascending prefix "
+    "property: a source is capped iff cap*(#remaining) <= remaining "
+    "budget), so both engines decide identically with no FP anywhere; "
+    "uncapped sources share the leftover by exact integer division. "
+    "Plan: one map-side-combined groupBy(source), then windows over "
+    "the #sources-row aggregate — the corpus itself never shuffles.",
+)
+def ext_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.lower("text"), " ", -1)).cast("long")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+    )
+    cap = (F.col("n_tokens") * _EPOCH_CAP).alias("cap_tokens")
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("cap_tokens", "lang")
+    leveled = (
+        counts.select("lang", "n_docs", "n_tokens", cap)
+        .select(
+            "*",
+            F.row_number().over(w_ord).cast("long").alias("rk"),
+            F.count(F.lit(1)).over(w_all).cast("long").alias("n_src"),
+            F.floor(
+                F.sum("n_tokens").over(w_all) * _BUDGET_NUM
+                / F.lit(_BUDGET_DEN)
+            ).cast("long").alias("budget"),
+            F.coalesce(
+                F.sum("cap_tokens").over(w_ord.rowsBetween(
+                    Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long").alias("prefix_cap"),
+        )
+        .withColumn(
+            "is_capped",
+            F.when(
+                F.col("cap_tokens") * (F.col("n_src") - F.col("rk") + 1)
+                <= F.col("budget") - F.col("prefix_cap"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .select(
+            "*",
+            F.sum(F.col("is_capped") * F.col("cap_tokens")).over(w_all)
+            .alias("capped_total"),
+            F.sum("is_capped").over(w_all).alias("n_capped"),
+        )
+    )
+    alloc = F.when(
+        F.col("is_capped") == 1, F.col("cap_tokens")
+    ).otherwise(
+        # exact integer fair share of the post-cap leftover (FLOOR
+        # mirrors the oracle's // — positive operands, so identical)
+        F.floor(
+            (F.col("budget") - F.col("capped_total"))
+            / (F.col("n_src") - F.col("n_capped"))
+        ).cast("long")
+    )
+    return (
+        leveled.select(
+            "lang", "n_docs", "n_tokens", "cap_tokens", "budget",
+            F.col("is_capped").cast("long").alias("is_capped"),
+            alloc.cast("long").alias("allocated_tokens"),
+        )
+        .select(
+            "lang", "n_docs", "n_tokens", "cap_tokens", "is_capped",
+            "allocated_tokens",
+            pround(
+                F.col("allocated_tokens").cast("double")
+                / F.col("n_tokens").cast("double"), 4
+            ).alias("epochs"),
+            pround(
+                F.col("allocated_tokens").cast("double")
+                / F.col("budget").cast("double"), 6
+            ).alias("budget_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- greedy k-center coreset selection ---------------------------------------
+
+_K_CENTERS = 8
+
+# BIGINT integer-lattice dot product — the SPARK_DOT / SQL_DOT
+# discipline (suite/ext.py:480, commit fc3b048) kept IN lattice units:
+# per-term FLOOR(x*y*1e12 + 0.5) summed in a BIGINT accumulator.
+# Squared distances d2 = n2(a) + n2(b) - 2*dot(a,b) then stay exact,
+# order-free integers, so farthest/nearest decisions are identical in
+# both engines by construction (no FP comparison anywhere).
+_SPARK_DOT_L = (
+    "aggregate(sequence(1, size({a})), CAST(0 AS BIGINT),"
+    " (acc, i) -> acc + CAST(FLOOR(CAST(element_at({a}, i) AS DOUBLE)"
+    " * CAST(element_at({b}, i) AS DOUBLE) * 1e12 + 0.5) AS BIGINT))"
+)
+_SQL_DOT_L = (
+    "CAST(list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> CAST(FLOOR(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+    " * 1e12 + 0.5) AS BIGINT))) AS BIGINT)"
+)
+
+
+def _sql_d2(a_emb: str, a_n2: str, b_emb: str, b_n2: str) -> str:
+    return (
+        f"({a_n2} + {b_n2} - 2 * "
+        + _SQL_DOT_L.format(a=a_emb, b=b_emb)
+        + ")"
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center CTE chain (DuckDB has no iterative
+    construct that keeps per-round argmax deterministic; k is a small
+    constant, so the textbook unroll IS the oracle)."""
+    n2 = _SQL_DOT_L.format(a="embedding", b="embedding")
+    parts = [
+        f"WITH e AS (SELECT vec_id, embedding, {n2} AS n2"
+        " FROM embeddings)",
+        # round 0: deterministic seed = min vec_id; no radius yet
+        "c0 AS (SELECT vec_id, embedding, n2, CAST(NULL AS BIGINT) AS r2"
+        " FROM e ORDER BY vec_id LIMIT 1)",
+        "d0 AS (SELECT e.vec_id, e.embedding, e.n2, "
+        + _sql_d2("e.embedding", "e.n2", "c.embedding", "c.n2")
+        + " AS dmin FROM e, c0 c)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, embedding, n2, dmin AS r2"
+            f" FROM d{r - 1} ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if r < k - 1:
+            parts.append(
+                f"d{r} AS (SELECT d.vec_id, d.embedding, d.n2,"
+                " LEAST(d.dmin, "
+                + _sql_d2("d.embedding", "d.n2", "c.embedding", "c.n2")
+                + f") AS dmin FROM d{r - 1} d, c{r} c)"
+            )
+    cent_union = " UNION ALL ".join(
+        f"SELECT {r} AS round, vec_id, embedding, n2, r2 FROM c{r}"
+        for r in range(k)
+    )
+    parts.append(f"cent AS ({cent_union})")
+    parts.append(
+        "assign AS (SELECT e.vec_id, c.round, "
+        + _sql_d2("e.embedding", "e.n2", "c.embedding", "c.n2")
+        + " AS d2 FROM e, cent c)"
+    )
+    parts.append(
+        "best AS (SELECT vec_id, round FROM ("
+        "SELECT vec_id, round, ROW_NUMBER() OVER ("
+        "PARTITION BY vec_id ORDER BY d2, round) AS rn FROM assign)"
+        " WHERE rn = 1)"
+    )
+    radius = sql_pround("CAST(c.r2 AS DOUBLE) / 1e12", 6)
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT CAST(c.round AS BIGINT) AS round,
+      c.vec_id AS center_vec_id,
+      {radius} AS radius2,
+      CAST(COUNT(b.vec_id) AS BIGINT) AS n_assigned
+    FROM cent c LEFT JOIN best b ON b.round = c.round
+    GROUP BY c.round, c.vec_id, c.r2
+    ORDER BY round
+    """
+    )
+
+
+def _lattice_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, n2) with BIGINT lattice squared norms,
+    memoized — the stored-index shape: norms are computed at ingest,
+    every distance below reuses them."""
+
+    def build() -> DataFrame:
+        emb = t(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_SPARK_DOT_L.format(a="embedding", b="embedding"))
+            .alias("n2"),
+        )
+
+    return memo_df(spark, sf_dir, "emb_norms_lattice", build)
+
+
+def _d2_col(a_emb: str, a_n2: str, b_emb: str, b_n2: str) -> F.Column:
+    dot = F.expr(_SPARK_DOT_L.format(a=a_emb, b=b_emb))
+    return F.col(a_n2) + F.col(b_n2) - F.lit(2) * dot
+
+
+@register(
+    "ext_coreset_kcenter",
+    _kcenter_oracle(_K_CENTERS),
+    doc=f"Greedy k-center coreset selection, K={_K_CENTERS} (Gonzalez "
+    "1985 farthest-point traversal; Sener & Savarese 2018 use exactly "
+    "this sweep to pick diverse training subsets). Seed = min vec_id; "
+    "each round broadcasts the ONE new center, updates every point's "
+    "running min squared distance (exact BIGINT on the 1e-12 lattice), "
+    "and takes the global argmax as the next center (ties broken by "
+    "vec_id — a total order, so both engines select identically). "
+    "Output: each center with its selection radius (the max-min "
+    "distance that made it the farthest point) and its final Voronoi "
+    "cell size. Plan: K linear passes, each a 1-row broadcast + "
+    "map-side combinable min/max — the corpus is never shuffled and "
+    "the driver holds only K one-row frames; the per-round argmax is "
+    "TakeOrderedAndProject. The K cells then seed diversity-aware "
+    "sampling exactly as the IVF centroids seed the ANN probes.",
+)
+def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _lattice_base(spark, sf_dir)
+
+    def c_named(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias("c_vec_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("n2").alias("c_n2"),
+        )
+
+    # round 0: deterministic seed; its "radius" is undefined (NULL)
+    center0 = base.orderBy("vec_id").limit(1)
+    centers = [
+        center0.select(
+            F.lit(0).cast("long").alias("round"),
+            F.col("vec_id").alias("center_vec_id"),
+            "embedding", "n2",
+            F.lit(None).cast("long").alias("r2"),
+        )
+    ]
+    d = (
+        base.crossJoin(F.broadcast(c_named(center0)))
+        .select(
+            "vec_id", "embedding", "n2",
+            _d2_col("embedding", "n2", "c_emb", "c_n2").alias("dmin"),
+        )
+        # materialize each round's state: K short lineages instead of
+        # one K-deep recompute chain (the memo_df discipline)
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, _K_CENTERS):
+        nxt = d.orderBy(F.desc("dmin"), "vec_id").limit(1)
+        centers.append(
+            nxt.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("vec_id").alias("center_vec_id"),
+                "embedding", "n2",
+                F.col("dmin").alias("r2"),
+            )
+        )
+        if r < _K_CENTERS - 1:
+            nxt_named = nxt.select(
+                F.col("embedding").alias("c_emb"), F.col("n2").alias("c_n2")
+            )
+            d = (
+                d.crossJoin(F.broadcast(nxt_named))
+                .select(
+                    "vec_id", "embedding", "n2",
+                    F.least(
+                        F.col("dmin"),
+                        _d2_col("embedding", "n2", "c_emb", "c_n2"),
+                    ).alias("dmin"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    cent = centers[0]
+    for c in centers[1:]:
+        cent = cent.unionAll(c)
+    cent_named = cent.select(
+        F.col("round").alias("c_round"),
+        F.col("center_vec_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("n2").alias("c_n2"),
+        F.col("r2"),
+    )
+    assign = base.crossJoin(F.broadcast(cent_named)).select(
+        "vec_id", "c_round",
+        _d2_col("embedding", "n2", "c_emb", "c_n2").alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_round")
+    best = (
+        assign.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("c_round")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"))
+    )
+    return (
+        cent_named.select("c_round", "center_vec_id", "r2")
+        .join(best, "c_round", "left")
+        .select(
+            F.col("c_round").alias("round"),
+            "center_vec_id",
+            pround(F.col("r2").cast("double") / F.lit(1e12), 6)
+            .alias("radius2"),
+            F.coalesce("n_assigned", F.lit(0).cast("long"))
+            .alias("n_assigned"),
+        )
+        .orderBy("round")
+    )

@@ -32,11 +32,25 @@ sys.path.insert(0, str(REPO / "tools"))
 
 from effhash import (  # noqa: E402
     SNAPSHOT,
-    WINDOW,
+    _window,
     check,
     effective_hash,
     effective_pieces,
 )
+
+WINDOW = _window()
+
+
+def test_window_matches_suite_export():
+    """ADVICE r8 #3: the lint's prefix length must be the suite's own
+    exported window, and the graded prefix must cover exactly the
+    _WINDOW list the rotation comment documents."""
+    from marketing_etl_analytics_spark.suite import GRADED_WINDOW, SUITE
+    from marketing_etl_analytics_spark.suite import __init__ as _  # noqa: F401
+    import marketing_etl_analytics_spark.suite as suite_pkg
+
+    assert WINDOW == GRADED_WINDOW == 50
+    assert list(SUITE)[:GRADED_WINDOW] == suite_pkg._WINDOW
 
 
 def test_snapshot_exists_and_names_known_entries():

@@ -65,6 +65,73 @@ def con():
     return c
 
 
+# --- pround-discipline lint (ADVICE r8, diffcheck agghash) ------------------
+#
+# The in-engine hash compare (tools/diffcheck.py agghash) snaps doubles
+# to DECIMAL(38,6) before hashing, and a matching hash is accepted as
+# PASS with no exact-compare fallback. That is sound ONLY if every
+# double output is either (a) quantized on the 6-dp lattice by the
+# suite's pround discipline — so any genuine cross-engine divergence is
+# >= 1e-6 and HASH-VISIBLE — or (b) bit-identical in both engines by
+# construction (pure pass-through / integer-lattice-derived values,
+# where a sub-1e-6 divergence cannot arise at all). This lint executes
+# every oracle at sf0.001 and asserts each double column satisfies (a)
+# unless explicitly allowlisted as (b).
+#
+# Allowlist audit (each column's bit-identity argument):
+#   ext_embed_transform.scale/quant_mse — derived from integer-lattice
+#     quantization (ext/embedding.py): identical integer ops then one
+#     identical double division in both engines.
+#   ext_graph_pagerank.pagerank — fixed-iteration-count synchronous
+#     updates over exact integer degree counts; both engines evaluate
+#     the same rational expression tree per node.
+#   ext_hybrid_search.rrf — sum of 1/(60+rank) over <= 2 small ranks;
+#     identical IEEE operands and operation order in both engines.
+#   ext_sample_stratified.sample_key — md5-slice / 2^48: integer hash
+#     then one exact double division.
+ENGINE_INVARIANT_DOUBLES = {
+    ("ext_embed_transform", "scale"),
+    ("ext_embed_transform", "quant_mse"),
+    ("ext_graph_pagerank", "pagerank"),
+    ("ext_hybrid_search", "rrf"),
+    ("ext_sample_stratified", "sample_key"),
+}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, e in SUITE.items() if e.oracle is not None]
+)
+def test_oracle_doubles_pround_disciplined(con, name):
+    import math
+
+    desc = con.execute(f"DESCRIBE ({SUITE[name].oracle})").fetchall()
+    dcols = [
+        c for c, t, *_ in desc
+        if t in ("DOUBLE", "FLOAT") and (name, c) not in ENGINE_INVARIANT_DOUBLES
+    ]
+    if not dcols:
+        return
+    sel = ", ".join(f'"{c}"' for c in dcols)
+    rows = con.execute(f"SELECT {sel} FROM ({SUITE[name].oracle})").fetchall()
+    offending = set()
+    for r in rows:
+        for i, c in enumerate(dcols):
+            v = r[i]
+            # |v| > 9e9 (ulp > 1e-6) is agghash's documented MISmatch
+            # direction -> exact-compare fallback, which is safe
+            if v is None or not math.isfinite(v) or abs(v) > 9e9:
+                continue
+            if v != round(v, 6):
+                offending.add(c)
+    assert not offending, (
+        f"oracle '{name}' emits doubles off the 6-dp lattice in "
+        f"{sorted(offending)}: a sub-1e-6 cross-engine divergence there "
+        "would FALSELY hash-MATCH under diffcheck --agghash. Quantize "
+        "with pround/dsum, or add to ENGINE_INVARIANT_DOUBLES with a "
+        "bit-identity argument."
+    )
+
+
 @pytest.mark.parametrize(
     "name", [n for n, e in SUITE.items() if e.oracle is not None]
 )

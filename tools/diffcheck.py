@@ -56,8 +56,15 @@ def norm_rows(cols, rows):
 # mode instead reduces each side IN ITS OWN ENGINE to three scalars —
 # COUNT(*) plus two order-free sums of 48-bit md5 slices over a
 # canonical per-row rendering — and compares the scalars; any mismatch
-# falls back to the exact multiset compare, so a hash disagreement can
-# slow a run but never change a verdict.
+# falls back to the exact multiset compare, so a hash MISMATCH can slow
+# a run but never flip a verdict to FAIL. The asymmetry is deliberate
+# and worth naming (ADVICE r8): a matching hash is accepted as PASS
+# with no exact-compare fallback, so in the pass direction agghash IS
+# the arbiter — a 96-bit additive-multiset collision, or a genuine
+# sub-1e-6 double divergence on an output that escaped the suite's
+# pround quantization, would record a false MATCH. The suite-side
+# guard is tests/test_oracle_type_lint.py's pround-discipline lint on
+# double-bearing schemas; the residual risk is the 2^-96 collision.
 #
 # Canonical rendering parity (validated cross-engine in round 8):
 # ints/decimals/dates/booleans cast to identical strings; timestamps

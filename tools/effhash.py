@@ -47,7 +47,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 PKG = "marketing_etl_analytics_spark"
 SNAPSHOT = Path(__file__).resolve().parent.parent / "tests" / "effective_hashes.json"
-WINDOW = 50  # driver-graded prefix length
+
+
+def _window() -> int:
+    """Driver-graded prefix length — imported from the suite package
+    (ADVICE r8 #3: a duplicated constant here would silently lint the
+    wrong prefix if a rotation ever resized or moved the window)."""
+    from marketing_etl_analytics_spark.suite import GRADED_WINDOW
+
+    return GRADED_WINDOW
 
 # Scalar constant types whose repr is stable and meaningful to
 # include; containers go through _is_const_container below.
@@ -246,8 +254,9 @@ def check(snapshot_path: Path = SNAPSHOT) -> list[str]:
     current = suite_hashes()
     names = list(SUITE)
     violations = []
+    window = _window()
     for i, name in enumerate(names):
-        if i < WINDOW:
+        if i < window:
             continue  # in-window changes are exactly what the window is for
         if current[name] != snap.get(name):
             violations.append(name)
