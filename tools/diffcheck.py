@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 import time
 from pathlib import Path
@@ -149,9 +150,220 @@ def agghash(sdf, oracle: str, con):
     return s3, o3
 
 
+# --- shared-oracle stage cache (VERDICT r8 Next #7) --------------------------
+#
+# The sf10b sweep's residual wall is DuckDB ORACLE evaluation on the
+# dedup/graph family: 13 oracles inline the same shingle-explosion CTE
+# (byte-identical text — they are all built from the same Python
+# constants), so the sweep recomputes the same multi-hundred-second
+# stage table per entry. --stagecache parses each oracle's TOP-LEVEL
+# CTEs, finds bodies that (a) appear verbatim in >= 2 oracles and
+# (b) reference only base tables (no sibling CTE names — so the body
+# is a self-contained deterministic SELECT), materializes each such
+# body ONCE as a DuckDB temp table on first use, and textually
+# substitutes `(body)` -> `(SELECT * FROM stage_<sha>)` before
+# executing. Exact-text keying means the temp table IS the CTE's
+# result — same rows, same types, same verdicts. Like --agghash this
+# is an accelerator, never an arbiter: ANY error in parsing, creation,
+# or the substituted query falls back to the raw oracle. The graded
+# driver always runs the raw oracle text; only this harness
+# accelerates.
+
+_MIN_STAGE_LEN = 200  # ignore trivial CTE bodies (VALUES lists etc.)
+
+
+def _parse_top_ctes(sql: str) -> list[tuple[str, str | None, str]]:
+    """[(name, column_list_or_None, body)] of top-level WITH ctes, or
+    [] if the statement has no leading WITH / uses RECURSIVE / fails
+    to parse. Handles single-quoted strings and -- line comments
+    during paren balancing, and the ``name(cols) AS (...)`` form."""
+    i, n = 0, len(sql)
+
+    def skip_ws(j: int) -> int:
+        while j < n:
+            if sql[j].isspace():
+                j += 1
+            elif sql.startswith("--", j):
+                k = sql.find("\n", j)
+                j = n if k < 0 else k + 1
+            else:
+                break
+        return j
+
+    def balanced(j: int) -> int:
+        """Index of the ')' closing the '(' at j, or -1."""
+        depth = 0
+        while j < n:
+            c = sql[j]
+            if c == "'":  # string literal ('' escapes)
+                j += 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+            elif sql.startswith("--", j):
+                k = sql.find("\n", j)
+                j = n if k < 0 else k
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+            j += 1
+        return -1
+
+    i = skip_ws(i)
+    if not re.match(r"WITH\b", sql[i:], re.IGNORECASE):
+        return []
+    i += 4
+    if re.match(r"\s*RECURSIVE\b", sql[i:], re.IGNORECASE):
+        return []  # self-referencing bodies — never cacheable
+    out = []
+    while True:
+        i = skip_ws(i)
+        m = re.match(r'("?[\w]+"?)', sql[i:])
+        if not m:
+            return []
+        name = m.group(1).strip('"')
+        i = skip_ws(i + m.end())
+        cols = None
+        if i < n and sql[i] == "(":  # name(col, ...) AS (...)
+            j = balanced(i)
+            if j < 0:
+                return []
+            cols = sql[i + 1:j]
+            i = skip_ws(j + 1)
+        m = re.match(r"AS\b", sql[i:], re.IGNORECASE)
+        if not m:
+            return []
+        i = skip_ws(i + 2)
+        # optional DuckDB materialization hint
+        m = re.match(r"(NOT\s+)?MATERIALIZED\b", sql[i:], re.IGNORECASE)
+        if m:
+            i = skip_ws(i + m.end())
+        if i >= n or sql[i] != "(":
+            return []
+        j = balanced(i)
+        if j < 0:
+            return []
+        out.append((name, cols, sql[i + 1:j]))
+        i = skip_ws(j + 1)
+        if i < n and sql[i] == ",":
+            i += 1
+            continue
+        return out
+
+
+def _oracle_stage_chains(oracle: str) -> list[tuple[str, str, str, list[str]]]:
+    """[(chain_key, name, body, dep_names)] of cacheable CTEs in
+    definition order. A CTE is cacheable when it has no column list
+    and every sibling CTE it references is itself cacheable (one
+    materialized stage can then be built FROM the dep's stage table).
+    The chain key hashes the body plus its deps' chain keys, so two
+    oracles share a stage only when the whole upstream chain is
+    byte-identical — the exact-text guarantee that makes the temp
+    table's rows THE CTE's rows."""
+    import hashlib
+
+    ctes = _parse_top_ctes(oracle)
+    names = [nm for nm, _, _ in ctes]
+    keys: dict[str, str] = {}
+    out = []
+    for name, cols, body in ctes:
+        if cols is not None:
+            continue  # column-list CTEs rename outputs — skip
+        refs = [
+            nm for nm in names
+            if nm != name and re.search(rf"\b{re.escape(nm)}\b", body)
+        ]
+        if any(r not in keys for r in refs):
+            continue
+        if refs and re.match(r"\s*WITH\b", body, re.IGNORECASE):
+            continue  # can't prepend the dep-binding WITH prefix
+        h = hashlib.sha1(body.encode())
+        for r in sorted(refs):
+            h.update(b"\x00")
+            h.update(keys[r].encode())
+        keys[name] = h.hexdigest()
+        out.append((keys[name], name, body, refs))
+    return out
+
+
+def build_stage_plan(entries) -> dict[str, str]:
+    """{chain_key: temp_table_name} for stages shared by >= 2
+    oracles. Dependencies of a shared stage are shared by
+    construction (the chain key embeds them), so apply_stage_plan can
+    always materialize bottom-up."""
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    sizes: dict[str, int] = {}
+    for entry in entries:
+        if entry.oracle is None:
+            continue
+        try:
+            chains = _oracle_stage_chains(entry.oracle)
+        except Exception:  # noqa: BLE001 — parse failure = no caching
+            continue
+        counts.update({c[0] for c in chains})
+        for key, _, body, _ in chains:
+            sizes[key] = len(body)
+    return {
+        key: f"stage_{key[:12]}"
+        for key, cnt in counts.items()
+        if cnt >= 2 and sizes[key] >= _MIN_STAGE_LEN
+    }
+
+
+def apply_stage_plan(oracle: str, plan: dict[str, str], con,
+                     created: set[str]) -> str:
+    """Substitute cached stages into ``oracle``, creating each temp
+    table on first use (deps first — chain order is definition
+    order). Raises on creation failure — the caller falls back to the
+    raw oracle text."""
+    chains = _oracle_stage_chains(oracle)
+    info = {name: (key, body, refs) for key, name, body, refs in chains}
+
+    def ensure(name: str) -> str:
+        """Materialize CTE ``name`` (deps first), return its table."""
+        key, body, refs = info[name]
+        tbl = f"stage_{key[:12]}"
+        if tbl not in created:
+            # re-bind dep names via a WITH prefix rather than editing
+            # the body text — a column may share its CTE's name (the
+            # graph family's `sh`), which a textual substitution would
+            # corrupt
+            mat = body
+            if refs:
+                binds = ", ".join(
+                    f"{r} AS (SELECT * FROM {ensure(r)})" for r in refs
+                )
+                mat = f"WITH {binds} {body}"
+            t0 = time.time()
+            con.execute(f"CREATE TEMP TABLE {tbl} AS {mat}")
+            created.add(tbl)
+            print(f"  ..  stagecache: built {tbl} ({name}) "
+                  f"[{time.time()-t0:.1f}s]")
+        return tbl
+
+    out = oracle
+    for key, name, body, refs in chains:
+        tbl = plan.get(key)
+        if tbl is None:
+            continue  # not shared (or too small) — leave the raw CTE
+        out = out.replace(body, f" SELECT * FROM {ensure(name)} ", 1)
+    return out
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--agghash"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--agghash", "--stagecache")]
     agg_mode = "--agghash" in sys.argv[1:]
+    stage_mode = "--stagecache" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -183,11 +395,28 @@ def main() -> int:
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{path}')"
         )
 
+    stage_plan: dict[str, str] = {}
+    stage_created: set[str] = set()
+    if stage_mode:
+        stage_plan = build_stage_plan(SUITE.values())
+        print(f"[stagecache] {len(stage_plan)} shared stage bodies "
+              f"across the registry")
+
     n_pass = n_fail = n_weak = 0
     for name, entry in SUITE.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        oracle_eff = entry.oracle
+        if stage_mode and entry.oracle is not None:
+            try:
+                oracle_eff = apply_stage_plan(
+                    entry.oracle, stage_plan, con, stage_created
+                )
+            except Exception as e:  # noqa: BLE001 — accelerator only
+                print(f"  ..  {name}: stagecache raised "
+                      f"{type(e).__name__}: {e} -> raw oracle")
+                oracle_eff = entry.oracle
         try:
             sdf = entry.fn(spark, sf_dir)
             if agg_mode and entry.oracle is not None:
@@ -199,11 +428,11 @@ def main() -> int:
                 # entry — agghash is an accelerator, never an arbiter.
                 try:
                     cur = con.execute(
-                        f"SELECT * FROM ({entry.oracle}) LIMIT 0"
+                        f"SELECT * FROM ({oracle_eff}) LIMIT 0"
                     )
                     ocols_probe = sorted(d[0] for d in cur.description)
                     hashes = (
-                        agghash(sdf, entry.oracle, con)
+                        agghash(sdf, oracle_eff, con)
                         if ocols_probe == sorted(sdf.columns)
                         else None
                     )
@@ -232,7 +461,16 @@ def main() -> int:
             n_weak += 1
             continue
         try:
-            cur = con.execute(entry.oracle)
+            try:
+                cur = con.execute(oracle_eff)
+            except Exception:  # noqa: BLE001
+                if oracle_eff == entry.oracle:
+                    raise
+                # substituted oracle failed — retry the raw text (the
+                # stage cache must never change a verdict)
+                print(f"  ..  {name}: stage-substituted oracle failed "
+                      "-> raw oracle")
+                cur = con.execute(entry.oracle)
             ocols = [d[0] for d in cur.description]
             orows = [tuple(r) for r in cur.fetchall()]
         except Exception as e:  # noqa: BLE001
