@@ -324,10 +324,13 @@ def _d2_col(a_emb: str, a_n2: str, b_emb: str, b_n2: str) -> F.Column:
     "Output: each center with its selection radius (the max-min "
     "distance that made it the farthest point) and its final Voronoi "
     "cell size. Plan: K linear passes, each a 1-row broadcast + "
-    "map-side combinable min/max — the corpus is never shuffled and "
-    "the driver holds only K one-row frames; the per-round argmax is "
-    "TakeOrderedAndProject. The K cells then seed diversity-aware "
-    "sampling exactly as the IVF centroids seed the ANN probes.",
+    "map-side combinable min/max — the corpus is never shuffled; the "
+    "per-round argmax is TakeOrderedAndProject, and the final Voronoi "
+    "assignment inlines the K collected centers (planning-sized "
+    "collect, the BPE merge-round precedent) into one codegen argmin "
+    "projection, so only the K-group count partial-aggregates. The K "
+    "cells then seed diversity-aware sampling exactly as the IVF "
+    "centroids seed the ANN probes.",
 )
 def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _lattice_base(spark, sf_dir)
@@ -387,34 +390,50 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = centers[0]
     for c in centers[1:]:
         cent = cent.unionAll(c)
-    cent_named = cent.select(
-        F.col("round").alias("c_round"),
-        F.col("center_vec_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("n2").alias("c_n2"),
-        F.col("r2"),
-    )
-    assign = base.crossJoin(F.broadcast(cent_named)).select(
-        "vec_id", "c_round",
-        _d2_col("embedding", "n2", "c_emb", "c_n2").alias("d2"),
-    )
-    w = Window.partitionBy("vec_id").orderBy("d2", "c_round")
-    best = (
-        assign.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("c_round")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"))
-    )
-    return (
-        cent_named.select("c_round", "center_vec_id", "r2")
-        .join(best, "c_round", "left")
-        .select(
-            F.col("c_round").alias("round"),
-            "center_vec_id",
-            pround(F.col("r2").cast("double") / F.lit(1e12), 6)
-            .alias("radius2"),
-            F.coalesce("n_assigned", F.lit(0).cast("long"))
-            .alias("n_assigned"),
+    # final Voronoi assignment: collect the K selected centers (a
+    # planning-sized K-row collect — the BPE merge-round precedent)
+    # and inline them as literals into ONE codegen projection, so the
+    # argmin over K centers is a per-row expression and the corpus is
+    # NEVER shuffled — only the K-group count partial-aggregates. (A
+    # window/groupBy argmin would exchange every row on vec_id just
+    # to pick among K locally-computable distances.)
+    cent_rows = cent.select("round", "center_vec_id", "n2", "r2",
+                            "embedding").collect()
+    dots = []
+    for r in cent_rows:
+        # `<repr>D` double literals: repr() is the shortest round-trip
+        # decimal, so the parsed double is bit-identical to the value
+        # the original CAST(element AS DOUBLE) produced
+        arr = ", ".join(f"{float(v)!r}D" for v in r["embedding"])
+        dot = (
+            "aggregate(sequence(1, size(embedding)), CAST(0 AS BIGINT),"
+            " (acc, i) -> acc + CAST(FLOOR(CAST(element_at(embedding, i)"
+            f" AS DOUBLE) * element_at(array({arr}), i) * 1e12 + 0.5)"
+            " AS BIGINT))"
         )
-        .orderBy("round")
+        d2 = F.col("n2") + F.lit(int(r["n2"])) - F.lit(2) * F.expr(dot)
+        dots.append(F.struct(d2.alias("d2"),
+                             F.lit(int(r["round"])).alias("r")))
+    nearest = F.array_min(F.array(*dots)).getField("r")
+    counts = {
+        int(row["r"]): int(row["n"])
+        for row in base.select(nearest.alias("r"))
+        .groupBy("r").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out_rows = [
+        (
+            int(r["round"]),
+            int(r["center_vec_id"]),
+            None if r["r2"] is None else int(r["r2"]),
+            counts.get(int(r["round"]), 0),
+        )
+        for r in cent_rows
+    ]
+    out = spark.createDataFrame(
+        out_rows, "round long, center_vec_id long, r2 long, n_assigned long"
     )
+    return out.select(
+        "round", "center_vec_id",
+        pround(F.col("r2").cast("double") / F.lit(1e12), 6).alias("radius2"),
+        F.col("n_assigned").cast("long").alias("n_assigned"),
+    ).orderBy("round")
