@@ -210,17 +210,22 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 #       approx-over-sample percentile path this round, VERDICT r8
 #       Next #5 — the graded branch is unchanged but the effective
 #       hash moves, so it must sit in-window; also its second
-#       consecutive row) and ext_dedup_substring (second consecutive
-#       row for the r8-NEW operator; both carry sf100b rows this
-#       round per VERDICT r8 Next #6), plus v_channel_daily (the
-#       env-lost entry's family sibling — a fresh row on the shared
-#       merged-grain helper chain corroborates v_kpi_campaign's);
-#   (d) the TWO new r9 operators (never graded): ext_mix_unimax
-#       (UniMax water-filling mixture allocation, Chung et al. 2023)
-#       and ext_coreset_kcenter (greedy k-center diversity coreset,
-#       Sener & Savarese 2018).
-# The 46 entries past the window are exactly the r8-green rows whose
-# code is unchanged since CORRECTNESS_r08; they rotate back in r10.
+#       consecutive row);
+#   (d) the FOUR new r9 operators (never graded): ext_mix_unimax
+#       (UniMax water-filling mixture allocation, Chung et al. 2023),
+#       ext_coreset_kcenter (greedy k-center diversity coreset,
+#       Sener & Savarese 2018), ext_lm_kneser_ney (interpolated
+#       Kneser-Ney bigram LM filter, Kneser & Ney 1995 / Heafield
+#       2011), and ext_cluster_kmeans (lattice-quantized Lloyd
+#       k-means, the SemDeDup/IVF clustering stage, Abbas et al.
+#       2023).
+# ext_dedup_substring and v_channel_daily (both r8-green, bodies
+# unchanged) lead the tail instead of taking second-consecutive-row
+# fill slots: the new-operator policy (changed/new code must be
+# in-window) outranks a redundant sf0.01 re-grade, and both carry
+# 100x/1000x current-tree rows this round (VERDICT r8 Next #6) —
+# stronger evidence than the slot they gave up. They rotate back in
+# r10 with the rest of the r8-green tail.
 _WINDOW = [
     # (a) the env-lost row — first, per VERDICT r8 Next #1
     "v_kpi_campaign",
@@ -250,10 +255,11 @@ _WINDOW = [
     "ext_fuzzy_linkage", "v_channel_daily_incremental",
     "ext_graph_triangles", "ext_embed_transform",
     "etl_scd2",
-    # (c) window fill: changed body + second consecutive rows
-    "ext_quality_dsir", "ext_dedup_substring", "v_channel_daily",
-    # (d) the two new r9 operators
+    # (c) window fill: the changed body (approx-percentile path)
+    "ext_quality_dsir",
+    # (d) the four new r9 operators
     "ext_mix_unimax", "ext_coreset_kcenter",
+    "ext_lm_kneser_ney", "ext_cluster_kmeans",
 ]
 
 # The driver grades exactly this prefix of the registry per round.
@@ -266,6 +272,7 @@ _TAIL = [
     # every entry below is r8-green (CORRECTNESS_r08 hash-exact, or
     # rows-only for the contract-allowed stream_sessionize) with code
     # unchanged since that grade; rotates back in r10
+    "ext_dedup_substring", "v_channel_daily",
     "ext_hybrid_search", "ext_bpe_encode", "rel_setops",
     "ext_sampling_suite", "stream_dedup",
     "q1_top_sellers", "ext_dedup_ngram_jaccard",

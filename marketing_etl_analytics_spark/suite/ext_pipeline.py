@@ -2538,3 +2538,267 @@ def ext_quality_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- interpolated Kneser-Ney bigram LM ----------------------------------------
+#
+# The production upgrade of the add-one LM above (ext_lm_perplexity is
+# the CCNet recipe with the simplest possible smoother): interpolated
+# Kneser-Ney (Kneser & Ney 1995; the Chen & Goodman 1999 empirical
+# winner; what KenLM ships, Heafield 2011):
+#
+#   P(w2|w1) = max(c(w1 w2) - D, 0)/c(w1)
+#              + (D * N1+(w1 .)/c(w1)) * Pcont(w2)
+#   Pcont(w2) = (N1+(. w2) + 1) / (N1+(. .) + V + 1)
+#
+# with absolute discount D = 3/4 and an add-one floor on the
+# continuation distribution (so every probability is strictly
+# positive even for bigrams never seen as continuations). OOV words
+# are REMAPPED to a reserved '<unk>' token before counting (vocab =
+# words seen >= KN_MIN_COUNT times in bigram-context position in the
+# train split), so the model is a closed, exactly-normalizable table.
+#
+# Exactness: with D = 3/4 every interpolated probability is one
+# RATIONAL with BIGINT numerator and denominator,
+#
+#   num = max(4c - 3, 0) * CV + 3 * n1fwd * (cont + 1)
+#   den = 4 * ctx * CV,            CV = ncont + V + 1
+#
+# so the only floating-point op per distinct bigram is ONE
+# BIGINT->DOUBLE cast pair, one divide, and one ln() — each correctly
+# rounded and engine-identical (round-half-even casts), snapped to
+# DECIMAL(18,6); per-doc sums are exact order-free decimal addition
+# (the _SQL_LM_LNP discipline, hardened further: no smoothed-count
+# addition happens in FP at all).
+#
+# Scale shape: identical to ext_lm_perplexity — the model is three
+# vocabulary-sized count tables (bigram, context, continuation), all
+# Heaps'-law sublinear and broadcast at any corpus size; the corpus
+# shuffles once on (doc_id, bigram) with map-side combine (it REUSES
+# the memoized lm_doc_bigrams stage table) plus one re-group after the
+# <unk> remap. The tertile cut is the exact interpolated percentile
+# (approx-over-sample at 100 TB, the CCNet precedent).
+
+KN_MIN_COUNT = 5     # vocab floor on bigram-CONTEXT occurrences (train)
+_KN_UNK = "<unk>"    # reserved: space-split tokens cannot contain '<'... they
+                     # can, but no space — and the remap is applied to BOTH
+                     # engines identically, so a literal '<unk>' token merely
+                     # joins the OOV class symmetrically
+
+_SQL_KN_LNP = (
+    "ln(CAST(CASE WHEN ctx_c IS NULL THEN cont_c0 + 1"
+    "         ELSE GREATEST(4 * c0 - 3, 0) * cv"
+    "              + 3 * n1fwd * (cont_c0 + 1) END AS DOUBLE)"
+    " / CAST(CASE WHEN ctx_c IS NULL THEN cv"
+    "         ELSE 4 * ctx_c * cv END AS DOUBLE))"
+)
+
+
+@register(
+    "ext_lm_kneser_ney",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM tk, LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2
+    ),
+    vocab AS (
+      SELECT w1 AS w FROM bg WHERE {_LM_TRAIN_PRED}
+      GROUP BY w1 HAVING COUNT(*) >= {KN_MIN_COUNT}
+    ),
+    mapped AS (
+      SELECT doc_id,
+        CASE WHEN v1.w IS NULL THEN '{_KN_UNK}' ELSE bg.w1 END AS m1,
+        CASE WHEN v2.w IS NULL THEN '{_KN_UNK}' ELSE bg.w2 END AS m2
+      FROM bg
+      LEFT JOIN vocab v1 ON v1.w = bg.w1
+      LEFT JOIN vocab v2 ON v2.w = bg.w2
+    ),
+    doc_bg AS (
+      SELECT doc_id, m1, m2, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM mapped GROUP BY doc_id, m1, m2
+    ),
+    big AS (
+      SELECT m1, m2, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM doc_bg WHERE {_LM_TRAIN_PRED} GROUP BY m1, m2
+    ),
+    ctx AS (
+      SELECT m1, CAST(SUM(c) AS BIGINT) AS ctx_c,
+        CAST(COUNT(*) AS BIGINT) AS n1fwd
+      FROM big GROUP BY m1
+    ),
+    cont AS (
+      SELECT m2, CAST(COUNT(*) AS BIGINT) AS cont_c FROM big GROUP BY m2
+    ),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM big)
+           + (SELECT CAST(COUNT(DISTINCT m2) AS BIGINT) FROM big)
+           + 1 AS cv
+    ),
+    scored AS (
+      SELECT d.doc_id, d.cnt,
+        CASE WHEN d.m1 = '{_KN_UNK}' OR d.m2 = '{_KN_UNK}'
+             THEN 1 ELSE 0 END AS is_unk,
+        CAST({sql_pround(_SQL_KN_LNP, 6)} AS DECIMAL(18,6)) AS lnp
+      FROM (
+        SELECT d.doc_id, d.cnt, d.m1, d.m2,
+          COALESCE(b.c, 0) AS c0, x.ctx_c,
+          COALESCE(x.n1fwd, 0) AS n1fwd,
+          COALESCE(n.cont_c, 0) AS cont_c0, s.cv
+        FROM doc_bg d
+        LEFT JOIN big b ON b.m1 = d.m1 AND b.m2 = d.m2
+        LEFT JOIN ctx x ON x.m1 = d.m1
+        LEFT JOIN cont n ON n.m2 = d.m2
+        CROSS JOIN stats s
+      ) d
+    ),
+    agg AS (
+      SELECT doc_id,
+        CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        CAST(SUM(is_unk * cnt) AS BIGINT) AS n_unk,
+        {sql_pround(
+            "-CAST(SUM(CAST(cnt * lnp AS DECIMAL(28,6))) AS DOUBLE)"
+            " / SUM(cnt)", 6)} AS cross_entropy_kn
+      FROM scored GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT quantile_cont(cross_entropy_kn, 0.33) AS p33,
+             quantile_cont(cross_entropy_kn, 0.67) AS p67
+      FROM agg
+    )
+    SELECT doc_id, n_bigrams, n_unk,
+      {sql_pround("CAST(n_unk AS DOUBLE) / n_bigrams", 4)} AS unk_rate,
+      cross_entropy_kn,
+      CASE WHEN cross_entropy_kn <= p33 THEN 'head'
+           WHEN cross_entropy_kn <= p67 THEN 'middle'
+           ELSE 'tail' END AS ppl_bucket,
+      CASE WHEN cross_entropy_kn <= p67 THEN 1 ELSE 0 END AS keep_kn
+    FROM agg CROSS JOIN cut
+    ORDER BY doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram LM quality filter (Kneser & "
+    "Ney 1995; Chen & Goodman 1999's winning smoother; the KenLM "
+    "recipe, Heafield 2011) — the production upgrade of the add-one "
+    f"LM in ext_lm_perplexity. Vocabulary = words with >= {KN_MIN_COUNT} "
+    "bigram-context occurrences in the 70% train split; OOV words "
+    "remap to a reserved <unk> BEFORE counting, so the model is a "
+    "closed table. With discount D=3/4 every interpolated probability "
+    "is a single BIGINT-over-BIGINT rational (num = max(4c-3,0)*CV + "
+    "3*n1fwd*(cont+1), den = 4*ctx*CV), so per distinct bigram the "
+    "only FP is one divide + one ln(), snapped to DECIMAL(18,6); "
+    "per-doc sums are exact decimal addition. The model is three "
+    "Heaps'-sublinear broadcast tables; the corpus reuses the "
+    "memoized (doc_id, bigram) stage with map-side combine and "
+    "re-groups once after the <unk> remap. Head/middle/tail tertiles "
+    "+ keep flag mirror the CCNet cut (approx-over-sample at 100 TB).",
+)
+def ext_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketing_etl_analytics_spark.ext.text import lm_bigram_counts
+
+    docs = t(spark, sf_dir, "documents")
+    doc_bg_raw = memo_df(
+        spark, sf_dir, "lm_doc_bigrams", lambda: lm_bigram_counts(docs)
+    )
+    train = F.expr(_LM_TRAIN_PRED)
+    w1 = F.expr("split_part(b, ' ', 1)")
+    w2 = F.expr("split_part(b, ' ', 2)")
+    # vocab: words by TRAIN bigram-context occurrence (sum of counts,
+    # weighted by cnt = raw occurrences) >= floor. Heaps'-sublinear ->
+    # broadcast.
+    vocab = (
+        doc_bg_raw.filter(train)
+        .groupBy(w1.alias("w"))
+        .agg(F.sum("cnt").cast("long").alias("cw"))
+        .filter(F.col("cw") >= KN_MIN_COUNT)
+        .select("w")
+    )
+    unk = F.lit(_KN_UNK)
+    mapped = (
+        doc_bg_raw.select("doc_id", "cnt", w1.alias("w1"), w2.alias("w2"))
+        .join(F.broadcast(vocab.select(F.col("w").alias("w1"),
+                                       F.lit(1).alias("v1"))), "w1", "left")
+        .join(F.broadcast(vocab.select(F.col("w").alias("w2"),
+                                       F.lit(1).alias("v2"))), "w2", "left")
+        .select(
+            "doc_id", "cnt",
+            F.when(F.col("v1").isNull(), unk).otherwise(F.col("w1")).alias("m1"),
+            F.when(F.col("v2").isNull(), unk).otherwise(F.col("w2")).alias("m2"),
+        )
+    )
+
+    def build_doc_bg() -> DataFrame:
+        return mapped.groupBy("doc_id", "m1", "m2").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+
+    # the remapped per-doc bigram table feeds model building AND
+    # scoring — the second persisted stage table of this pipeline
+    doc_bg = memo_df(spark, sf_dir, "kn_doc_bigrams", build_doc_bg)
+    big = doc_bg.filter(train).groupBy("m1", "m2").agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    ctx = big.groupBy("m1").agg(
+        F.sum("c").cast("long").alias("ctx_c"),
+        F.count(F.lit(1)).cast("long").alias("n1fwd"),
+    )
+    cont = big.groupBy("m2").agg(
+        F.count(F.lit(1)).cast("long").alias("cont_c")
+    )
+    stats = big.agg(
+        (F.count(F.lit(1)) + F.countDistinct("m2") + F.lit(1))
+        .cast("long").alias("cv")
+    )
+    scored = (
+        doc_bg
+        .join(F.broadcast(big), ["m1", "m2"], "left")
+        .join(F.broadcast(ctx), "m1", "left")
+        .join(F.broadcast(cont), "m2", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", "cnt",
+            F.when((F.col("m1") == unk) | (F.col("m2") == unk), 1)
+            .otherwise(0).alias("is_unk"),
+            F.coalesce("c", F.lit(0)).alias("c0"),
+            "ctx_c",
+            F.coalesce("n1fwd", F.lit(0)).alias("n1fwd"),
+            F.coalesce("cont_c", F.lit(0)).alias("cont_c0"),
+            "cv",
+        )
+        .select(
+            "doc_id", "cnt", "is_unk",
+            pround(F.expr(_SQL_KN_LNP), 6).cast("decimal(18,6)").alias("lnp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum(F.col("is_unk") * F.col("cnt")).cast("long").alias("n_unk"),
+        pround(
+            -F.sum((F.col("cnt") * F.col("lnp")).cast("decimal(28,6)"))
+            .cast("double") / F.sum("cnt"),
+            6,
+        ).alias("cross_entropy_kn"),
+    )
+    cut = agg.agg(
+        F.expr("percentile(cross_entropy_kn, 0.33)").alias("p33"),
+        F.expr("percentile(cross_entropy_kn, 0.67)").alias("p67"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id", "n_bigrams", "n_unk",
+            pround(F.col("n_unk").cast("double") / F.col("n_bigrams"), 4)
+            .alias("unk_rate"),
+            "cross_entropy_kn",
+            F.when(F.col("cross_entropy_kn") <= F.col("p33"), "head")
+            .when(F.col("cross_entropy_kn") <= F.col("p67"), "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+            F.when(F.col("cross_entropy_kn") <= F.col("p67"), 1)
+            .otherwise(0)
+            .alias("keep_kn"),
+        )
+        .orderBy("doc_id")
+    )

@@ -437,3 +437,229 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("r2").cast("double") / F.lit(1e12), 6).alias("radius2"),
         F.col("n_assigned").cast("long").alias("n_assigned"),
     ).orderBy("round")
+
+
+# --- lattice-quantized Lloyd k-means ------------------------------------------
+#
+# The clustering stage of embedding-space curation (SemDeDup, Abbas et
+# al. 2023, clusters before deduplicating inside cells; DoReMi-style
+# domain discovery clusters before reweighting; the suite's own IVF
+# index uses exactly this as its coarse quantizer): Lloyd's algorithm
+# with a FIXED, deterministic iteration count, engine-exact by
+# quantizing both points and centroids to the 1e-6 coordinate lattice:
+#
+# - points:    xq[j] = FLOOR(x[j] * 1e6 + 0.5)            (BIGINT)
+# - centroids: c[j]  = FLOOR(S[j] / n + 0.5)              (BIGINT,
+#   S = per-cluster coordinate sum of xq — |S| <= n * 2^21 stays exact
+#   in the double cast at any graded SF, and the divide + FLOOR are
+#   single correctly-rounded IEEE ops, so both engines produce the
+#   SAME quantized centroid; at >=2^53-scale coordinate sums the
+#   documented form is a decimal-lattice division)
+# - d2(x, c) = sum_j (xq[j] - c[j])^2 — an exact BIGINT, so every
+#   argmin assignment decision is integer comparison, never FP.
+#
+# Seeds are the K points with the smallest md5(vec_id) — a
+# deterministic pseudo-random draw that needs only a
+# TakeOrderedAndProject top-K, never a global sort. Empty clusters
+# keep their previous centroid (both engines, same rule).
+#
+# Scale shape: each Lloyd round is ONE corpus scan — the K centroids
+# are inlined as literals into a single codegen argmin projection (the
+# ext_coreset_kcenter zero-shuffle discipline), and the update
+# aggregates K * (dim + 1) map-side-combined partials; the corpus
+# itself never shuffles. Driver state is K * dim integers per round
+# (planning-sized, the BPE merge-round precedent).
+
+_KM_K = 4
+_KM_ITERS = 3
+
+_KM_SQL_XQ = (
+    "list_transform(embedding,"
+    " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))"
+)
+
+
+def _km_sql_d2(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    seed_ord = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+    parts = [
+        f"WITH e AS (SELECT vec_id, {_KM_SQL_XQ} AS xq FROM embeddings)",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY {seed_ord})"
+        f" AS BIGINT) - 1 AS k, xq AS c FROM e"
+        f" ORDER BY {seed_ord} LIMIT {k})",
+    ]
+    d2 = _km_sql_d2("e.xq", "c.c")
+    for r in range(1, iters + 1):
+        parts.append(
+            f"a{r} AS (SELECT vec_id, xq, k FROM ("
+            f"SELECT e.vec_id, e.xq, c.k, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {d2}, c.k) AS rn"
+            f" FROM e CROSS JOIN c{r - 1} c) t WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT k, j, CAST(SUM(xq[j]) AS BIGINT) AS s,"
+            f" CAST(COUNT(*) AS BIGINT) AS n FROM a{r},"
+            f" LATERAL unnest(generate_series(1, len(xq))) AS g(j)"
+            f" GROUP BY k, j)"
+        )
+        parts.append(
+            f"u{r} AS (SELECT k, list(CAST(FLOOR(CAST(s AS DOUBLE) / n"
+            f" + 0.5) AS BIGINT) ORDER BY j) AS c FROM s{r} GROUP BY k)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT p.k, COALESCE(u.c, p.c) AS c"
+            f" FROM c{r - 1} p LEFT JOIN u{r} u USING (k))"
+        )
+    parts.append(
+        f"af AS (SELECT vec_id, k, d2 FROM ("
+        f"SELECT e.vec_id, c.k, {d2} AS d2, ROW_NUMBER() OVER ("
+        f"PARTITION BY e.vec_id ORDER BY {d2}, c.k) AS rn"
+        f" FROM e CROSS JOIN c{iters} c) t WHERE rn = 1)"
+    )
+    parts.append(
+        "stats AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_assigned,"
+        " SUM(d2) AS sd2 FROM af GROUP BY k)"
+    )
+    inertia = sql_pround(
+        "CAST(COALESCE(s.sd2, 0) AS DOUBLE) / 1e12", 6
+    )
+    c_l2 = sql_pround(
+        "sqrt(CAST(list_sum(list_transform(c.c, v -> v * v)) AS DOUBLE))"
+        " / 1e6", 6
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT c.k AS cluster,
+      CAST(COALESCE(s.n_assigned, 0) AS BIGINT) AS n_assigned,
+      {inertia} AS inertia,
+      {c_l2} AS centroid_l2
+    FROM c{iters} c LEFT JOIN stats s USING (k)
+    ORDER BY cluster
+    """
+    )
+
+
+def _km_lattice_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, xq) with 1e-6-lattice BIGINT coordinates, memoized —
+    the quantized-point table every Lloyd round re-scans."""
+
+    def build() -> DataFrame:
+        emb = t(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+                " * 1e6 + 0.5) AS BIGINT))"
+            ).alias("xq"),
+        )
+
+    return memo_df(spark, sf_dir, "emb_lattice6", build)
+
+
+def _km_nearest(cents: list[list[int]]):
+    """(nearest-k column, d2-at-nearest column) for literal centroids:
+    one codegen argmin projection, zero shuffle (the kcenter final-
+    assignment discipline)."""
+    structs = []
+    for ki, c in enumerate(cents):
+        lits = ", ".join(f"{int(v)}L" for v in c)
+        d2 = F.expr(
+            f"aggregate(zip_with(xq, array({lits}),"
+            " (x, c) -> (x - c) * (x - c)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(ki).alias("k")))
+    best = F.array_min(F.array(*structs))
+    return best.getField("k"), best.getField("d2")
+
+
+@register(
+    "ext_cluster_kmeans",
+    _kmeans_oracle(_KM_K, _KM_ITERS),
+    doc=f"Lattice-quantized Lloyd k-means, K={_KM_K}, "
+    f"{_KM_ITERS} fixed rounds (the clustering stage of SemDeDup, "
+    "Abbas et al. 2023, and of IVF coarse quantization — the suite's "
+    "ANN index trains its centroids exactly this way). Points AND "
+    "centroids live on the 1e-6 coordinate lattice (centroid update "
+    "FLOOR(sum/count + 0.5) is one correctly-rounded IEEE divide on "
+    "exact BIGINT operands), so every squared distance is an exact "
+    "BIGINT and every argmin decision is integer comparison — both "
+    "engines assign identically by construction. Seeds = K smallest "
+    "md5(vec_id) (TakeOrderedAndProject, no global sort); empty "
+    "clusters keep their centroid. Plan: each round is ONE corpus "
+    "scan with the K centroids inlined as literals into a codegen "
+    "argmin projection (zero shuffle), aggregating K*(dim+1) "
+    "map-side-combined partials; driver state is K*dim integers per "
+    "round. Output: per-cluster size, inertia, centroid L2 norm.",
+)
+def ext_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    base = _km_lattice_points(spark, sf_dir)
+    dim = int(base.select(F.size("xq").alias("d")).head()["d"])
+    seed_rows = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_KM_K)
+        .collect()
+    )
+    cents = [[int(v) for v in r["xq"]] for r in seed_rows]
+    for _ in range(_KM_ITERS):
+        k_col, _d2 = _km_nearest(cents)
+        sums = (
+            base.select(k_col.alias("k"), "xq")
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                # decimal(38,0) accumulators: SUM(BIGINT) must not wrap
+                # where the oracle's HUGEINT cannot (same reason the
+                # inertia sum below is decimal)
+                *[
+                    F.sum(F.element_at("xq", j + 1).cast("decimal(38,0)"))
+                    .alias(f"s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        upd = {}
+        for row in sums:
+            n = int(row["n"])
+            # float(S)/n mirrors the oracle's CAST(S AS DOUBLE)/n:
+            # S is exact in double at any graded SF (|S| <= n * 2^21)
+            upd[int(row["k"])] = [
+                int(math.floor(float(int(row[f"s{j}"])) / n + 0.5))
+                for j in range(dim)
+            ]
+        cents = [upd.get(ki, c) for ki, c in enumerate(cents)]
+    k_col, d2_col = _km_nearest(cents)
+    stats = {
+        int(r["k"]): (int(r["n"]), int(r["sd2"]))
+        for r in base.select(k_col.alias("k"), d2_col.alias("d2"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("d2").cast("decimal(38,0)")).alias("sd2"),
+        )
+        .collect()
+    }
+    out_rows = []
+    for ki, c in enumerate(cents):
+        n, sd2 = stats.get(ki, (0, 0))
+        # CAST-then-divide, mirrored op-for-op with the oracle
+        out_rows.append((ki, n, float(sd2) / 1e12, sum(v * v for v in c)))
+    out = spark.createDataFrame(
+        out_rows, "cluster long, n_assigned long, inertia double, c2 long"
+    )
+    return out.select(
+        "cluster", "n_assigned",
+        pround(F.col("inertia"), 6).alias("inertia"),
+        pround(F.sqrt(F.col("c2").cast("double")) / F.lit(1e6), 6)
+        .alias("centroid_l2"),
+    ).orderBy("cluster")
