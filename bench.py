@@ -63,8 +63,16 @@ def main() -> None:
     # making round-over-round per-entry comparisons noise. Build them
     # HERE, untimed-per-entry but reported as separate named rows, so
     # the timed loop below measures warm plans regardless of registry
-    # order. Opt out with SPARK_GRAFT_BENCH_NO_WARMUP=1.
+    # order. Opt out with SPARK_GRAFT_BENCH_NO_WARMUP=1. A targeted
+    # probe (SPARK_GRAFT_BENCH_ONLY) warms only the owners it will
+    # time — paying all 15 owners at a 100x-class SF to probe one
+    # entry made targeted large-SF runs impractical.
     warmup: dict[str, float] = {}
+    _only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    _only_set = (
+        {n.strip() for n in _only_env.split(",") if n.strip()}
+        if _only_env else None
+    )
     if os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP") != "1":
         WARMUP_OWNERS = [
             # entry -> shared artifact it builds (comment = memo name)
@@ -86,6 +94,8 @@ def main() -> None:
         ]
         for wname in WARMUP_OWNERS:
             if wname not in SUITE:
+                continue
+            if _only_set is not None and wname not in _only_set:
                 continue
             t0 = time.perf_counter()
             SUITE[wname].fn(spark, sf_dir).write.mode("overwrite").format(
