@@ -2690,10 +2690,14 @@ _SQL_KN_LNP = (
     "3*n1fwd*(cont+1), den = 4*ctx*CV), so per distinct bigram the "
     "only FP is one divide + one ln(), snapped to DECIMAL(18,6); "
     "per-doc sums are exact decimal addition. The model is three "
-    "Heaps'-sublinear broadcast tables; the corpus reuses the "
-    "memoized (doc_id, bigram) stage with map-side combine and "
-    "re-groups once after the <unk> remap. Head/middle/tail tertiles "
-    "+ keep flag mirror the CCNet cut (approx-over-sample at 100 TB).",
+    "Heaps'-sublinear tables: context/continuation are pruned-vocab-"
+    "grain and broadcast at any scale; the bigram-type table (KN "
+    "keeps singleton counts, so it cannot be count-pruned) joins via "
+    "AQE — broadcast where it fits, shuffle-on-(m1,m2) where it "
+    "doesn't. The corpus reuses the memoized (doc_id, bigram) stage "
+    "with map-side combine and re-groups once after the <unk> remap. "
+    "Head/middle/tail tertiles + keep flag mirror the CCNet cut "
+    "(approx-over-sample at 100 TB).",
 )
 def ext_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketing_etl_analytics_spark.ext.text import lm_bigram_counts
@@ -2751,9 +2755,17 @@ def ext_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) + F.countDistinct("m2") + F.lit(1))
         .cast("long").alias("cv")
     )
+    # ctx/cont are PRUNED-vocab-grain (keys <= vocab ∪ {<unk>}) —
+    # Heaps'-sublinear, broadcast at any corpus scale, like the
+    # add-one LM's vocab. `big` is bigram-TYPE-grain over the pruned
+    # vocab: still Heaps-limited but the one model table NOT
+    # guaranteed broadcast-sized at extreme scale (KN needs its
+    # singleton counts, so it cannot be count-pruned) — its join is
+    # left to AQE: broadcast where it fits, shuffle-on-(m1,m2) where
+    # it doesn't.
     scored = (
         doc_bg
-        .join(F.broadcast(big), ["m1", "m2"], "left")
+        .join(big, ["m1", "m2"], "left")
         .join(F.broadcast(ctx), "m1", "left")
         .join(F.broadcast(cont), "m2", "left")
         .crossJoin(F.broadcast(stats))
