@@ -85,7 +85,8 @@ def main() -> None:
             "ext_graph_pagerank",         # pagerank_edges (shared edge index)
             "ext_dedup_simhash",          # simhash_pairs
             "ext_dedup_cluster",          # simhash_clusters
-            "ext_ann_recall",             # ann_ground_truth
+            "ext_ann_ivf_suite",          # ann_ground_truth (recall branch, r9 fold)
+            "ext_quality_perceptron",     # pctr_docvec (hashed-count vectors)
             "ext_ann_pq_adc",             # pq_codes + pq_lut
             "ext_semantic_dedup",         # sem_assign
             "ext_semantic_dedup_ivf",     # IVF centroids

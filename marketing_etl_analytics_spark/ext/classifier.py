@@ -1,0 +1,218 @@
+"""Distributed training of a linear quality classifier.
+
+The modern pretraining-data pipelines select documents with a LEARNED
+quality filter (FineWeb-Edu, Penedo et al. 2024; DCLM, Li et al. 2024
+— both train a fastText-style linear classifier over the corpus and
+keep the top-scored documents). The suite already ships the INFERENCE
+side of that gate (``ext/curation.py``'s fixed-weight linear scorer,
+graded via ``ext_quality_score``); this module adds the TRAINING side:
+a hashed bag-of-words perceptron trained distributively with
+**iterative parameter mixing** (McDonald, Hall & Mann, NAACL 2010,
+"Distributed Training Strategies for the Structured Perceptron"), the
+published data-parallel form of the classic per-sample perceptron
+(Rosenblatt 1958; mistake bound Novikoff 1962).
+
+Why not full-batch updates: the batch perceptron's epoch-aggregated
+update flips whole blocks of decisions at once and cycles with period
+2 on this corpus (measured: mistake counts [350, 128, 222, 128, ...]
+forever) — constant-step batch subgradient descent has no convergence
+guarantee. Per-sample updates converge, but a per-sample pass is a
+sequential fold Spark's declarative operators cannot express — exactly
+the case the engine's UDF tier exists for. IPM shards the training
+split into S fixed content-addressed shards, runs the true sequential
+perceptron inside each shard (one ``applyInPandas`` group per shard),
+and mixes the shard weights between epochs.
+
+Everything is INTEGER-exact, so the DuckDB oracle (a recursive-CTE
+replay of the same lockstep folds) and the pure-Python replay in
+tests match bit-for-bit:
+
+- features are hashed unigram counts (``md5(word)`` into ``PCTR_B``
+  buckets — the ext_quality_dsir hashing convention);
+- McDonald et al.'s uniform mixing averages shard weights (denominator
+  S per epoch); scaling epoch ``e``'s per-sample update by
+  ``S**(e-1)`` clears every denominator, so mixed weights stay BIGINT
+  and every margin sign (the only thing the algorithm reads) is exact.
+  Reported weights/margins are at scale ``S**epochs``;
+- shard assignment (``md5('pshard:'||doc_id) % S``) and within-shard
+  order (``md5('pord:'||doc_id)``) are content-addressed — independent
+  of partitioning, cluster layout, and read order.
+
+Labels are weak supervision — a deterministic stopword-density rule
+(``y = sign(PCTR_STOP_DEN * n_stopwords - n_tokens)``) stands in for
+FineWeb-Edu's LLM annotator; the training machinery is identical.
+
+Scale shape (100 TB): the docvec stage table is ONE shuffle
+(explode -> per-doc dense count vector, map-side combined); each epoch
+is one ``applyInPandas`` pass over the training split grouped into S
+shards (S bounds both the parallelism and the sequential-signal
+quality — McDonald et al.'s tradeoff; grow S with the cluster), and
+the driver only ever holds S rows of B+2 integers per epoch. Scoring
+the corpus with the final weights is a zero-shuffle codegen scan with
+the B weights inlined as literals (the k-means argmin discipline).
+Reference test strategy parity: NontFakungkun/marketing-etl-analytics
+keeps heuristic gates only (03_transform.sql); the learned-filter
+surface is the north-star extension tier (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PCTR_B = 64          # hashed-feature buckets
+PCTR_EPOCHS = 4      # fixed IPM epochs
+PCTR_SHARDS = 8      # fixed content-addressed training shards
+PCTR_STOP_DEN = 16   # label: y=+1 iff STOP_DEN * n_stop >= n_tokens
+PCTR_STOPWORDS = ("the", "a")
+PCTR_TRAIN_MOD = 10  # doc_id % 10 < PCTR_TRAIN_LT -> train split
+PCTR_TRAIN_LT = 7
+
+
+def perceptron_docvec(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text: str = "text",
+    b: int = PCTR_B,
+) -> DataFrame:
+    """(key, y, is_train, shard, ord_key, x) — the dense hashed-count
+    vector table both training and scoring read. One shuffle on
+    ``key`` with map-side combine (the B conditional sums build the
+    dense vector inside the aggregate); at scale this is the persisted
+    stage table, memoized by the suite."""
+    toks = F.split(F.lower(F.col(text)), " ")
+    stop_lits = ", ".join(f"'{w}'" for w in PCTR_STOPWORDS)
+    n_stop = F.size(
+        F.expr(f"filter(split(lower({text}), ' '), t -> t IN ({stop_lits}))")
+    )
+    lab = docs.select(
+        F.col(key),
+        F.when(
+            F.lit(PCTR_STOP_DEN) * n_stop - F.size(toks) >= 0, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        (F.col(key) % PCTR_TRAIN_MOD < PCTR_TRAIN_LT)
+        .cast("long")
+        .alias("is_train"),
+        F.explode(toks).alias("w"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 6), 16, 10).cast("long") % F.lit(b)
+    ).alias("bk")
+    feats = lab.select(key, "y", "is_train", bucket)
+    dense = feats.groupBy(key, "y", "is_train").agg(
+        F.array(
+            *[
+                F.sum(F.when(F.col("bk") == j, F.lit(1)).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"x{j}")
+                for j in range(b)
+            ]
+        ).alias("x")
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pshard:"), F.col(key).cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(PCTR_SHARDS)
+    ).alias("shard")
+    ord_key = F.md5(
+        F.concat(F.lit("pord:"), F.col(key).cast("string"))
+    ).alias("ord_key")
+    return dense.select(key, "y", "is_train", shard, ord_key, "x")
+
+
+def _shard_fold(weights: list[int], bias: int, step: int, b: int):
+    """Per-shard sequential perceptron pass as an applyInPandas
+    function: sort the shard content-addressed, fold per-sample
+    updates at the given integer step. Returns one row per shard."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ord_key", "doc_id"])
+        w = list(weights)
+        bb = bias
+        mis = 0
+        for y, x in zip(pdf["y"], pdf["x"]):
+            xi = [int(v) for v in x]
+            yi = int(y)
+            m = bb + sum(w[j] * xi[j] for j in range(b))
+            if yi * m <= 0:
+                mis += 1
+                for j in range(b):
+                    w[j] += step * yi * xi[j]
+                bb += step * yi
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "w": [w],
+                "bias": [bb],
+                "mis": [mis],
+            }
+        )
+
+    return fold
+
+
+def ipm_train(
+    docvec: DataFrame,
+    epochs: int = PCTR_EPOCHS,
+    shards: int = PCTR_SHARDS,
+    b: int = PCTR_B,
+) -> tuple[list[int], int, list[tuple[int, int]]]:
+    """Iterative-parameter-mixing perceptron training (McDonald et al.
+    2010, uniform mixture): per epoch, every shard folds the true
+    per-sample perceptron from the current mixed weights (epoch ``e``
+    updates scaled by ``shards**(e-1)`` — exact-integer uniform
+    averaging), then the driver sums the S shard vectors. Returns
+    ``(weights, bias, [(epoch, total_mistakes), ...])`` with weights
+    at scale ``shards**epochs``. Driver state: S rows of B+2 ints."""
+    train = docvec.filter(F.col("is_train") == 1)
+    w = [0] * b
+    bias = 0
+    history: list[tuple[int, int]] = []
+    for e in range(1, epochs + 1):
+        step = shards ** (e - 1)
+        out = train.groupBy("shard").applyInPandas(
+            _shard_fold(w, bias, step, b),
+            schema="shard long, w array<long>, bias long, mis long",
+        )
+        rows = out.collect()
+        mixed_w = [0] * b
+        mixed_b = 0
+        mis_total = 0
+        for r in rows:
+            rw = [int(v) for v in r["w"]]
+            for j in range(b):
+                mixed_w[j] += rw[j]
+            mixed_b += int(r["bias"])
+            mis_total += int(r["mis"])
+        # shards with no training rows contribute the unchanged start
+        # weights to the uniform mixture (the oracle's LEFT JOIN arm)
+        for _ in range(shards - len(rows)):
+            for j in range(b):
+                mixed_w[j] += w[j]
+            mixed_b += bias
+        w, bias = mixed_w, mixed_b
+        history.append((e, mis_total))
+    return w, bias, history
+
+
+def margin_col(weights: list[int], bias: int, x: str = "x") -> F.Column:
+    """Zero-shuffle scoring: the B trained weights inlined as literals
+    into one codegen dot-product projection (the k-means argmin
+    discipline) — how the final filter runs over the full corpus."""
+    lits = ", ".join(f"{int(v)}L" for v in weights)
+    return F.expr(
+        f"aggregate(zip_with({x}, array({lits}),"
+        " (xi, wi) -> xi * wi),"
+        f" CAST({int(bias)} AS BIGINT), (acc, v) -> acc + v)"
+    )

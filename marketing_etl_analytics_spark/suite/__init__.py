@@ -226,6 +226,16 @@ from marketing_etl_analytics_spark.suite import graphs  # noqa: E402,F401
 # 100x/1000x current-tree rows this round (VERDICT r8 Next #6) —
 # stronger evidence than the slot they gave up. They rotate back in
 # r10 with the rest of the r8-green tail.
+# Late-r9 window adjustment (FIFTH new operator): the r7-green
+# ext_ann_recall single folded into the in-window ext_ann_ivf_suite
+# merged row (the ext_ann_scan_suite precedent — the function stays
+# callable, its plan unchanged; the merged row grows a union-tagged
+# 'recall' branch, and being in-window its changed body gets an r9
+# row). The freed slot admits ext_quality_perceptron (distributed
+# quality-classifier training via iterative parameter mixing,
+# McDonald et al. 2010 — the FineWeb-Edu/DCLM learned-filter TRAIN
+# stage; suite stays 98). The two-round invariant holds: recall's
+# computation is graded THIS round via the merged row.
 _WINDOW = [
     # (a) the env-lost row — first, per VERDICT r8 Next #1
     "v_kpi_campaign",
@@ -243,7 +253,7 @@ _WINDOW = [
     "ext_dedup_minhash_lsh",
     "ext_dedup_simhash", "ext_dedup_embedding_cosine",
     "ext_dedup_incremental", "ext_ann_ivf_suite",
-    "ext_ann_recall",
+    "ext_quality_perceptron",
     "ext_lm_perplexity",
     "ext_ann_pq_adc",
     "ext_data_quality", "stream_attribution_outer",

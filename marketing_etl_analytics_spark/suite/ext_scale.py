@@ -694,9 +694,12 @@ def ann_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ANN recall measurement ---------------------------------------------------
 
-@register(
-    "ext_ann_recall",
-    f"""
+# Graded via the ext_ann_ivf_suite merged row since r9 (the
+# ext_ann_scan_suite precedent: the standalone r7-green single retired
+# to free its window slot for the NEW ext_quality_perceptron; the
+# function stays callable and its plan is unchanged). SQL kept as a
+# module var for the merged oracle.
+_SQL_ANN_RECALL = f"""
     WITH {_SQL_IVF_CTES},
     ivf AS (SELECT qid, cid FROM scored WHERE rn <= {IVF_TOPK}),
     gt_pairs AS (
@@ -724,14 +727,15 @@ def ann_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
       {sql_pround(f"CAST(hits AS DOUBLE) / {float(IVF_TOPK)}", 4)} AS recall
     FROM hits
     ORDER BY qid
-    """,
-    doc="ANN quality gate: recall@5 of the IVF probe search against "
-    "brute-force cosine ground truth, per query. Deterministic "
-    "(exact-decimal dot products, rounded-cosine ranking with cid "
-    "tie-break), hence oracle-exact — the quantified answer to 'how "
-    "much does the inverted-file approximation lose'. The pytest floor "
-    "lives in tests/test_ext_scale.py.",
-)
+    """
+
+
+# ANN quality gate: recall@5 of the IVF probe search against
+# brute-force cosine ground truth, per query. Deterministic
+# (exact-decimal dot products, rounded-cosine ranking with cid
+# tie-break), hence oracle-exact — the quantified answer to 'how
+# much does the inverted-file approximation lose'. The pytest floor
+# lives in tests/test_ext_scale.py.
 def ext_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ext_ann_ivf(spark, sf_dir).select("qid", "cid", F.lit(1).alias("_hit"))
     gt = ann_ground_truth(spark, sf_dir)
@@ -927,31 +931,53 @@ def ext_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ext_ann_ivf_suite",
     f"""
-    SELECT 'seeded' AS kind, qid, cid, cluster, cosine, rn
+    SELECT 'seeded' AS kind, qid, cid, cluster, CAST(-1 AS BIGINT) AS hits,
+      cosine, rn
     FROM ({_SQL_ANN_IVF}) s
     UNION ALL
-    SELECT 'kmeans', qid, cid, cluster, cosine, rn
+    SELECT 'kmeans', qid, cid, cluster, CAST(-1 AS BIGINT), cosine, rn
     FROM ({_SQL_ANN_IVF_KMEANS}) k
+    UNION ALL
+    SELECT 'recall', qid, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), hits,
+      recall, CAST(-1 AS BIGINT)
+    FROM ({_SQL_ANN_RECALL}) r
     ORDER BY kind, qid, rn
     """,
-    doc="Merged IVF ANN row (r5 in-window consolidation of the two "
-    "r3-green singles ext_ann_ivf / ext_ann_ivf_kmeans — the "
-    "ext_sampling_suite precedent; both operators stay independently "
-    "callable in this module with unchanged plans): seeded IVF "
-    "(broadcast argmax assignment, probe-2 top-5 inside probed "
-    "clusters) and the trained variant (one unrolled exact-decimal "
-    "Lloyd round before assignment), union-tagged into one graded "
-    "row. ext_ann_recall keeps grading the seeded path's recall@5 "
-    "against brute-force ground truth.",
+    doc="Merged IVF ANN row (r5 in-window consolidation of ext_ann_ivf "
+    "/ ext_ann_ivf_kmeans; the r7-green ext_ann_recall single folded "
+    "in r9 to free its window slot for the NEW "
+    "ext_quality_perceptron — the ext_ann_scan_suite precedent; all "
+    "three operators stay independently callable in this module with "
+    "unchanged plans): seeded IVF (broadcast argmax assignment, "
+    "probe-2 top-5 inside probed clusters), the trained variant (one "
+    "unrolled exact-decimal Lloyd round before assignment), and the "
+    "seeded path's recall@5 quality gate vs brute-force ground "
+    "truth, union-tagged into one graded row. Sentinel discipline "
+    "(the ext_ann_scan_suite bucket=-1 precedent, NULL-free): "
+    "cid/cluster/rn are -1 on the recall branch, hits is -1 on the "
+    "scan branches, and the cosine column carries recall@5 for the "
+    "recall branch (both pround'd doubles; documented here and in "
+    "COVERAGE.md).",
 )
 def ext_ann_ivf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    neg1 = F.lit(-1).cast("long")
     seeded = ext_ann_ivf(spark, sf_dir).select(
-        F.lit("seeded").alias("kind"), "qid", "cid", "cluster", "cosine", "rn"
+        F.lit("seeded").alias("kind"), "qid", "cid", "cluster",
+        neg1.alias("hits"), "cosine", "rn",
     )
     kmeans = ext_ann_ivf_kmeans(spark, sf_dir).select(
-        F.lit("kmeans").alias("kind"), "qid", "cid", "cluster", "cosine", "rn"
+        F.lit("kmeans").alias("kind"), "qid", "cid", "cluster",
+        neg1.alias("hits"), "cosine", "rn",
     )
-    return seeded.unionAll(kmeans).orderBy("kind", "qid", "rn")
+    recall = ext_ann_recall(spark, sf_dir).select(
+        F.lit("recall").alias("kind"), "qid", neg1.alias("cid"),
+        neg1.alias("cluster"), "hits",
+        F.col("recall").alias("cosine"), neg1.alias("rn"),
+    )
+    return (
+        seeded.unionAll(kmeans).unionByName(recall)
+        .orderBy("kind", "qid", "rn")
+    )
 
 
 # --- batch sessionization (gaps-and-islands) ---------------------------------
