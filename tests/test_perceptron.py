@@ -2,11 +2,12 @@
 DuckDB recursive-CTE oracle (which the differential gate already
 replays): recompute the iterative-parameter-mixing perceptron
 (McDonald, Hall & Mann 2010) from the raw parquet in plain Python and
-compare the graded output exactly. This replay is also the large-SF
-verification path (the recursive oracle's depth is the max shard
-length, a measured harness boundary at 100x — the dsir_sliced_oracle
-precedent), so it must stay a first-principles reimplementation:
-no imports from ext/classifier.py in the replay itself.
+compare the graded output exactly. The replay itself lives in
+tools/perceptron_replay.py (it is also the large-SF verification
+path — the recursive oracle's depth is the max shard length, a
+measured harness boundary at 100x, the dsir_sliced_oracle precedent)
+and is a first-principles reimplementation: no imports from
+ext/classifier.py inside the replay.
 """
 
 from __future__ import annotations
@@ -19,82 +20,18 @@ import pytest
 from marketing_etl_analytics_spark.ext.classifier import (
     PCTR_B,
     PCTR_EPOCHS,
-    PCTR_SHARDS,
     PCTR_STOP_DEN,
     PCTR_STOPWORDS,
     PCTR_TRAIN_LT,
     PCTR_TRAIN_MOD,
 )
+from tools.perceptron_replay import replay_ipm
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def _md5hex(s: str) -> str:
     return hashlib.md5(s.encode()).hexdigest()
-
-
-def replay_ipm(
-    docs: list[tuple[int, str]],
-    b: int = PCTR_B,
-    epochs: int = PCTR_EPOCHS,
-    s: int = PCTR_SHARDS,
-) -> dict:
-    """First-principles IPM perceptron over (doc_id, text) rows.
-    Returns weights (scale s**epochs), bias, per-epoch mistakes, and
-    eval-split (doc_id, y, margin, pred) rows."""
-    feat = {}
-    lab = {}
-    for doc_id, text in docs:
-        toks = text.lower().split(" ")
-        n_stop = sum(1 for t in toks if t in PCTR_STOPWORDS)
-        lab[doc_id] = 1 if PCTR_STOP_DEN * n_stop - len(toks) >= 0 else -1
-        f = defaultdict(int)
-        for t in toks:
-            f[int(_md5hex(t)[:6], 16) % b] += 1
-        feat[doc_id] = dict(f)
-
-    shards: list[list[tuple[str, int]]] = [[] for _ in range(s)]
-    for doc_id in feat:
-        if doc_id % PCTR_TRAIN_MOD < PCTR_TRAIN_LT:
-            sh = int(_md5hex(f"pshard:{doc_id}")[:6], 16) % s
-            shards[sh].append((_md5hex(f"pord:{doc_id}"), doc_id))
-    for rows in shards:
-        rows.sort()
-
-    w = [0] * b
-    bias = 0
-    history = []
-    for e in range(1, epochs + 1):
-        step = s ** (e - 1)
-        mixed_w = [0] * b
-        mixed_b = 0
-        mis_total = 0
-        for rows in shards:
-            lw = list(w)
-            lb = bias
-            for _, doc_id in rows:
-                y = lab[doc_id]
-                f = feat[doc_id]
-                m = lb + sum(lw[k] * v for k, v in f.items())
-                if y * m <= 0:
-                    mis_total += 1
-                    for k, v in f.items():
-                        lw[k] += step * y * v
-                    lb += step * y
-            for j in range(b):
-                mixed_w[j] += lw[j]
-            mixed_b += lb
-        w, bias = mixed_w, mixed_b
-        history.append((e, mis_total))
-
-    ev = []
-    for doc_id in sorted(feat):
-        if doc_id % PCTR_TRAIN_MOD < PCTR_TRAIN_LT:
-            continue
-        f = feat[doc_id]
-        m = bias + sum(w[k] * v for k, v in f.items())
-        ev.append((doc_id, lab[doc_id], m, 1 if m > 0 else -1))
-    return {"w": w, "bias": bias, "history": history, "eval": ev}
 
 
 @pytest.fixture(scope="module")
