@@ -20,8 +20,10 @@ guarantee. Per-sample updates converge, but a per-sample pass is a
 sequential fold Spark's declarative operators cannot express — exactly
 the case the engine's UDF tier exists for. IPM shards the training
 split into S fixed content-addressed shards, runs the true sequential
-perceptron inside each shard (one ``applyInPandas`` group per shard),
-and mixes the shard weights between epochs.
+perceptron inside each shard (an Arrow-batched ``mapInPandas`` fold
+over a shard-partitioned, shard-sorted table built ONCE — epochs are
+zero-shuffle scans of it), and mixes the shard weights between
+epochs.
 
 Everything is INTEGER-exact, so the DuckDB oracle (a recursive-CTE
 replay of the same lockstep folds) and the pure-Python replay in
@@ -43,10 +45,11 @@ Labels are weak supervision — a deterministic stopword-density rule
 FineWeb-Edu's LLM annotator; the training machinery is identical.
 
 Scale shape (100 TB): the docvec stage table is ONE shuffle
-(explode -> per-doc dense count vector, map-side combined); each epoch
-is one ``applyInPandas`` pass over the training split grouped into S
-shards (S bounds both the parallelism and the sequential-signal
-quality — McDonald et al.'s tradeoff; grow S with the cluster), and
+(the zero-shuffle per-row histogram fold) plus one repartition of the
+training split onto its S shards; each epoch is then a zero-shuffle
+``mapInPandas`` scan of that persisted table (S bounds both the
+parallelism and the sequential-signal quality — McDonald et al.'s
+tradeoff; grow S with the cluster), and
 the driver only ever holds S rows of B+2 integers per epoch. Scoring
 the corpus with the final weights is a zero-shuffle codegen scan with
 the B weights inlined as literals (the k-means argmin discipline).
@@ -135,34 +138,52 @@ def perceptron_docvec(
     )
 
 
-def _shard_fold(weights: list[int], bias: int, step: int, b: int):
-    """Per-shard sequential perceptron pass as an applyInPandas
-    function: sort the shard content-addressed, fold per-sample
-    updates at the given integer step. Returns one row per shard."""
+def _fold_partitions(weights: list[int], bias: int, step: int, b: int):
+    """Per-shard sequential perceptron pass as a mapInPandas function
+    over the once-built shard-partitioned, shard-sorted training
+    table: rows arrive grouped by shard (sorted within the
+    partition), so the fold tracks the current shard across Arrow
+    batches and emits one row per shard it completed. The result is
+    placement-independent — every shard is wholly inside one
+    partition (hash partitioning on the shard value) and folded in
+    its content-addressed order regardless of which partition or
+    batch boundary it lands on."""
     import pandas as pd
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ord_key", "doc_id"])
-        w = list(weights)
-        bb = bias
+    def fold(batches):
+        results = []
+        cur = None
+        lw: list[int] = []
+        lb = 0
         mis = 0
-        for y, x in zip(pdf["y"], pdf["x"]):
-            xi = [int(v) for v in x]
-            yi = int(y)
-            m = bb + sum(w[j] * xi[j] for j in range(b))
-            if yi * m <= 0:
-                mis += 1
-                for j in range(b):
-                    w[j] += step * yi * xi[j]
-                bb += step * yi
-        return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])],
-                "w": [w],
-                "bias": [bb],
-                "mis": [mis],
-            }
-        )
+        for pdf in batches:
+            for sh, y, x in zip(pdf["shard"], pdf["y"], pdf["x"]):
+                if cur is None or int(sh) != cur:
+                    if cur is not None:
+                        results.append((cur, lw, lb, mis))
+                    cur = int(sh)
+                    lw = list(weights)
+                    lb = bias
+                    mis = 0
+                xi = [int(v) for v in x]
+                yi = int(y)
+                m = lb + sum(lw[j] * xi[j] for j in range(b))
+                if yi * m <= 0:
+                    mis += 1
+                    for j in range(b):
+                        lw[j] += step * yi * xi[j]
+                    lb += step * yi
+        if cur is not None:
+            results.append((cur, lw, lb, mis))
+        if results:
+            yield pd.DataFrame(
+                {
+                    "shard": [r[0] for r in results],
+                    "w": [r[1] for r in results],
+                    "bias": [r[2] for r in results],
+                    "mis": [r[3] for r in results],
+                }
+            )
 
     return fold
 
@@ -179,15 +200,27 @@ def ipm_train(
     updates scaled by ``shards**(e-1)`` — exact-integer uniform
     averaging), then the driver sums the S shard vectors. Returns
     ``(weights, bias, [(epoch, total_mistakes), ...])`` with weights
-    at scale ``shards**epochs``. Driver state: S rows of B+2 ints."""
-    train = docvec.filter(F.col("is_train") == 1)
+    at scale ``shards**epochs``. Driver state: S rows of B+2 ints.
+
+    Shuffle shape: the training split is repartitioned on the shard
+    key and sorted ONCE, then persisted — every epoch is a
+    zero-shuffle ``mapInPandas`` scan of that table with the current
+    mixed weights closed over (the reuse-a-partitioning-across-stages
+    discipline; the earlier per-epoch ``groupBy(shard).applyInPandas``
+    re-shuffled the full training split every epoch)."""
+    train = (
+        docvec.filter(F.col("is_train") == 1)
+        .repartition(shards, F.col("shard"))
+        .sortWithinPartitions("shard", "ord_key", "doc_id")
+        .persist()
+    )
     w = [0] * b
     bias = 0
     history: list[tuple[int, int]] = []
     for e in range(1, epochs + 1):
         step = shards ** (e - 1)
-        out = train.groupBy("shard").applyInPandas(
-            _shard_fold(w, bias, step, b),
+        out = train.mapInPandas(
+            _fold_partitions(w, bias, step, b),
             schema="shard long, w array<long>, bias long, mis long",
         )
         rows = out.collect()
@@ -208,6 +241,7 @@ def ipm_train(
             mixed_b += bias
         w, bias = mixed_w, mixed_b
         history.append((e, mis_total))
+    train.unpersist()
     return w, bias, history
 
 
