@@ -165,3 +165,38 @@ def test_shard_scaling_keeps_margin_signs_exact():
     # and the scaled-integer weights are exactly s**epochs * average
     assert ref["w"] == [int(v * s**epochs) for v in w]
     assert ref["bias"] == int(bias * s**epochs)
+
+
+def test_perceptron_plan_shapes(spark):
+    """Pin the stage shapes the docstrings claim: the docvec build and
+    the literal-weight eval scan are zero-shuffle codegen projections
+    (no Exchange, no Python eval), and the training table pays exactly
+    ONE Exchange (the S-shard repartition the epochs then reuse)."""
+    from pyspark.sql import functions as F
+
+    from marketing_etl_analytics_spark.ext.classifier import (
+        PCTR_SHARDS,
+        margin_col,
+        perceptron_docvec,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docvec = perceptron_docvec(docs)
+    plan = docvec._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+    ev = docvec.filter(F.col("is_train") == 0).select(
+        margin_col([1] * 64, 7).alias("margin")
+    )
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+    train = (
+        docvec.filter(F.col("is_train") == 1)
+        .repartition(PCTR_SHARDS, F.col("shard"))
+        .sortWithinPartitions("shard", "ord_key", "doc_id")
+    )
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
