@@ -217,31 +217,34 @@ def ipm_train(
     w = [0] * b
     bias = 0
     history: list[tuple[int, int]] = []
-    for e in range(1, epochs + 1):
-        step = shards ** (e - 1)
-        out = train.mapInPandas(
-            _fold_partitions(w, bias, step, b),
-            schema="shard long, w array<long>, bias long, mis long",
-        )
-        rows = out.collect()
-        mixed_w = [0] * b
-        mixed_b = 0
-        mis_total = 0
-        for r in rows:
-            rw = [int(v) for v in r["w"]]
-            for j in range(b):
-                mixed_w[j] += rw[j]
-            mixed_b += int(r["bias"])
-            mis_total += int(r["mis"])
-        # shards with no training rows contribute the unchanged start
-        # weights to the uniform mixture (the oracle's LEFT JOIN arm)
-        for _ in range(shards - len(rows)):
-            for j in range(b):
-                mixed_w[j] += w[j]
-            mixed_b += bias
-        w, bias = mixed_w, mixed_b
-        history.append((e, mis_total))
-    train.unpersist()
+    try:
+        for e in range(1, epochs + 1):
+            step = shards ** (e - 1)
+            out = train.mapInPandas(
+                _fold_partitions(w, bias, step, b),
+                schema="shard long, w array<long>, bias long, mis long",
+            )
+            rows = out.collect()
+            mixed_w = [0] * b
+            mixed_b = 0
+            mis_total = 0
+            for r in rows:
+                rw = [int(v) for v in r["w"]]
+                for j in range(b):
+                    mixed_w[j] += rw[j]
+                mixed_b += int(r["bias"])
+                mis_total += int(r["mis"])
+            # shards with no training rows contribute the unchanged
+            # start weights to the uniform mixture (the oracle's LEFT
+            # JOIN arm)
+            for _ in range(shards - len(rows)):
+                for j in range(b):
+                    mixed_w[j] += w[j]
+                mixed_b += bias
+            w, bias = mixed_w, mixed_b
+            history.append((e, mis_total))
+    finally:
+        train.unpersist()
     return w, bias, history
 
 
