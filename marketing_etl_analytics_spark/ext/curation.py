@@ -233,12 +233,21 @@ KMPAR_ROUNDS = 3
 
 
 def _dot_expr() -> str:
-    """Exact-decimal dot product template (order-free per-term snap)."""
+    """Exact dot product template on the 1e-12 integer lattice.
+
+    Per-term FLOOR(x*y * 1e12 + 0.5) on identical IEEE doubles is
+    engine-invariant, and BIGINT addition is exact and order-free —
+    the SPARK_DOT/SQL_DOT discipline (suite/ext.py, hardened fc3b048)
+    that the suite oracles for the semantic-dedup entries already
+    replay. The previous per-term CAST(... AS DECIMAL(38,12)) snap was
+    both slower (interpreted BigDecimal per term inside the
+    higher-order function) and the one place the engine's formula
+    differed from its own oracle's."""
     return (
-        "CAST(aggregate(sequence(1, size({a})), CAST(0 AS DECIMAL(38,12)),"
-        " (acc, i) -> CAST(acc + CAST(CAST(element_at({a}, i) AS DOUBLE)"
-        " * CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(38,12))"
-        " AS DECIMAL(38,12))) AS DOUBLE)"
+        "(CAST(aggregate(sequence(1, size({a})), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + CAST(FLOOR(CAST(element_at({a}, i) AS DOUBLE)"
+        " * CAST(element_at({b}, i) AS DOUBLE) * 1e12 + 0.5) AS BIGINT))"
+        " AS DOUBLE) / 1e12)"
     )
 
 
@@ -291,7 +300,22 @@ def kmeanspar_seeds(
         F.lit(0.0),
     )
     d = F.greatest(F.lit(0.0), F.lit(1.0) - cos)
-    for _ in range(rounds):
+    # Carried min-distance state (the k-center/Lloyd zero-recompute
+    # discipline): dmin over a growing seed set is monotone, so each
+    # round only dots the corpus against the round's NEW seeds and
+    # takes least(carried, new) — min over a union equals
+    # min(min(old), min(new)) exactly (selection, not arithmetic, so
+    # no FP-order concern). The previous shape re-dotted every row
+    # against the FULL seed frame each round AND re-evaluated that
+    # pass twice (once under the S-total broadcast, once under the
+    # threshold filter): O(rounds * n * |seeds|) interpreted dots,
+    # now O(n * |new seeds|) total with each pass materialized once.
+    state = (
+        base.crossJoin(F.broadcast(seeds))
+        .select("_k", "_v", "_vn2", "_u", d.alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(rounds):
         # integer-lattice snap of d^2 (ADVICE r6): per-term
         # CAST(double AS DECIMAL(38,12)) tie-rounds differently in
         # Java BigDecimal (HALF_UP) vs DuckDB (scaled multiply) — the
@@ -302,16 +326,9 @@ def kmeanspar_seeds(
         # scale), and the draw compares in lattice units on both
         # sides, so no decimal tie-rounding ever touches the strict
         # inequality u*S < ell*d^2.
-        dmin = (
-            base.crossJoin(F.broadcast(seeds))
-            .groupBy("_k", "_v", "_vn2", "_u")
-            .agg(F.min(d).alias("_d"))
-            .withColumn(
-                "_d2l",
-                F.floor(
-                    F.col("_d") * F.col("_d") * F.lit(1e12) + F.lit(0.5)
-                ),
-            )
+        dmin = state.withColumn(
+            "_d2l",
+            F.floor(F.col("_d") * F.col("_d") * F.lit(1e12) + F.lit(0.5)),
         )
         s_tot = dmin.agg(
             F.sum(F.col("_d2l").cast("decimal(38,0)"))
@@ -329,14 +346,31 @@ def kmeanspar_seeds(
                 F.col("_v").alias("_ce"),
                 F.col("_vn2").alias("_cn2"),
             )
+            .localCheckpoint(eager=True)
         )
         seeds = seeds.unionByName(new).localCheckpoint(eager=True)
+        # state only feeds the NEXT round's draw; skip the update on
+        # the last round, and when the draw selected nothing (the
+        # crossJoin below would otherwise empty the state)
+        if r < rounds - 1 and not new.isEmpty():
+            state = (
+                state.crossJoin(F.broadcast(new))
+                .groupBy("_k", "_v", "_vn2", "_u")
+                .agg(F.min(F.least(F.col("_d"), d)).alias("_d"))
+                .localCheckpoint(eager=True)
+            )
     # weight each candidate by the corpus rows nearest to it
     # (tiebreak: higher cos, then smaller candidate key), then reduce
     # to k via md5-bucket max-weight — both frame ops
-    wnear = Window.partitionBy("_k").orderBy(F.desc(cos), F.asc("_cid"))
+    # project to (_k, _cid, cos) BEFORE the window (guide §2.3): the
+    # rank only needs the score, so neither 64-dim vector rides the
+    # window exchange, and the cos is evaluated once per row as a
+    # column instead of inside the SortOrder (where GenerateOrdering
+    # re-evaluates it per comparison)
+    wnear = Window.partitionBy("_k").orderBy(F.desc("_cw"), F.asc("_cid"))
     weights = (
         base.crossJoin(F.broadcast(seeds))
+        .select("_k", "_cid", cos.alias("_cw"))
         .withColumn("_r", F.row_number().over(wnear))
         .filter(F.col("_r") == 1)
         .groupBy("_cid")
@@ -412,12 +446,7 @@ def semantic_assign(
     outside the probed super-clusters mis-assigns); equality vs exact
     argmax on the graded corpora is pinned by pytest.
     """
-    dot = (
-        "CAST(aggregate(sequence(1, size({a})), CAST(0 AS DECIMAL(38,12)),"
-        " (acc, i) -> CAST(acc + CAST(CAST(element_at({a}, i) AS DOUBLE)"
-        " * CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(38,12))"
-        " AS DECIMAL(38,12))) AS DOUBLE)"
-    )
+    dot = _dot_expr()  # 1e-12 integer-lattice dot (engine-invariant)
     # refine bits come from dims 9..16 when they exist; clamped to the
     # vector's width (sequence counts DOWN past the end, and ANSI-mode
     # element_at throws on out-of-range — both guarded), degrading to
@@ -484,7 +513,11 @@ def semantic_assign(
     else:
         raise ValueError(f"unknown seeding mode: {seeding!r}")
     cos_c = F.expr(dot.format(a=vec, b="_ce")) / F.sqrt(F.col("_n2") * F.col("_cn2"))
-    w = Window.partitionBy(key).orderBy(F.desc(cos_c), F.asc("_cid"))
+    # every rank below orders by a PRECOMPUTED score column and
+    # projects the vectors away before the window exchange (guide
+    # §2.3): the 64-dim arrays never ride a shuffle just to be
+    # re-dotted inside a SortOrder comparator
+    w = Window.partitionBy(key).orderBy(F.desc("_cc"), F.asc("_cid"))
     if assign == "ivf":
         import math
 
@@ -538,9 +571,10 @@ def semantic_assign(
         cos_cs = F.expr(dot.format(a="_ce", b="_se")) / F.sqrt(
             F.col("_cn2") * F.col("_sn2")
         )
-        wcs = Window.partitionBy("_cid").orderBy(F.desc(cos_cs), F.asc("_sid"))
+        wcs = Window.partitionBy("_cid").orderBy(F.desc("_ccs"), F.asc("_sid"))
         cmember = (
             cent.crossJoin(F.broadcast(sup))
+            .select("_cid", "_ce", "_cn2", "_sid", cos_cs.alias("_ccs"))
             .withColumn("_r", F.row_number().over(wcs))
             .filter(F.col("_r") == 1)
             .select("_cid", "_ce", "_cn2", F.col("_sid").alias("_home"))
@@ -551,15 +585,17 @@ def semantic_assign(
         cos_ds = F.expr(dot.format(a=vec, b="_se")) / F.sqrt(
             F.col("_n2") * F.col("_sn2")
         )
-        wds = Window.partitionBy(key).orderBy(F.desc(cos_ds), F.asc("_sid"))
+        wds = Window.partitionBy(key).orderBy(F.desc("_cds"), F.asc("_sid"))
         probes = (
             b.crossJoin(F.broadcast(sup))
+            .select(key, vec, "_n2", "_sub", "_sid", cos_ds.alias("_cds"))
             .withColumn("_r", F.row_number().over(wds))
             .filter(F.col("_r") <= n_probe)
             .select(key, vec, "_n2", "_sub", F.col("_sid").alias("_home"))
         )
         assign = (
             probes.join(F.broadcast(cmember), "_home")
+            .select(key, "_sub", "_cid", cos_c.alias("_cc"))
             .withColumn("_crn", F.row_number().over(w))
             .filter(F.col("_crn") == 1)
             .select(key, F.col("_cid").alias("cluster"), "_sub")
@@ -567,6 +603,7 @@ def semantic_assign(
     elif assign == "exact":
         assign = (
             b.crossJoin(F.broadcast(cent))
+            .select(key, "_sub", "_cid", cos_c.alias("_cc"))
             .withColumn("_crn", F.row_number().over(w))
             .filter(F.col("_crn") == 1)
             .select(key, F.col("_cid").alias("cluster"), "_sub")
@@ -614,12 +651,7 @@ def semantic_dedup(
     the index is the amortized artifact; assignment parameters are
     then taken from it, not from this call's arguments).
     """
-    dot = (
-        "CAST(aggregate(sequence(1, size({a})), CAST(0 AS DECIMAL(38,12)),"
-        " (acc, i) -> CAST(acc + CAST(CAST(element_at({a}, i) AS DOUBLE)"
-        " * CAST(element_at({b}, i) AS DOUBLE) AS DECIMAL(38,12))"
-        " AS DECIMAL(38,12))) AS DOUBLE)"
-    )
+    dot = _dot_expr()  # 1e-12 integer-lattice dot (engine-invariant)
     if keyed is None:
         keyed = semantic_assign(
             df,
