@@ -762,20 +762,34 @@ def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     Also graded via the ext_sketch_suite merged row (r5
     consolidation; r6 bisect single)."""
     ev = t(spark, sf_dir, "events")
-    h = ev.select("event_type", _hll_hv().alias("hv")).distinct()
+    # no DISTINCT before the register build: MAX(rank) over the raw
+    # (type, hv) multiset equals MAX over the distinct set, so the
+    # corpus-wide distinct exchange is pure overhead — the register
+    # groupBy partial-aggregates map-side down to 64 rows per type
+    # (the mergeable-sketch property doing the shuffle's work)
+    h = ev.select("event_type", _hll_hv().alias("hv"))
     ranked = h.select(F.col("event_type").alias("grp"), *_hll_rank_expr())
     regs = ranked.groupBy("grp", "idx").agg(F.max("rank").alias("m"))
     regs_all = regs.groupBy("idx").agg(F.max("m").alias("m")).select(
         F.lit("(all)").alias("grp"), "idx", "m"
     )
     est = _hll_finish(regs).unionAll(_hll_finish(regs_all))
+    # one ROLLUP pass replaces the two separate exact-count
+    # aggregations (per-type + grand total): same values — the
+    # grouping bit identifies the total row, so a hypothetical NULL
+    # event_type still behaves exactly like the old UNION ALL — with
+    # one scan of events instead of two
     ex = (
-        ev.groupBy(F.col("event_type").alias("grp"))
-        .agg(F.countDistinct("user_id").cast("long").alias("n_exact"))
-        .unionAll(
-            ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact")).select(
-                F.lit("(all)").alias("grp"), "n_exact"
-            )
+        ev.rollup("event_type")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_exact"),
+            F.grouping("event_type").alias("_g"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("(all)"))
+            .otherwise(F.col("event_type"))
+            .alias("grp"),
+            "n_exact",
         )
     )
     return (
@@ -1025,7 +1039,13 @@ def ext_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # holds rank r, so only that bucket's rows are sorted (n/#buckets
     # rows per probe, via the broadcast 18-row probe table) — never a
     # whole-group row_number
-    vals = pr.unionAll(pr.select(F.lit("(all)").alias("grp"), "cents"))
+    # one scan, not two: each value row serves its own group AND the
+    # '(all)' group via a 2-element explode (same rows as the old
+    # UNION ALL of two scans)
+    vals = pr.select(
+        F.explode(F.array(F.col("grp"), F.lit("(all)"))).alias("grp"),
+        "cents",
+    )
     selb = F.broadcast(
         sel.select(
             F.col("grp").alias("sg"), "name", "r", "lo_cum",
@@ -1188,7 +1208,11 @@ def ext_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters = spark.createDataFrame(
         list(BLOOM_FILTERS), "fk string, m long"
     )
-    pos = (
+    # the 32-bit md5 slice depends only on (j, shingle) — hash ONCE
+    # per position draw and reduce % m per filter, instead of
+    # re-hashing inside the filter cross join (halves the md5 work;
+    # same positions, since pos = hv % m term-for-term)
+    hv = (
         F.conv(
             F.substring(
                 F.md5(
@@ -1202,53 +1226,60 @@ def ext_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("long")
-        % F.col("m")
     )
     ks = F.explode(F.sequence(F.lit(1), F.lit(BLOOM_K))).alias("j")
+    # eval-set shingles feed two consumers (the bit build and the
+    # per-probe truth flag): materialize the tiny frame once
     ev = (
         _bloom_shingle_rows(docs.filter("doc_id % 97 = 0"))
         .select("sh_str")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     bits = (
         ev.select(ks, "sh_str")
+        .select("j", "sh_str", hv.alias("hv"))
         .crossJoin(F.broadcast(filters))
-        .select("fk", pos.alias("pos"))
+        .select("fk", (F.col("hv") % F.col("m")).alias("pos"))
         .distinct()
     )
+    # single-chain probe scoring (was: probe evaluated in TWO plan
+    # subtrees — the position expansion and a separate probe×filters
+    # frame shuffle-joined back to the matched counts): carry the
+    # membership truth flag on the probe row, LEFT-join the broadcast
+    # bit set so zero-hit probes survive, and aggregate straight down
+    # — the matched-vs-scored sort-merge join disappears and the
+    # corpus-sized shingle subtree runs once
     probe = (
         _bloom_shingle_rows(docs.filter("doc_id % 97 != 0"), "source")
         .select("doc_id", "source", "sh_str")
         .distinct()
+        .join(F.broadcast(ev.withColumn("_t", F.lit(1))), "sh_str", "left")
+        .select(
+            "doc_id", "source", "sh_str",
+            F.col("_t").isNotNull().alias("th"),
+        )
     )
     ph = (
-        probe.select("doc_id", "sh_str", ks)
+        probe.select("doc_id", "source", "th", "sh_str", ks)
+        .select("doc_id", "source", "th", "sh_str", hv.alias("hv"))
         .crossJoin(F.broadcast(filters))
-        .select("fk", "doc_id", "sh_str", pos.alias("pos"))
-    )
-    matched = (
-        ph.join(F.broadcast(bits), ["fk", "pos"])
-        .groupBy("fk", "doc_id", "sh_str")
-        .agg(F.count(F.lit(1)).alias("kk"))
-    )
-    scored = (
-        probe.crossJoin(F.broadcast(filters.select("fk")))
-        .join(matched, ["fk", "doc_id", "sh_str"], "left")
-        .join(
-            F.broadcast(ev.withColumn("_t", F.lit(1))), "sh_str", "left"
-        )
         .select(
-            "fk",
-            "doc_id",
-            "source",
-            (F.coalesce("kk", F.lit(0)) == BLOOM_K).alias("bloom_hit"),
-            F.col("_t").isNotNull().alias("true_hit"),
+            "fk", "doc_id", "source", "th", "sh_str",
+            (F.col("hv") % F.col("m")).alias("pos"),
         )
     )
-    perdoc = scored.groupBy("fk", "doc_id", "source").agg(
+    lvl1 = (
+        ph.join(
+            F.broadcast(bits.withColumn("_b", F.lit(1))), ["fk", "pos"], "left"
+        )
+        .groupBy("fk", "doc_id", "source", "sh_str", "th")
+        .agg(F.count_if(F.col("_b").isNotNull()).alias("kk"))
+    )
+    perdoc = lvl1.groupBy("fk", "doc_id", "source").agg(
         F.count(F.lit(1)).alias("np"),
-        F.count_if("bloom_hit").alias("nb"),
-        F.count_if("true_hit").alias("nt"),
+        F.count_if(F.col("kk") == BLOOM_K).alias("nb"),
+        F.count_if("th").alias("nt"),
     )
     return (
         perdoc.groupBy(F.col("fk").alias("filter_kind"), F.col("source"))

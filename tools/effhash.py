@@ -247,16 +247,26 @@ def suite_hashes() -> dict[str, str]:
 def check(snapshot_path: Path = SNAPSHOT) -> list[str]:
     """Entries whose effective hash changed vs the snapshot (or are
     new) but sit OUTSIDE the graded window. Empty list = invariant
-    holds."""
+    holds.
+
+    ``optimization_allow`` (r9): the optimization-round driver grades
+    the FULL registry, not a 50-prefix, so a tail entry deliberately
+    optimized this round still gets a driver row. Such entries are
+    listed explicitly in the snapshot's ``optimization_allow`` key —
+    each with its oracle-equivalence proof recorded in
+    OPTIMIZATION_r09.md — and exempted here. Accidental drift of any
+    OTHER tail entry still fails the lint."""
     from marketing_etl_analytics_spark.suite import SUITE
 
-    snap = json.loads(snapshot_path.read_text())["hashes"]
+    doc = json.loads(snapshot_path.read_text())
+    snap = doc["hashes"]
+    allow = set(doc.get("optimization_allow", []))
     current = suite_hashes()
     names = list(SUITE)
     violations = []
     window = _window()
     for i, name in enumerate(names):
-        if i < window:
+        if i < window or name in allow:
             continue  # in-window changes are exactly what the window is for
         if current[name] != snap.get(name):
             violations.append(name)
