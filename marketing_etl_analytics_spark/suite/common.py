@@ -126,12 +126,53 @@ def events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DERIVED_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+# Post-checkpoint partition sizing: a memoized table inherits the
+# source spread's partition count (defaultParallelism), but most
+# derived tables are far smaller than their source — every consumer
+# job then pays defaultParallelism task launches to scan a few MB.
+# AQE coalescing never sees checkpointed-RDD scans, so size them here
+# the way AQE sizes post-shuffle partitions: bytes / target, clamped
+# to [_MEMO_MIN_PARTS, current]. Coalesce is a narrow op on the
+# already-materialized blocks (no second materialization, no data
+# movement beyond concatenating partition iterators), and every suite
+# aggregate is order-free by the numeric discipline, so values are
+# unaffected. A corpus-sized table at 100x+ stays at full parallelism
+# (the byte count clears the clamp).
+_MEMO_TARGET_BYTES = 8 << 20
+_MEMO_MIN_PARTS = 4
+
+
+def _checkpoint_sized(spark: SparkSession, df: DataFrame) -> DataFrame:
+    cp = df.localCheckpoint(eager=True)
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        # the checkpoint just stored is the newest stored RDD (this
+        # flow is single-threaded); fall back to no-op on any doubt
+        newest = None
+        for i in infos:
+            if newest is None or i.id() > newest.id():
+                newest = i
+        if newest is None:
+            return cp
+        nbytes = int(newest.memSize()) + int(newest.diskSize())
+        cur = cp.rdd.getNumPartitions()
+        target = max(
+            _MEMO_MIN_PARTS,
+            min(cur, -(-nbytes // _MEMO_TARGET_BYTES)),
+        )
+        if target < cur:
+            return cp.coalesce(target)
+    except Exception:  # noqa: BLE001 — sizing is best-effort, never fail a build
+        pass
+    return cp
+
+
 def memo_df(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
     """Session-lifetime memo of a deterministic derived table."""
     key = (spark.sparkContext.applicationId, sf_dir, name)
     df = _DERIVED_CACHE.get(key)
     if df is None:
-        df = build().localCheckpoint(eager=True)
+        df = _checkpoint_sized(spark, build())
         _DERIVED_CACHE[key] = df
     return df
 
