@@ -557,12 +557,15 @@ def ext_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nq", "nc",
         )
     )
+    # cosine as a COLUMN so the rank window orders by an attribute
+    # (one evaluation per row, none per SortOrder comparison)
     cos_raw = F.col("dot") / F.sqrt(F.col("nq") * F.col("nc"))
-    w = Window.partitionBy("qid").orderBy(F.desc(cos_raw), F.asc("cid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("cid"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        pairs.withColumn("_cos", cos_raw)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
-        .select("qid", "cid", pround(cos_raw, 6).alias("cosine"), "rn")
+        .select("qid", "cid", pround(F.col("_cos"), 6).alias("cosine"), "rn")
     )
 
 
@@ -630,12 +633,17 @@ def ext_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nq", "nc",
         )
     )
+    # cosine as a COLUMN for the rank window (same rationale as the
+    # brute-force branch above)
     cos_raw = F.col("dot") / F.sqrt(F.col("nq") * F.col("nc"))
-    w = Window.partitionBy("qid").orderBy(F.desc(cos_raw), F.asc("cid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("cid"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        pairs.withColumn("_cos", cos_raw)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("qid", "cid", "bucket", pround(cos_raw, 6).alias("cosine"), "rn")
+        .select(
+            "qid", "cid", "bucket", pround(F.col("_cos"), 6).alias("cosine"), "rn"
+        )
     )
 
 

@@ -602,9 +602,15 @@ def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(SPARK_DOT.format(a="embedding", b="ce"))
         / F.sqrt(F.col("n2") * F.col("cn2"))
     )
-    crn_w = Window.partitionBy("vec_id").orderBy(F.desc(assign_cos), F.asc("cent_id"))
+    # score as a COLUMN projected before the rank window (guide §2.3):
+    # downstream only needs (vec_id, cent_id, crn), so neither 64-dim
+    # array rides the window exchange and the dot is evaluated once
+    # per row instead of per SortOrder comparison
+    crn_w = Window.partitionBy("vec_id").orderBy(F.desc("_c"), F.asc("cent_id"))
     assign_scored = (
-        b.crossJoin(F.broadcast(cent)).withColumn("crn", F.row_number().over(crn_w))
+        b.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cent_id", assign_cos.alias("_c"))
+        .withColumn("crn", F.row_number().over(crn_w))
     )
     assigned = assign_scored.filter(F.col("crn") == 1).select(
         "vec_id", F.col("cent_id").alias("cluster")
@@ -853,9 +859,13 @@ def ext_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(SPARK_DOT.format(a="embedding", b="ce"))
             / F.sqrt(F.col("n2") * F.col("cn2"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc(cos), F.asc("cent_id"))
-        return vectors.crossJoin(F.broadcast(centroids)).withColumn(
-            "crn", F.row_number().over(w)
+        # score column projected before the rank window (guide §2.3);
+        # callers only consume (vec_id, cent_id, crn)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_c"), F.asc("cent_id"))
+        return (
+            vectors.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "cent_id", cos.alias("_c"))
+            .withColumn("crn", F.row_number().over(w))
         )
 
     assign0 = argmax_assign(b, cent0).filter(F.col("crn") == 1).select(
@@ -1855,10 +1865,15 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(SPARK_DOT.format(a="embedding", b="ce"))
             / F.sqrt(F.col("n2") * F.col("cn2"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc(cos_c), F.asc("cent_id"))
+        # score column projected before the rank window (guide §2.3):
+        # the argmax only needs (vec_id, cent_id, sub, cos), so the
+        # 64-dim arrays stay out of the window exchange and the dot
+        # is evaluated once per row, not per SortOrder comparison
+        w = Window.partitionBy("vec_id").orderBy(F.desc("_cc"), F.asc("cent_id"))
         assign = (
             b.withColumn("sub", F.expr(_SPARK_SUBBUCKET))
             .crossJoin(F.broadcast(cent))
+            .select("vec_id", "sub", "cent_id", cos_c.alias("_cc"))
             .withColumn("crn", F.row_number().over(w))
             .filter(F.col("crn") == 1)
             .select("vec_id", F.col("cent_id").alias("cluster"), "sub")
