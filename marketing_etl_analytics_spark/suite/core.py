@@ -3,7 +3,7 @@ mapped onto the driver testdata per FIXTURES.md §4."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from marketing_etl_analytics_spark.suite.common import (
@@ -279,12 +279,18 @@ def q5_repeat_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("product_id"),
         F.to_date("o_orderdate").alias("d"),
     )
-    first_product = sales.groupBy("customer_id", "product_id").agg(
-        F.min("d").alias("first_date")
-    )
-    flagged = sales.join(first_product, ["customer_id", "product_id"]).select(
+    # first-purchase date via a MIN window over the same key the old
+    # first_product CTE grouped by (guide §2.4): one exchange of the
+    # sales rows instead of groupBy + join-back, which planned the
+    # lineitem⋈orders subtree twice and shuffled it twice. MIN over
+    # the full partition = the CTE's MIN per (customer, product);
+    # row multiplicity unchanged (window, not join).
+    wfirst = Window.partitionBy("customer_id", "product_id")
+    flagged = sales.select(
         "product_id",
-        F.when(F.col("d") > F.col("first_date"), 1).otherwise(0).alias("is_repeat"),
+        F.when(F.col("d") > F.min("d").over(wfirst), 1)
+        .otherwise(0)
+        .alias("is_repeat"),
     )
     rep, tot = F.sum("is_repeat"), F.count(F.lit(1))
     return (
@@ -350,18 +356,19 @@ def q6_category_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
             cost_expr().alias("cost"),
         )
     )
-    # One pass over the enriched fact: loyalty is a per-customer
-    # aggregate of enriched itself, so joining it back preserves every
-    # enriched row exactly once — the money aggregates, the AVG-of-
-    # ratio margin, and the loyalty counts all come out of a SINGLE
-    # category aggregation instead of the oracle's two CTE passes
-    # (2 shuffles on customer_id + 1 on category vs 4 agg/join stages;
-    # the customer exchange is reused by AQE for both sides).
-    loyalty = enriched.groupBy("customer_id").agg(
-        F.count(F.lit(1)).alias("purchase_count")
-    )
+    # One pass over the enriched fact: purchase_count is a
+    # per-customer COUNT of enriched itself, so a count window over
+    # the customer partition attaches it to every row in ONE exchange
+    # — the r9 rework of the previous groupBy+join-back shape, which
+    # planned the three-table join subtree TWICE (loyalty branch +
+    # main branch) and paid a second customer_id exchange for the
+    # join (guide §2.4: an aggregate keyed like a window shares its
+    # shuffle). Row multiplicity is unchanged (window, not join), so
+    # the money aggregates, AVG-of-ratio margin, and fan-out loyalty
+    # counts are value-identical.
+    wcust = Window.partitionBy("customer_id")
     return (
-        enriched.join(loyalty, "customer_id")
+        enriched.withColumn("purchase_count", F.count(F.lit(1)).over(wcust))
         .groupBy("category")
         .agg(
             dsum(F.col("revenue")).alias("revenue"),
