@@ -320,6 +320,23 @@ def _d2_col(a_emb: str, a_n2: str, b_emb: str, b_n2: str) -> F.Column:
     return F.col(a_n2) + F.col(b_n2) - F.lit(2) * dot
 
 
+def _kc_d2_lit(emb, n2: int) -> F.Column:
+    """Squared lattice distance of the corpus row (embedding, n2) to a
+    COLLECTED center inlined as literals. `<repr>D` double literals:
+    repr() is the shortest round-trip decimal, so the parsed double is
+    bit-identical to the value the original CAST(element AS DOUBLE) of
+    the float column produced — the per-term FLOOR lattice products
+    equal _d2_col's column×column form exactly."""
+    arr = ", ".join(f"{float(v)!r}D" for v in emb)
+    dot = (
+        "aggregate(sequence(1, size(embedding)), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + CAST(FLOOR(CAST(element_at(embedding, i)"
+        f" AS DOUBLE) * element_at(array({arr}), i) * 1e12 + 0.5)"
+        " AS BIGINT))"
+    )
+    return F.col("n2") + F.lit(int(n2)) - F.lit(2) * F.expr(dot)
+
+
 @register(
     "ext_coreset_kcenter",
     _kcenter_oracle(_K_CENTERS),
@@ -344,85 +361,58 @@ def _d2_col(a_emb: str, a_n2: str, b_emb: str, b_n2: str) -> F.Column:
 def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _lattice_base(spark, sf_dir)
 
-    def c_named(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col("vec_id").alias("c_vec_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("n2").alias("c_n2"),
-        )
-
-    # round 0: deterministic seed; its "radius" is undefined (NULL)
-    center0 = base.orderBy("vec_id").limit(1)
-    centers = [
-        center0.select(
-            F.lit(0).cast("long").alias("round"),
-            F.col("vec_id").alias("center_vec_id"),
-            "embedding", "n2",
-            F.lit(None).cast("long").alias("r2"),
-        )
-    ]
+    # Each greedy round's argmax is ONE row — collect it (planning-
+    # sized, the BPE merge-round precedent) and inline the new center
+    # as literals into the next round's running-min update, exactly
+    # like the final Voronoi assignment always did. The r9 rework of
+    # the previous frame-only loop, which built a broadcast exchange
+    # per round, evaluated each round's TakeOrderedAndProject twice
+    # (once for the center union, once under the next broadcast), and
+    # re-executed all K of them a third time in the closing collect.
+    # Per round: one TakeOrdered job + one checkpointed corpus pass —
+    # nothing else.
+    r0 = base.orderBy("vec_id").limit(1).collect()[0]
+    # (round, center_vec_id, r2, embedding, n2); seed radius undefined
+    cent_rows = [(0, int(r0["vec_id"]), None, list(r0["embedding"]),
+                  int(r0["n2"]))]
     d = (
-        base.crossJoin(F.broadcast(c_named(center0)))
-        .select(
+        base.select(
             "vec_id", "embedding", "n2",
-            _d2_col("embedding", "n2", "c_emb", "c_n2").alias("dmin"),
+            _kc_d2_lit(cent_rows[0][3], cent_rows[0][4]).alias("dmin"),
         )
         # materialize each round's state: K short lineages instead of
         # one K-deep recompute chain (the memo_df discipline)
         .localCheckpoint(eager=True)
     )
     for r in range(1, _K_CENTERS):
-        nxt = d.orderBy(F.desc("dmin"), "vec_id").limit(1)
-        centers.append(
-            nxt.select(
-                F.lit(r).cast("long").alias("round"),
-                F.col("vec_id").alias("center_vec_id"),
-                "embedding", "n2",
-                F.col("dmin").alias("r2"),
-            )
-        )
+        nxt = d.orderBy(F.desc("dmin"), "vec_id").limit(1).collect()[0]
+        cent_rows.append((r, int(nxt["vec_id"]), int(nxt["dmin"]),
+                          list(nxt["embedding"]), int(nxt["n2"])))
         if r < _K_CENTERS - 1:
-            nxt_named = nxt.select(
-                F.col("embedding").alias("c_emb"), F.col("n2").alias("c_n2")
-            )
             d = (
-                d.crossJoin(F.broadcast(nxt_named))
-                .select(
+                d.select(
                     "vec_id", "embedding", "n2",
                     F.least(
                         F.col("dmin"),
-                        _d2_col("embedding", "n2", "c_emb", "c_n2"),
+                        _kc_d2_lit(nxt["embedding"], int(nxt["n2"])),
                     ).alias("dmin"),
                 )
                 .localCheckpoint(eager=True)
             )
-    cent = centers[0]
-    for c in centers[1:]:
-        cent = cent.unionAll(c)
-    # final Voronoi assignment: collect the K selected centers (a
-    # planning-sized K-row collect — the BPE merge-round precedent)
-    # and inline them as literals into ONE codegen projection, so the
-    # argmin over K centers is a per-row expression and the corpus is
-    # NEVER shuffled — only the K-group count partial-aggregates. (A
+    # final Voronoi assignment: the K collected centers inlined as
+    # literals into ONE codegen projection, so the argmin over K
+    # centers is a per-row expression and the corpus is NEVER
+    # shuffled — only the K-group count partial-aggregates. (A
     # window/groupBy argmin would exchange every row on vec_id just
     # to pick among K locally-computable distances.)
-    cent_rows = cent.select("round", "center_vec_id", "n2", "r2",
-                            "embedding").collect()
     dots = []
-    for r in cent_rows:
-        # `<repr>D` double literals: repr() is the shortest round-trip
-        # decimal, so the parsed double is bit-identical to the value
-        # the original CAST(element AS DOUBLE) produced
-        arr = ", ".join(f"{float(v)!r}D" for v in r["embedding"])
-        dot = (
-            "aggregate(sequence(1, size(embedding)), CAST(0 AS BIGINT),"
-            " (acc, i) -> acc + CAST(FLOOR(CAST(element_at(embedding, i)"
-            f" AS DOUBLE) * element_at(array({arr}), i) * 1e12 + 0.5)"
-            " AS BIGINT))"
+    for rnd, _vid, _r2, emb, n2 in cent_rows:
+        dots.append(
+            F.struct(
+                _kc_d2_lit(emb, n2).alias("d2"),
+                F.lit(rnd).alias("r"),
+            )
         )
-        d2 = F.col("n2") + F.lit(int(r["n2"])) - F.lit(2) * F.expr(dot)
-        dots.append(F.struct(d2.alias("d2"),
-                             F.lit(int(r["round"])).alias("r")))
     nearest = F.array_min(F.array(*dots)).getField("r")
     counts = {
         int(row["r"]): int(row["n"])
@@ -430,13 +420,8 @@ def ext_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     out_rows = [
-        (
-            int(r["round"]),
-            int(r["center_vec_id"]),
-            None if r["r2"] is None else int(r["r2"]),
-            counts.get(int(r["round"]), 0),
-        )
-        for r in cent_rows
+        (rnd, vid, r2, counts.get(rnd, 0))
+        for rnd, vid, r2, _emb, _n2 in cent_rows
     ]
     out = spark.createDataFrame(
         out_rows, "round long, center_vec_id long, r2 long, n_assigned long"
