@@ -680,12 +680,24 @@ def semantic_dedup(
         F.col(vec).alias("_ve"),
         F.col("_n2").alias("_vn2"),
     )
-    cos_p = F.expr(dot.format(a="_ue", b="_ve")) / F.sqrt(
-        F.col("_un2") * F.col("_vn2")
+    # pair-verify dots via the Arrow/NumPy lattice evaluator (guide
+    # §4.2; bit-identical to the SQL lattice dot, pinned by pytest):
+    # the vectors are dropped at the Python boundary, so only
+    # (u, v, norms, dot) flows into the threshold filter
+    from marketing_etl_analytics_spark.ext.embedding import (
+        arrow_lattice_dots,
+    )
+
+    scored = arrow_lattice_dots(
+        mu.join(mv, (mu._ckey == mv._ckey_v) & (mu._u < mv._v))
+        .select("_u", "_v", "_un2", "_vn2", "_ue", "_ve"),
+        "_ue", "_ve", "_dot",
     )
     dups = (
-        mu.join(mv, (mu._ckey == mv._ckey_v) & (mu._u < mv._v))
-        .filter(cos_p >= threshold)
+        scored.filter(
+            F.col("_dot") / F.sqrt(F.col("_un2") * F.col("_vn2"))
+            >= threshold
+        )
         .groupBy("_v")
         .agg(F.count(F.lit(1)).alias("_nd"))
         .withColumnRenamed("_v", key)

@@ -1915,13 +1915,25 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("ve"),
         F.col("n2").alias("vn2"),
     )
-    cos_p = (
-        F.expr(SPARK_DOT.format(a="ue", b="ve"))
-        / F.sqrt(F.col("un2") * F.col("vn2"))
+    # pair-verify dots via the Arrow/NumPy lattice evaluator (guide
+    # §4.2): bit-identical to SPARK_DOT (pinned by pytest), ~2x the
+    # interpreted lambda at 100x pair volumes, and both 64-dim arrays
+    # are dropped at the Python boundary so only (u, v, norms, dot)
+    # flows into the filter/aggregate
+    from marketing_etl_analytics_spark.ext.embedding import (
+        arrow_lattice_dots,
+    )
+
+    scored = arrow_lattice_dots(
+        mu.join(mv, (mu.ckey == mv.ckey_v) & (mu.u < mv.v))
+        .select("u", "v", "un2", "vn2", "ue", "ve"),
+        "ue", "ve", "dot",
     )
     dups = (
-        mu.join(mv, (mu.ckey == mv.ckey_v) & (mu.u < mv.v))
-        .filter(cos_p >= SEM_DEDUP_T)
+        scored.filter(
+            F.col("dot") / F.sqrt(F.col("un2") * F.col("vn2"))
+            >= SEM_DEDUP_T
+        )
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("nd"))
         .withColumnRenamed("v", "vec_id")
