@@ -11,8 +11,23 @@ corpus builds, idempotent reruns.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Max collected center rows for the Arrow/NumPy closure evaluators
+# (r10, guide §4.2): nearest-center assignment, IVF probing, and
+# k-means|| state updates evaluate their (row x center) lattice dots
+# vectorized per Arrow batch with the planning-sized center set in the
+# task closure — no n*k crossJoin rows, no rank-window exchange, no
+# interpreted ArrayAggregate lambda (CodegenFallback). Above this
+# bound (k ~ 1e5 regimes: 8192 centers x 64 dims x 8 B = 4 MB closure
+# is the comfort ceiling) the code falls back to the frame-only
+# broadcast-join shape, which never collects centers to the driver.
+ARROW_CENTERS_MAX = int(
+    os.environ.get("SPARK_GRAFT_ARROW_CENTERS_MAX", "8192")
+)
 
 
 # --- model-based quality scoring ---------------------------------------------
@@ -300,6 +315,29 @@ def kmeanspar_seeds(
         F.lit(0.0),
     )
     d = F.greatest(F.lit(0.0), F.lit(1.0) - cos)
+    # Arrow/NumPy closure path (r10, guide §4.2): the seed sets here
+    # are planning-sized (<= 1 + ell*rounds rows), so each corpus pass
+    # — the initial distance, every round's running-min update, and
+    # the final nearest-seed weights — evaluates its lattice dots
+    # vectorized per Arrow batch with the seeds in the task closure.
+    # Values are bit-identical to the expression form (the
+    # arrow_lattice_dots proof: same IEEE ops on the same operands;
+    # min/least are selections), and the previous per-round
+    # groupBy(_k, _v, _vn2, _u).min shuffle — the corpus, CARRYING the
+    # 64-dim vectors, exchanged once per round — disappears entirely.
+    from marketing_etl_analytics_spark.ext.embedding import (
+        arrow_min_center_dist,
+        arrow_nearest_center,
+    )
+
+    use_arrow = (1 + ell * rounds) <= ARROW_CENTERS_MAX
+
+    def _rows(frame: DataFrame) -> list[tuple]:
+        return [
+            (r["_cid"], list(r["_ce"]), float(r["_cn2"]))
+            for r in frame.collect()
+        ]
+
     # Carried min-distance state (the k-center/Lloyd zero-recompute
     # discipline): dmin over a growing seed set is monotone, so each
     # round only dots the corpus against the round's NEW seeds and
@@ -310,11 +348,17 @@ def kmeanspar_seeds(
     # pass twice (once under the S-total broadcast, once under the
     # threshold filter): O(rounds * n * |seeds|) interpreted dots,
     # now O(n * |new seeds|) total with each pass materialized once.
-    state = (
-        base.crossJoin(F.broadcast(seeds))
-        .select("_k", "_v", "_vn2", "_u", d.alias("_d"))
-        .localCheckpoint(eager=True)
-    )
+    if use_arrow:
+        state = arrow_min_center_dist(
+            base.select("_k", "_v", "_vn2", "_u"),
+            "_v", "_vn2", _rows(seeds), "_d",
+        ).localCheckpoint(eager=True)
+    else:
+        state = (
+            base.crossJoin(F.broadcast(seeds))
+            .select("_k", "_v", "_vn2", "_u", d.alias("_d"))
+            .localCheckpoint(eager=True)
+        )
     for r in range(rounds):
         # integer-lattice snap of d^2 (ADVICE r6): per-term
         # CAST(double AS DECIMAL(38,12)) tie-rounds differently in
@@ -353,29 +397,54 @@ def kmeanspar_seeds(
         # the last round, and when the draw selected nothing (the
         # crossJoin below would otherwise empty the state)
         if r < rounds - 1 and not new.isEmpty():
-            state = (
-                state.crossJoin(F.broadcast(new))
-                .groupBy("_k", "_v", "_vn2", "_u")
-                .agg(F.min(F.least(F.col("_d"), d)).alias("_d"))
-                .localCheckpoint(eager=True)
-            )
+            if use_arrow:
+                # zero-shuffle running-min update: one vectorized scan,
+                # least(carried, min over the round's NEW seeds)
+                state = arrow_min_center_dist(
+                    state, "_v", "_vn2", _rows(new), "_d", carry="_d",
+                ).localCheckpoint(eager=True)
+            else:
+                state = (
+                    state.crossJoin(F.broadcast(new))
+                    .groupBy("_k", "_v", "_vn2", "_u")
+                    .agg(F.min(F.least(F.col("_d"), d)).alias("_d"))
+                    .localCheckpoint(eager=True)
+                )
     # weight each candidate by the corpus rows nearest to it
     # (tiebreak: higher cos, then smaller candidate key), then reduce
-    # to k via md5-bucket max-weight — both frame ops
-    # project to (_k, _cid, cos) BEFORE the window (guide §2.3): the
-    # rank only needs the score, so neither 64-dim vector rides the
-    # window exchange, and the cos is evaluated once per row as a
-    # column instead of inside the SortOrder (where GenerateOrdering
-    # re-evaluates it per comparison)
-    wnear = Window.partitionBy("_k").orderBy(F.desc("_cw"), F.asc("_cid"))
-    weights = (
-        base.crossJoin(F.broadcast(seeds))
-        .select("_k", "_cid", cos.alias("_cw"))
-        .withColumn("_r", F.row_number().over(wnear))
-        .filter(F.col("_r") == 1)
-        .groupBy("_cid")
-        .agg(F.count(F.lit(1)).alias("_w"))
-    )
+    # to k via md5-bucket max-weight
+    if use_arrow:
+        # nearest-seed id per row computed in the same vectorized scan
+        # (desc cos with the zero-norm guard, tie -> smaller _cid —
+        # the evaluator replicates the window's ordering exactly);
+        # only (_k -> _cid) leaves the Python boundary
+        weights = (
+            arrow_nearest_center(
+                base.select("_k", "_v", "_vn2"),
+                "_v", "_vn2", _rows(seeds), "_cid",
+                keep=["_k"], zero_cos=0.0,
+            )
+            .groupBy("_cid")
+            .agg(F.count(F.lit(1)).alias("_w"))
+        )
+    else:
+        # frame path: project to (_k, _cid, cos) BEFORE the window
+        # (guide §2.3): the rank only needs the score, so neither
+        # 64-dim vector rides the window exchange, and the cos is
+        # evaluated once per row as a column instead of inside the
+        # SortOrder (where GenerateOrdering re-evaluates it per
+        # comparison)
+        wnear = Window.partitionBy("_k").orderBy(
+            F.desc("_cw"), F.asc("_cid")
+        )
+        weights = (
+            base.crossJoin(F.broadcast(seeds))
+            .select("_k", "_cid", cos.alias("_cw"))
+            .withColumn("_r", F.row_number().over(wnear))
+            .filter(F.col("_r") == 1)
+            .groupBy("_cid")
+            .agg(F.count(F.lit(1)).alias("_w"))
+        )
     bkt = (
         F.conv(F.substring(F.md5(F.col("_cid").cast("string")), 1, 8), 16, 10)
         .cast("long")
@@ -513,6 +582,27 @@ def semantic_assign(
     else:
         raise ValueError(f"unknown seeding mode: {seeding!r}")
     cos_c = F.expr(dot.format(a=vec, b="_ce")) / F.sqrt(F.col("_n2") * F.col("_cn2"))
+    # Arrow/NumPy closure path (r10, guide §4.2): with a planning-
+    # sized center set, the probe/argmax dots run vectorized per
+    # Arrow batch — no n*k crossJoin rows, no rank-window exchange.
+    # Bit-identical to the expression form (arrow_lattice_dots proof;
+    # NaN ranks greatest like Spark's sort; ties break on asc center
+    # id). Above ARROW_CENTERS_MAX the frame-only broadcast shape
+    # below remains the k~1e5 path.
+    from marketing_etl_analytics_spark.ext.embedding import (
+        arrow_ivf_assign,
+        arrow_nearest_center,
+    )
+
+    use_arrow = n_centroids <= ARROW_CENTERS_MAX
+
+    def _empty_assign() -> DataFrame:
+        return b.limit(0).select(
+            F.col(key),
+            F.col(key).cast("long").alias("cluster"),
+            F.col("_sub"),
+        )
+
     # every rank below orders by a PRECOMPUTED score column and
     # projects the vectors away before the window exchange (guide
     # §2.3): the 64-dim arrays never ride a shuffle just to be
@@ -582,32 +672,70 @@ def semantic_assign(
         # row -> n_probe nearest super-clusters, then argmax over the
         # member centroids of those probes only: O(n*(sqrt(k) +
         # n_probe * k/sqrt(k))) dots instead of O(n*k)
-        cos_ds = F.expr(dot.format(a=vec, b="_se")) / F.sqrt(
-            F.col("_n2") * F.col("_sn2")
-        )
-        wds = Window.partitionBy(key).orderBy(F.desc("_cds"), F.asc("_sid"))
-        probes = (
-            b.crossJoin(F.broadcast(sup))
-            .select(key, vec, "_n2", "_sub", "_sid", cos_ds.alias("_cds"))
-            .withColumn("_r", F.row_number().over(wds))
-            .filter(F.col("_r") <= n_probe)
-            .select(key, vec, "_n2", "_sub", F.col("_sid").alias("_home"))
-        )
-        assign = (
-            probes.join(F.broadcast(cmember), "_home")
-            .select(key, "_sub", "_cid", cos_c.alias("_cc"))
-            .withColumn("_crn", F.row_number().over(w))
-            .filter(F.col("_crn") == 1)
-            .select(key, F.col("_cid").alias("cluster"), "_sub")
-        )
+        if use_arrow:
+            # one vectorized corpus pass does the probe ranking AND
+            # the member argmax (supers + homed centroids in the task
+            # closure); the previous shape materialized n*n_probe
+            # probe rows CARRYING the 64-dim vectors through a rank
+            # window, joined members, then ranked again
+            sup_rows = [
+                (r["_sid"], list(r["_se"]), float(r["_sn2"]))
+                for r in sup.collect()
+            ]
+            cm_rows = [
+                (r["_cid"], list(r["_ce"]), float(r["_cn2"]), r["_home"])
+                for r in cmember.collect()
+            ]
+            if not sup_rows or not cm_rows:
+                assign = _empty_assign()
+            else:
+                assign = arrow_ivf_assign(
+                    b.select(key, vec, "_n2", "_sub"),
+                    vec, "_n2", sup_rows, cm_rows, n_probe,
+                    "cluster", keep=[key, "_sub"],
+                ).select(key, "cluster", "_sub")
+        else:
+            cos_ds = F.expr(dot.format(a=vec, b="_se")) / F.sqrt(
+                F.col("_n2") * F.col("_sn2")
+            )
+            wds = Window.partitionBy(key).orderBy(
+                F.desc("_cds"), F.asc("_sid")
+            )
+            probes = (
+                b.crossJoin(F.broadcast(sup))
+                .select(key, vec, "_n2", "_sub", "_sid", cos_ds.alias("_cds"))
+                .withColumn("_r", F.row_number().over(wds))
+                .filter(F.col("_r") <= n_probe)
+                .select(key, vec, "_n2", "_sub", F.col("_sid").alias("_home"))
+            )
+            assign = (
+                probes.join(F.broadcast(cmember), "_home")
+                .select(key, "_sub", "_cid", cos_c.alias("_cc"))
+                .withColumn("_crn", F.row_number().over(w))
+                .filter(F.col("_crn") == 1)
+                .select(key, F.col("_cid").alias("cluster"), "_sub")
+            )
     elif assign == "exact":
-        assign = (
-            b.crossJoin(F.broadcast(cent))
-            .select(key, "_sub", "_cid", cos_c.alias("_cc"))
-            .withColumn("_crn", F.row_number().over(w))
-            .filter(F.col("_crn") == 1)
-            .select(key, F.col("_cid").alias("cluster"), "_sub")
-        )
+        if use_arrow:
+            cent_rows = [
+                (r["_cid"], list(r["_ce"]), float(r["_cn2"]))
+                for r in cent.collect()
+            ]
+            if not cent_rows:
+                assign = _empty_assign()
+            else:
+                assign = arrow_nearest_center(
+                    b.select(key, vec, "_n2", "_sub"),
+                    vec, "_n2", cent_rows, "cluster", keep=[key, "_sub"],
+                ).select(key, "cluster", "_sub")
+        else:
+            assign = (
+                b.crossJoin(F.broadcast(cent))
+                .select(key, "_sub", "_cid", cos_c.alias("_cc"))
+                .withColumn("_crn", F.row_number().over(w))
+                .filter(F.col("_crn") == 1)
+                .select(key, F.col("_cid").alias("cluster"), "_sub")
+            )
     else:
         raise ValueError(f"unknown assign mode: {assign!r}")
     hot = (

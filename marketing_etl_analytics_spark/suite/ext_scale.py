@@ -1861,23 +1861,38 @@ def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("ce"),
             F.col("n2").alias("cn2"),
         )
-        cos_c = (
-            F.expr(SPARK_DOT.format(a="embedding", b="ce"))
-            / F.sqrt(F.col("n2") * F.col("cn2"))
+        # Arrow/NumPy closure argmax (r10, guide §4.2): the k=32 seed
+        # centroids ride the task closure and every (row, centroid)
+        # lattice dot is evaluated vectorized per Arrow batch —
+        # bit-identical to the SPARK_DOT expression (pinned by
+        # tests/test_arrow_lattice_dot.py / test_arrow_center_eval.py),
+        # same desc-cos / asc-cent_id tiebreak as the previous rank
+        # window. Replaces the crossJoin(broadcast(cent)) that built
+        # n*k rows and the n*k-row window exchange with ONE corpus
+        # pass that ships (vec_id, embedding, n2, sub) out and
+        # (vec_id, sub, cluster) back.
+        from marketing_etl_analytics_spark.ext.embedding import (
+            arrow_nearest_center,
         )
-        # score column projected before the rank window (guide §2.3):
-        # the argmax only needs (vec_id, cent_id, sub, cos), so the
-        # 64-dim arrays stay out of the window exchange and the dot
-        # is evaluated once per row, not per SortOrder comparison
-        w = Window.partitionBy("vec_id").orderBy(F.desc("_cc"), F.asc("cent_id"))
-        assign = (
-            b.withColumn("sub", F.expr(_SPARK_SUBBUCKET))
-            .crossJoin(F.broadcast(cent))
-            .select("vec_id", "sub", "cent_id", cos_c.alias("_cc"))
-            .withColumn("crn", F.row_number().over(w))
-            .filter(F.col("crn") == 1)
-            .select("vec_id", F.col("cent_id").alias("cluster"), "sub")
-        )
+
+        cent_rows = [
+            (r["cent_id"], list(r["ce"]), float(r["cn2"]))
+            for r in cent.collect()
+        ]
+        if not cent_rows:
+            assign = b.limit(0).select(
+                "vec_id",
+                F.col("vec_id").alias("cluster"),
+                F.lit(0).cast("long").alias("sub"),
+            )
+        else:
+            assign = arrow_nearest_center(
+                b.withColumn("sub", F.expr(_SPARK_SUBBUCKET)).select(
+                    "vec_id", "embedding", "n2", "sub"
+                ),
+                "embedding", "n2", cent_rows, "cluster",
+                keep=["vec_id", "sub"],
+            ).select("vec_id", "cluster", "sub")
         # hot-cluster refine: <= SEM_CENTROIDS rows -> broadcast
         hot = (
             assign.groupBy("cluster")
