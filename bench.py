@@ -152,9 +152,11 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr, flush=True)
 
+    value = round(sum(timings.values()), 3)
+    warmup_sec = round(sum(warmup.values()), 3)
     out = {
         "metric": "suite_wall_seconds",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -162,7 +164,11 @@ def main() -> None:
         # per-entry figures and the headline value so both stay
         # comparable across registry rotations (VERDICT r8 Next #4)
         "warmup": warmup,
-        "warmup_sec": round(sum(warmup.values()), 3),
+        "warmup_sec": warmup_sec,
+        # co-headline (VERDICT r9 Next #2): value + warmup as a
+        # FIRST-CLASS field so cost can never silently migrate into
+        # the untimed warmup phase between rounds — compare both.
+        "value_plus_warmup_sec": round(value + warmup_sec, 3),
     }
     print(json.dumps(out))
 

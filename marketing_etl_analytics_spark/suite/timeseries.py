@@ -769,7 +769,14 @@ def ext_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the mergeable-sketch property doing the shuffle's work)
     h = ev.select("event_type", _hll_hv().alias("hv"))
     ranked = h.select(F.col("event_type").alias("grp"), *_hll_rank_expr())
-    regs = ranked.groupBy("grp", "idx").agg(F.max("rank").alias("m"))
+    regs = (
+        ranked.groupBy("grp", "idx").agg(F.max("rank").alias("m"))
+        # the per-type register table (64 rows/type) feeds TWO
+        # consumers — its own estimate and the '(all)' register-wise
+        # max-merge; without materialization the events scan + register
+        # aggregate executes twice. Sketch-sized at any corpus size.
+        .localCheckpoint(eager=True)
+    )
     regs_all = regs.groupBy("idx").agg(F.max("m").alias("m")).select(
         F.lit("(all)").alias("grp"), "idx", "m"
     )
@@ -863,6 +870,11 @@ def ext_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # the frequency table feeds TWO consumers (the counter build
+        # and the exact top-k probe list); without materialization the
+        # corpus tokenize+aggregate subtree executes twice. |vocab|
+        # rows — bounded far below the corpus at any scale.
+        .localCheckpoint(eager=True)
     )
     bucket = (
         F.conv(
@@ -1001,13 +1013,20 @@ def ext_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
-    hist_g = pr.groupBy(
-        "grp", F.expr(f"cents div {QH_W}").alias("bucket")
-    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    hist = hist_g.unionAll(
-        hist_g.groupBy("bucket")
-        .agg(F.sum("cnt").cast("long").alias("cnt"))
-        .select(F.lit("(all)").alias("grp"), "bucket", "cnt")
+    # one orders pass builds BOTH histogram levels: each value row
+    # serves its own group and the '(all)' group via a 2-element
+    # explode (the exactv trick below) — the previous shape evaluated
+    # the per-group aggregate subtree TWICE (its own branch + the
+    # '(all)' re-aggregation branch scanned orders again). Values
+    # identical: COUNT per (grp, bucket) over the same multiset, and
+    # the '(all)' count equals the old bucket-wise SUM of group counts.
+    hist = (
+        pr.select(
+            F.explode(F.array(F.col("grp"), F.lit("(all)"))).alias("grp"),
+            "cents",
+        )
+        .groupBy("grp", F.expr(f"cents div {QH_W}").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     wc = Window.partitionBy("grp").orderBy("bucket")
     wn = Window.partitionBy("grp")
@@ -1034,6 +1053,11 @@ def ext_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"bucket * {QH_W} + ({QH_W} * (r - (cum - cnt))) div cnt"
             ).alias("est_cents"),
         )
+        # the selected-bucket table (18 rows) feeds TWO consumers —
+        # the exactv broadcast probe and the final join — so without
+        # this planning-sized materialization the whole
+        # hist->cum->rank subtree is planned and executed twice
+        .localCheckpoint(eager=True)
     )
     # two-phase exact selection: the sketch already knows WHICH bucket
     # holds rank r, so only that bucket's rows are sorted (n/#buckets
