@@ -268,12 +268,10 @@ def arrow_lattice_dots(
             if m == 0:
                 dots = pa.array(np.zeros(0), pa.float64())
             else:
-                ua = np.asarray(
-                    batch.column(a).flatten(), dtype=np.float64
-                ).reshape(m, -1)
-                va = np.asarray(
-                    batch.column(b).flatten(), dtype=np.float64
-                ).reshape(m, -1)
+                # _np_vecs asserts the batch is rectangular (ADVICE
+                # r9 #1) before the reshape
+                ua = _np_vecs(batch, a, m)
+                va = _np_vecs(batch, b, m)
                 s = np.floor(ua * va * 1e12 + 0.5).astype(np.int64).sum(axis=1)
                 dots = pa.array(s / 1e12, pa.float64())
             yield pa.RecordBatch.from_arrays(cols + [dots], names=names)
@@ -306,11 +304,19 @@ def arrow_lattice_dots(
 # sorted ascending and NumPy argmax/stable argsort pick the first).
 
 def _np_vecs(batch, name: str, m: int):
+    """(m, d) float64 matrix from a list column — asserting the batch
+    is rectangular first (ADVICE r9 #1: a ragged batch whose total
+    element count happens to divide by m would otherwise be silently
+    reshaped across misaligned rows instead of failing)."""
     import numpy as np
 
-    return np.asarray(
-        batch.column(name).flatten(), dtype=np.float64
-    ).reshape(m, -1)
+    col = batch.column(name)
+    lens = np.unique(col.value_lengths().to_numpy(zero_copy_only=False))
+    if len(lens) != 1:
+        raise ValueError(
+            f"ragged vector column {name!r}: lengths {lens[:8].tolist()}"
+        )
+    return np.asarray(col.flatten(), dtype=np.float64).reshape(m, -1)
 
 
 def _np_lattice_dot_matrix(vm, cm, chunk_bytes: int = 32 << 20):

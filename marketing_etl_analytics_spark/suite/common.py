@@ -146,11 +146,23 @@ def _checkpoint_sized(spark: SparkSession, df: DataFrame) -> DataFrame:
     cp = df.localCheckpoint(eager=True)
     try:
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        # the checkpoint just stored is the newest stored RDD (this
-        # flow is single-threaded); fall back to no-op on any doubt
+        # resolve the checkpointed RDD's id straight from the plan
+        # (ADVICE r9 #2: "newest stored RDD" mis-sizes the table if
+        # any other persist/checkpoint lands in between): a local-
+        # checkpointed DataFrame analyzes to a LogicalRDD over exactly
+        # the stored RDD
+        own_id = None
+        try:
+            own_id = int(cp._jdf.queryExecution().analyzed().rdd().id())
+        except Exception:  # noqa: BLE001 — plan shape drift: fall back
+            pass
         newest = None
         for i in infos:
-            if newest is None or i.id() > newest.id():
+            if own_id is not None:
+                if i.id() == own_id:
+                    newest = i
+                    break
+            elif newest is None or i.id() > newest.id():
                 newest = i
         if newest is None:
             return cp
